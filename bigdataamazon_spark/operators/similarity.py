@@ -1,0 +1,231 @@
+"""Similarity search operators (SURVEY.md §2.7 M5/M6, §2.6 J4, §2.5 T2).
+
+The reference materializes the full n×n cosine matrix on the driver and
+then sorts every row (``/root/reference/amazon1.py:138-155``). That is the
+#1 non-scalable design; here similarity is always an *edge table*
+(src, dst, score) produced by a join, and top-k is a window — nothing
+quadratic ever lives in memory at once, and Spark streams/spills the
+join output.
+
+Two physical strategies, chosen by row count (the one planner-like
+heuristic this engine owns, SURVEY.md §4):
+
+- exact: self cross-join with per-side precomputed norms. O(n²) pairs
+  but embarrassingly parallel; right answer for dims/candidate sets.
+- approx: random-hyperplane LSH (SimHash for cosine) — signature ->
+  banded buckets -> join only within buckets -> exact re-score of the
+  candidate pairs. This is how 100 TB similarity search must run: the
+  shuffle is on short bucket keys, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_array, dot, l2_norm
+
+# Above this row count, exact all-pairs (n²) is no longer the right
+# physical plan and approx_similarity_join should be used instead.
+EXACT_PAIRS_MAX_ROWS = 20_000
+
+
+def _sides(df: DataFrame, id_col: str, vec_col: str) -> tuple[DataFrame, DataFrame]:
+    base = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("_vec"),
+    ).withColumn("_norm", l2_norm(F.col("_vec")))
+    a = base.select(
+        F.col(id_col).alias("src"), F.col("_vec").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("dst"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return a, b
+
+
+def _score() -> Column:
+    return dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    exclude_self: bool = True,
+    ordered: bool = False,
+) -> DataFrame:
+    """Exact all-pairs cosine edge table (src, dst, score).
+
+    ``ordered=True`` keeps only src < dst (undirected pairs, for dedup);
+    ``exclude_self`` drops the trivial diagonal (``amazon1.py:148`` skips
+    self the same way).
+    """
+    a, b = _sides(df, id_col, vec_col)
+    cond = F.col("src") < F.col("dst") if ordered else F.col("src") != F.col("dst")
+    if not exclude_self and not ordered:
+        cond = F.lit(True)
+    return a.join(b, cond).select("src", "dst", _score().alias("score"))
+
+
+def topk_per_src(edges: DataFrame, k: int, *, score_col: str = "score") -> DataFrame:
+    """Per-src top-k by score desc, dst asc tiebreak (replaces the
+    O(n²·log n) python sort loop at ``amazon1.py:143-155``)."""
+    w = Window.partitionBy("src").orderBy(F.desc(score_col), F.asc("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", score_col, "rank")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Flagship M7 spine: exact cosine edges -> window top-k."""
+    out = topk_per_src(cosine_pairs(df, id_col, vec_col), k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def ann_brute_force(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force top-k nearest (cosine) for each query vector.
+
+    ``queries`` is broadcast — the canonical ANN-serving shape: tiny
+    query batch against a huge corpus means the corpus never shuffles.
+    """
+    corpus = data.select(
+        F.col(id_col).alias("dst"), as_double_array(vec_col).alias("_vb")
+    ).withColumn("_nb", l2_norm(F.col("_vb")))
+    probe = queries.select(
+        F.col(id_col).alias("src"), as_double_array(vec_col).alias("_va")
+    ).withColumn("_na", l2_norm(F.col("_va")))
+    edges = corpus.join(F.broadcast(probe), F.col("src") != F.col("dst")).select(
+        "src", "dst", _score().alias("score")
+    )
+    out = topk_per_src(edges, k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Approximate path: random-hyperplane LSH (cosine).
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (src, dst) pairs sharing >=1 LSH band bucket.
+
+    signature: sign bits of <vec, hyperplane_i>; band key packs
+    n_planes/bands consecutive bits into an int. The join is an
+    equi-join on (band, key) — shuffles only ids+signatures, so it
+    scales to corpus sizes where all-pairs cannot run.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    vec = as_double_array(vec_col)
+    bits = [
+        (dot(vec, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0).cast("int").alias(f"_b{i}")
+        for i in range(n_planes)
+    ]
+    sig = df.select(F.col(id_col), *bits)
+    band_keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(rows_per_band):
+            key = key * 2 + F.col(f"_b{b * rows_per_band + j}")
+        band_keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")).alias(f"_band{b}"))
+    keyed = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    left = keyed.select(F.col(id_col).alias("src"), "band", "key")
+    right = keyed.select(F.col(id_col).alias("dst"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def cosine_topk_approx(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """LSH candidates -> exact re-score -> top-k. Approximate recall
+    (a true neighbor can miss every band), so this is the scale path,
+    bench-checked rather than oracle-hash-checked."""
+    cands = lsh_candidate_pairs(
+        df, id_col, vec_col, dim=dim, n_planes=n_planes, bands=bands, seed=seed
+    )
+    a, b = _sides(df, id_col, vec_col)
+    both = (
+        cands.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", _score().alias("score"))
+    )
+    # candidates are src<dst; mirror them so every node ranks its neighbors
+    edges = both.unionByName(
+        both.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("score")
+        )
+    )
+    out = topk_per_src(edges, k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def similarity_topk_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The one owned planner heuristic (SURVEY.md §4): exact all-pairs
+    below EXACT_PAIRS_MAX_ROWS, LSH above."""
+    n = df.count()
+    if n <= EXACT_PAIRS_MAX_ROWS:
+        return cosine_topk(df, id_col, vec_col, k)
+    return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
