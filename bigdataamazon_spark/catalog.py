@@ -38,10 +38,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
+    rejects outright; read it as raw nanos and rebuild a microsecond
+    timestamp with INTEGER division (double division would lose
+    precision above 2^53 — epoch-nanos are ~1.7e18).
+
+    Session timezone is pinned UTC here so the LTZ->NTZ cast is a
+    no-op shift and values match DuckDB's naive-UTC reading even if
+    the caller's session was built elsewhere.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts div 1000 AS LONG)")).cast("timestamp_ntz")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
 
 def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
@@ -51,7 +74,7 @@ def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str,
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,106 @@
+"""Relational operator builders (SURVEY.md §2.2-2.6, 2.8).
+
+Generalizations of the reference's single-table pandas calls to the
+testdata star schema. All Catalyst-native: scans stay pruned/pushed,
+aggregates get partial+final hash agg, joins pick broadcast vs
+sort-merge on their own (dimension tables are explicitly broadcast
+where we know they stay small at any scale factor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """D1 (``amazon1.py:119-120``): total vs distinct vs duplicate rows
+    over a projection, as one aggregate pass."""
+    return df.select(*cols).agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("distinct_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])).alias("dup_rows"),
+    )
+
+
+def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """A4 (``amazon1.py:68,92``): equi-width histogram with data-driven
+    bounds. One agg for min/max (broadcast back), one hash-agg for the
+    bucket counts — two scans, no sort, no driver round-trip."""
+    c = F.col(col)
+    bounds = df.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    bucket = F.least(F.floor((c - F.col("_mn")) / width), F.lit(bins - 1)).cast("bigint")
+    return (
+        df.select(c)
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def describe_column(df: DataFrame, col: str, *, round_to: int = 4) -> DataFrame:
+    """One row of A2's describe() (``amazon1.py:62``) with EXACT
+    percentiles (pandas parity; Spark's summary() is approximate)."""
+    c = F.col(col)
+    return df.agg(
+        F.lit(col).alias("col_name"),
+        F.count(c).alias("n"),
+        F.round(F.avg(c), round_to).alias("mean"),
+        F.round(F.stddev(c), round_to).alias("std"),
+        F.round(F.min(c), round_to).alias("min"),
+        F.round(F.percentile(c, 0.25), round_to).alias("p25"),
+        F.round(F.percentile(c, 0.5), round_to).alias("p50"),
+        F.round(F.percentile(c, 0.75), round_to).alias("p75"),
+        F.round(F.max(c), round_to).alias("max"),
+    )
+
+
+def describe(df: DataFrame, cols: list[str], *, round_to: int = 4) -> DataFrame:
+    out = describe_column(df, cols[0], round_to=round_to)
+    for c in cols[1:]:
+        out = out.unionByName(describe_column(df, c, round_to=round_to))
+    return out
+
+
+def corr_pairs(df: DataFrame, pairs: list[tuple[str, str]], *, round_to: int = 6) -> DataFrame:
+    """A3 (``amazon1.py:97-98``): Pearson correlations as one aggregate
+    row (SQL-expressible, unlike ml.stat.Correlation's matrix)."""
+    aggs = [
+        F.round(F.corr(a, b), round_to).alias(f"corr_{a}_{b}") for a, b in pairs
+    ]
+    return df.agg(*aggs)
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, tiebreak_col: str, k: int
+) -> DataFrame:
+    """T2 generalized: per-group top-k with deterministic tiebreak."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def star_join(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """lineitem⋈orders⋈customer⋈nation⋈region (J2 generalized).
+
+    Fact-to-fact (lineitem-orders) shuffles on the join key; the
+    dimension chain is broadcast so the big side never re-shuffles —
+    the plan that survives a 100× scale-up.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def revenue() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))

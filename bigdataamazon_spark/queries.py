@@ -19,8 +19,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from .catalog import load_table
-from .operators import similarity
+from .functions import cleaning, text
+from .operators import relational, similarity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -76,3 +80,489 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replaces the driver-side n×n matrix of ``amazon1.py:138-155``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / statistics (SURVEY.md §2.4: A1-A8 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the grouped generalization of describe()
+    (``amazon1.py:62``) — 8 aggregates over 2 grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "star_join_revenue",
+    """
+    SELECT r_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized to the star schema: revenue per region."""
+    joined = relational.star_join(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(relational.revenue()), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS promo_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter + single agg — the pushdown
+    showcase (predicates reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "describe_lineitem",
+    """
+    SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+           round(avg(l_quantity), 4) AS mean, round(stddev(l_quantity), 4) AS std,
+           round(min(l_quantity), 4) AS min, round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75, round(max(l_quantity), 4) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           round(avg(l_extendedprice), 4), round(stddev(l_extendedprice), 4),
+           round(min(l_extendedprice), 4), round(quantile_cont(l_extendedprice, 0.25), 4),
+           round(quantile_cont(l_extendedprice, 0.5), 4),
+           round(quantile_cont(l_extendedprice, 0.75), 4), round(max(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount),
+           round(avg(l_discount), 4), round(stddev(l_discount), 4),
+           round(min(l_discount), 4), round(quantile_cont(l_discount, 0.25), 4),
+           round(quantile_cont(l_discount, 0.5), 4),
+           round(quantile_cont(l_discount, 0.75), 4), round(max(l_discount), 4)
+    FROM lineitem
+    """,
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 describe() with EXACT percentiles (pandas-parity, not
+    Spark's approximate summary())."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return relational.describe(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "lineitem_correlations",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount,
+           round(corr(l_discount, l_tax), 6)           AS corr_l_discount_l_tax
+    FROM lineitem
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: pairwise Pearson correlation (``amazon1.py:97-98``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return relational.corr_pairs(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_discount", "l_tax"),
+        ],
+    )
+
+
+@register(
+    "orders_price_histogram",
+    """
+    WITH b AS (SELECT min(o_totalprice) AS _mn, max(o_totalprice) AS _mx FROM orders)
+    SELECT CAST(least(floor((o_totalprice - _mn) / ((_mx - _mn) / 30.0)), 29) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: 30-bin equi-width histogram (``amazon1.py:68``)."""
+    return relational.histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", 30)
+
+
+@register(
+    "word_frequency",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+    GROUP BY word
+    """,
+)
+def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: corpus word counts, stopword-filtered (``amazon1.py:104-106``) —
+    explode + hash-agg instead of one giant driver string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / cleaning / derived-column surface (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clean_numeric_props",
+    """
+    SELECT event_id,
+           CAST(NULLIF(regexp_replace(props, '[^0-9.]', '', 'g'), '') AS DOUBLE) AS props_num
+    FROM events
+    """,
+)
+def clean_numeric_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (``amazon1.py:42-49``): regex-strip to numeric, empty->NULL,
+    cast double — compiled to native expressions, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", cleaning.clean_numeric("props").alias("props_num"))
+
+
+@register(
+    "discount_analysis",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price,
+           round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charge,
+           round(least(greatest(coalesce(
+               (l_extendedprice - l_extendedprice * (1.0 - l_discount)) / l_extendedprice * 100.0,
+               0.0), 0.0), 100.0), 6) AS discount_pct
+    FROM lineitem
+    """,
+)
+def discount_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5+P6 (``amazon1.py:87-89``): arithmetic derive, fill-then-clip
+    in the reference's exact order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pct = (F.col("l_extendedprice") - disc_price) / F.col("l_extendedprice") * F.lit(100.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_price, 4).alias("disc_price"),
+        F.round(disc_price * (F.lit(1.0) + F.col("l_tax")), 6).alias("charge"),
+        F.round(cleaning.fill_then_clip(pct, 0.0, 0.0, 100.0), 6).alias("discount_pct"),
+    )
+
+
+@register(
+    "part_name_tokens",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           lower(p_brand) AS brand_lower,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    """,
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P10-style string surface: regexp_extract + lower + length."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.lower(F.col("p_brand")).alias("brand_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "docs_contains_lookup",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE text LIKE '%spark window%'
+    """,
+)
+def docs_contains_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/J3 (``amazon1.py:185-189``): substring-containment filter,
+    null-safe (na=False semantics match Spark's null-out default)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("spark window")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props -> typed column -> agg
+    (the ``events.props`` generalization of P3)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / distinct (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_duplicate_stats",
+    """
+    SELECT count(*) AS total_rows,
+           CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS distinct_rows,
+           CAST(count(*) - count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS dup_rows
+    FROM orders
+    """,
+)
+def orders_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (``amazon1.py:119-120``): duplicate counting on a projection."""
+    return relational.duplicate_stats(
+        load_table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "distinct_status_priority",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 (``amazon1.py:121-122,31-32``): exact dedup of a projection."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY.md §2.5) and windows (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_by_balance",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (``amazon1.py:63-64``): global top-N — Spark plans
+    TakeOrderedAndProject, a real top-k, never a full sort."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 generalized (``amazon1.py:143-155``): per-key top-k via window."""
+    p = load_table(spark, sf_dir, "part")
+    return relational.topk_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        "p_brand",
+        "p_retailprice",
+        "p_partkey",
+        3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.6): equi / semi / anti
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_revenue",
+    """
+    SELECT c_custkey, c_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 (``amazon1.py:179-183,200``): equi-join + grouped agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "customers_inactive_1995",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+)
+def customers_inactive_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the relational restatement of the stopword
+    filter, SURVEY.md §2.6): customers with no 1995 orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "nations_with_high_balance_customers",
+    """
+    SELECT n_nationkey, n_name FROM nation n
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000.0
+    )
+    """,
+)
+def nations_with_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: EXISTS semantics."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows (SURVEY.md §2.9 batch twins — streaming wrapper reuses these)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_window_counts",
+    """
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregate — the batch twin of the
+    Structured Streaming query in streaming/windows.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

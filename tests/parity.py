@@ -79,8 +79,9 @@ def compare(spark, name: str, sf_dir: str, *, max_diff: int = 5) -> list[str]:
     if len(sr) != len(dr):
         problems.append(f"{name}: row count spark={len(sr)} duck={len(dr)}")
     if sr != dr:
-        only_s = [r for r in sr if r not in set(dr)][:max_diff]
-        only_d = [r for r in dr if r not in set(sr)][:max_diff]
+        dset, sset = set(dr), set(sr)
+        only_s = [r for r in sr if r not in dset][:max_diff]
+        only_d = [r for r in dr if r not in sset][:max_diff]
         problems.append(
             f"{name}: value mismatch; spark-only sample={only_s} duck-only sample={only_d}"
         )
