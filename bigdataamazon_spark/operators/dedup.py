@@ -1,0 +1,225 @@
+"""Deduplication operators (SURVEY.md §2.3 generalized per BASELINE.json).
+
+The reference's dedup is exact whole-row ``drop_duplicates()``
+(``/root/reference/amazon1.py:119-122``). A training-data pipeline needs
+the near-dup ladder on top; each rung here is a composition of joins +
+hash-aggs that scales by construction:
+
+- exact:        hash-groupBy on a content key (one shuffle on md5).
+- n-gram Jaccard: shingle-set self-join — the join key is the shingle,
+  so candidate generation shuffles O(total shingles), not O(n²).
+- MinHash+LSH:  signatures -> banded buckets -> equi-join on (band, key)
+  -> exact verification ONLY on candidates. The all-pairs step never
+  exists; this is the 100 TB path.
+- SimHash:      sign-aggregated bit signature + hamming filter.
+
+Hashing portability: signatures must be *engine-independent* so the
+DuckDB oracle can replay them bit-for-bit. Tokens/shingles are therefore
+mapped to dense integer ids (row_number over the sorted distinct
+vocabulary) and permuted with fixed linear-congruential functions
+h_i(x) = (a_i·x + b_i) mod p — pure integer arithmetic both engines
+evaluate identically. At production scale the vocabulary join would be
+replaced by ``xxhash64(shingle)`` (no global sort, no second pass); the
+structure of the pipeline is unchanged, which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+# Fixed MinHash permutation parameters, shared verbatim with the DuckDB
+# oracle (see queries.py). 16 hashes in 4 bands of 4.
+MINHASH_PRIME = 2147483647
+MINHASH_PARAMS: list[tuple[int, int, int]] = [
+    (i, a, 97 * i + 13)
+    for i, a in enumerate(
+        [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
+    )
+]
+MINHASH_BANDS = 4
+SIMHASH_A = 1103515245
+SIMHASH_B = 12345
+SIMHASH_BITS = 31  # h mod 2^31-1 gives 31 usable bits
+
+
+def content_key_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    smallest id as keeper + multiplicity (D2 at scale: the shuffle key is
+    the 128-bit md5, never the full payload)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingle_ids(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sid): dense deterministic shingle ids.
+
+    row_number over the sorted distinct vocabulary — a global sort, fine
+    for a vocabulary, and required for cross-engine determinism; swap for
+    xxhash64(shingle) in production (see module docstring).
+    """
+    vocab = (
+        shingles.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    )
+    return shingles.join(vocab, "shingle").select("doc_id", "sid")
+
+
+def exact_jaccard_pairs(
+    doc_sids: DataFrame,
+    threshold: float,
+    *,
+    candidates: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """(src, dst, jaccard) for pairs with set-Jaccard >= threshold.
+
+    Without ``candidates`` the self-join on sid generates all co-shingled
+    pairs (exact, O(sum of shingle-frequency²)); with ``candidates`` only
+    those pairs are scored — the LSH verification step.
+    """
+    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_sids.select(F.col("doc_id").alias("src"), "sid")
+    b = doc_sids.select(F.col("doc_id").alias("dst"), "sid")
+    shared = (
+        a.join(b, "sid")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates, ["src", "dst"], "left_semi")
+    jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("a_sz")), "src")
+        .join(sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("b_sz")), "dst")
+        .filter(jac >= threshold)
+        .select("src", "dst", F.round(jac, round_to).alias("jaccard"))
+    )
+
+
+def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
+    """Long-form MinHash signature: (doc_id, i, minv) for the 16 fixed
+    permutations. One K-way row blowup + hash-agg — partial aggregation
+    (map-side min) keeps the shuffle at |docs|·K rows."""
+    spark = doc_sids.sparkSession
+    params = spark.createDataFrame(MINHASH_PARAMS, "i int, a bigint, b bigint")
+    return (
+        doc_sids.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min((F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME)).alias(
+                "minv"
+            )
+        )
+    )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Banded LSH: docs sharing all 4 minima in any band become a
+    candidate pair. Band key is a short string — the equi-join shuffles
+    ids + keys only."""
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    keyed = (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minv"))),
+                    lambda x: x["minv"].cast("string"),
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    a = keyed.select(F.col("doc_id").alias("src"), "band", "band_key")
+    b = keyed.select(F.col("doc_id").alias("dst"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate join -> exact-Jaccard verify (verification cost scales with
+    candidates, not pairs)."""
+    sids = shingle_ids(doc_shingles(df, id_col, text_col, n))
+    cands = lsh_candidates(minhash_signatures(sids))
+    return exact_jaccard_pairs(sids, threshold, candidates=cands)
+
+
+def simhash_signatures(doc_sids: DataFrame) -> DataFrame:
+    """31-bit SimHash per doc: per-bit ±1 majority over the shingle-id
+    hash h(sid) = (a·sid+b) mod p. (doc_id, simhash)."""
+    # bigint arithmetic: a*sid overflows int32 under ANSI mode
+    h = (
+        F.lit(SIMHASH_A).cast("bigint") * F.col("sid").cast("bigint") + F.lit(SIMHASH_B)
+    ) % F.lit(MINHASH_PRIME)
+    bits = doc_sids.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        # python F.shiftright only takes a literal shift; SQL's takes a column
+        F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("sgn").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_neardup_pairs(
+    signatures: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Pairs within a hamming radius. All-pairs on |docs| signatures —
+    8 bytes each, so feasible far beyond where text all-pairs dies;
+    production would band the signature bits like LSH to avoid n²."""
+    a = signatures.select(F.col("doc_id").alias("src"), F.col("simhash").alias("ha"))
+    b = signatures.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("src") < F.col("dst"))
+        .select("src", "dst", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators over a document table (BASELINE.json surface:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All Catalyst-native: higher-order array functions instead of UDFs, so
+the whole per-document computation stays inside whole-stage codegen.
+These generalize the reference's name-normalization pipeline
+(``/root/reference/amazon1.py:128-130``) from product titles to the
+``documents`` corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DEFAULT_STOPWORDS, tokens
+
+FINGERPRINT_MOD = 1_000_000_007
+
+# marker-word tables for the n-gram language heuristic; with a synthetic
+# shared-vocabulary corpus only the 'en' row can realistically fire, but
+# the operator shape (per-language marker ratio -> argmax) is the real one.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: whitespace tokens, distinct tokens, total /
+    average token length — one narrow projection, no shuffle at all."""
+    toks = tokens(F.col(text_col))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, v: acc + v
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, lexical
+    diversity -> clamped [0,1] score (the shape of a pretraining-data
+    quality filter; weights are illustrative constants)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    sw_ratio = stopword_ratio(F.col(text_col))
+    score = F.least(
+        F.greatest(
+            F.lit(0.2)
+            + F.lit(0.5) * diversity
+            + F.lit(0.5) * sw_ratio
+            + F.when(n_tok < 20, -0.3).otherwise(0.0),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per-language marker hit ratio, argmax
+    with 'und' fallback below a floor. Deterministic and SQL-expressible."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    ratio_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        mk = F.array(*[F.lit(m) for m in markers])
+        ratio = F.size(F.filter(toks, lambda t: F.array_contains(mk, t))).cast(
+            "double"
+        ) / n_tok
+        ratio_cols.append((lang, ratio))
+    best = F.greatest(*[r for _, r in ratio_cols])
+    guess = F.lit("und")
+    # later branches win ties in reverse order -> iterate reversed so the
+    # alphabetically-first language wins a tied ratio, matching the oracle
+    for lang, ratio in reversed(ratio_cols):
+        guess = F.when((best >= 0.02) & (ratio == best), lang).otherwise(guess)
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        F.round(best, 6).alias("marker_ratio"),
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wid): dense deterministic word ids (cross-engine stand-in
+    for xxhash64 — see operators.dedup docstring)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive positional fingerprint:
+    sum((pos+1) · word_id) mod P — two documents with the same words in
+    different order fingerprint differently (unlike bag-of-words)."""
+    vocab = word_vocab(df, text_col)
+    positions = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        positions.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            ((F.sum((F.col("pos") + 1) * F.col("wid"))) % FINGERPRINT_MOD).alias(
+                "fingerprint"
+            )
+        )
+    )

@@ -566,3 +566,304 @@ def event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ladder + text analysis (SURVEY.md §2.3/§2.7 per BASELINE.json)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup, textops  # noqa: E402
+
+# Shared oracle CTE: distinct trigram shingles per doc with dense ids —
+# the DuckDB replay of dedup.doc_shingles + dedup.shingle_ids.
+_SHINGLE_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)
+),
+vocab AS (
+  SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+ds AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle))
+"""
+
+_MINHASH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in dedup.MINHASH_PARAMS)
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM ds a JOIN ds b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, round(c * 1.0 / (x.sz + y.sz - c), 6) AS jaccard
+FROM shared
+JOIN sizes x ON x.doc_id = src
+JOIN sizes y ON y.doc_id = dst
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE + ", " + _JACCARD_TAIL + " WHERE c * 1.0 / (x.sz + y.sz - c) >= 0.5",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.5). The join
+    key is the shingle, so candidate generation is linear in total
+    shingles — never an n² cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs))
+    return dedup.exact_jaccard_pairs(sids, 0.5)
+
+
+@register(
+    "minhash_signatures",
+    _SHINGLE_CTE
+    + f", params(i, a, b) AS (VALUES {_MINHASH_VALUES}) "
+    + f"SELECT doc_id, i, CAST(min((a * sid + b) % {dedup.MINHASH_PRIME}) AS BIGINT) AS minv "
+    + "FROM ds, params GROUP BY doc_id, i",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form 16-permutation MinHash signature — bit-for-bit
+    engine-independent (dense shingle ids + fixed LCG permutations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+
+
+@register(
+    "minhash_lsh_pairs",
+    _SHINGLE_CTE
+    + f""", params(i, a, b) AS (VALUES {_MINHASH_VALUES}),
+sig AS (
+  SELECT doc_id, i, min((a * sid + b) % {dedup.MINHASH_PRIME}) AS minv
+  FROM ds, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(minv AS VARCHAR), ':' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+"""
+    + _JACCARD_TAIL
+    + " JOIN cand USING (src, dst) WHERE c * 1.0 / (x.sz + y.sz - c) >= 0.5",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: banded bucket join for candidates, exact
+    Jaccard verification only on candidates — the 100 TB dedup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, 0.5)
+
+
+@register(
+    "simhash_signatures",
+    _SHINGLE_CTE
+    + f""", h AS (
+  SELECT doc_id, ({dedup.SIMHASH_A} * sid + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
+  FROM ds
+),
+bits AS (
+  SELECT doc_id, j, CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+  FROM h, unnest(range(0, {dedup.SIMHASH_BITS})) AS t(j)
+),
+s AS (SELECT doc_id, j, sum(sgn) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id""",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-bit SimHash per document (±1 bit majority over shingle-id
+    hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+
+
+@register(
+    "simhash_neardup_pairs",
+    _SHINGLE_CTE
+    + f""", h AS (
+  SELECT doc_id, ({dedup.SIMHASH_A} * sid + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
+  FROM ds
+),
+bits AS (
+  SELECT doc_id, j, CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+  FROM h, unnest(range(0, {dedup.SIMHASH_BITS})) AS t(j)
+),
+s AS (SELECT doc_id, j, sum(sgn) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+    return dedup.simhash_neardup_pairs(sigs, 8)
+
+
+@register(
+    "content_dedup_docs",
+    """
+    SELECT md5(text) AS content_key,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def content_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 at scale: exact dedup via content hash groupBy."""
+    return dedup.content_key_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_EMB_NORMED_CTE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+normed AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base)
+"""
+
+
+@register(
+    "embedding_neardup_pairs",
+    _EMB_NORMED_CTE
+    + """
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS score
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: undirected pairs above 0.4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb, "vec_id", "embedding", ordered=True)
+    return pairs.filter(F.col("score") >= 0.4).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "ann_topk",
+    _EMB_NORMED_CTE
+    + """
+, q AS (SELECT * FROM normed WHERE vec_id < 5),
+edges AS (
+  SELECT q.vec_id AS src, n.vec_id AS dst,
+         list_dot_product(q.vec, n.vec) / (q.nrm * n.nrm) AS score
+  FROM q JOIN normed n ON q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+  FROM edges
+)
+SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM ranked WHERE rnk <= 10
+""",
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity serving shape: tiny broadcast query batch vs the
+    corpus — brute-force exact top-10 (the LSH variant is the scale
+    path, bench-checked in operators.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_brute_force(emb, probes, "vec_id", "embedding", k=10)
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(l) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(l)) AS INTEGER) AS n_distinct_tokens,
+           round(CAST(list_aggregate(list_transform(l, x -> length(x)), 'sum') AS DOUBLE)
+                 / len(l), 6) AS avg_token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens, distinct, avg length)."""
+    return textops.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    m AS (
+      SELECT doc_id, len(l) AS n_tok,
+             len(list_filter(l, x -> x IN ('the','a','an','and','of','to','in'))) AS n_stop,
+             len(list_distinct(l)) AS n_dist
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           round(n_stop * 1.0 / n_tok, 6) AS stopword_ratio,
+           round(n_dist * 1.0 / n_tok, 6) AS diversity,
+           round(least(greatest(0.2 + 0.5 * (n_dist * 1.0 / n_tok)
+                                    + 0.5 * (n_stop * 1.0 / n_tok)
+                                    + CASE WHEN n_tok < 20 THEN -0.3 ELSE 0.0 END,
+                                0.0), 1.0), 6) AS quality
+    FROM m
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality filter features + clamped score."""
+    return textops.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_guess",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0 / len(l) AS r_en,
+             len(list_filter(l, x -> x IN ('der','die','das','und'))) * 1.0 / len(l) AS r_de,
+             len(list_filter(l, x -> x IN ('el','la','los','que'))) * 1.0 / len(l) AS r_es,
+             len(list_filter(l, x -> x IN ('le','la','les','et'))) * 1.0 / len(l) AS r_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und'
+                WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           round(greatest(r_de, r_en, r_es, r_fr), 6) AS marker_ratio
+    FROM r
+    """,
+)
+def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax marker ratio, 'und' floor)."""
+    return textops.language_guess(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    words AS (SELECT DISTINCT unnest(l) AS w FROM t),
+    vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS wid FROM words),
+    pos AS (
+      SELECT doc_id, l[i] AS w, i
+      FROM t, unnest(range(1, len(l) + 1)) AS x(i)
+    )
+    SELECT doc_id, CAST(sum(i * wid) % 1000000007 AS BIGINT) AS fingerprint
+    FROM pos JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional document fingerprint mod 1e9+7."""
+    return textops.doc_fingerprints(load_table(spark, sf_dir, "documents"))
