@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries, wall-clock per query, one JSON line.
+
+Driver contract: run at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``; print exactly one JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed to full materialization (count of the result —
+forces the whole plan without driver-side collect of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from bigdataamazon_spark import queries as registry  # noqa: E402
+from bigdataamazon_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per capability family (relational agg, star join,
+# top-k window, text, dedup ladder, similarity search, streaming-twin
+# window agg, multimodal plumbing). Everything else still runs in the
+# driver's correctness gate; bench tracks the perf-critical spine.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "star_join_revenue",
+    "top_parts_per_brand",
+    "word_frequency",
+    "token_stats",
+    "content_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "ann_topk",
+    "event_window_counts",
+    "stemmed_word_freq",
+    "multimodal_features",
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bigdataamazon-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footer cache
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

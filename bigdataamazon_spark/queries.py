@@ -867,3 +867,90 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive positional document fingerprint mod 1e9+7."""
     return textops.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + stemming UDF + sliding windows
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal, stemming  # noqa: E402
+
+
+@register(
+    "binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(unhex(md5(text))) AS INTEGER) AS n_bytes,
+           substr(upper(md5(text)), 1, 8) AS magic_hex
+    FROM documents
+    """,
+)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata path: blob -> byte length + magic bytes,
+    all native expressions (the multimodal decode stage itself is the
+    mapInPandas operator, rows-only-checked below)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.blob_metadata(multimodal.with_synthetic_blob(docs, "doc_id", "text"))
+
+
+@register("multimodal_features")  # no SQL oracle: Arrow mapInPandas stage
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature stage over binary blobs (stubbed
+    deterministic kernel; rows-only driver check + exact-value pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    return multimodal.decode_blobs(blobs, decode_mode="fake")
+
+
+@register(
+    "stemmed_word_freq",
+    """
+    SELECT CASE
+             WHEN word LIKE '%sses' THEN substr(word, 1, length(word) - 2)
+             WHEN word LIKE '%ies'  THEN substr(word, 1, length(word) - 2)
+             WHEN word LIKE '%ss'   THEN word
+             WHEN word LIKE '%s' AND length(word) > 1 THEN substr(word, 1, length(word) - 1)
+             ELSE word
+           END AS stem,
+           count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY 1
+    """,
+)
+def stemmed_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (``amazon1.py:129-130``): stemmed token frequencies through the
+    Arrow pandas_udf — the oracle replays the same rule set in SQL, so
+    the UDF machinery itself is value-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+    return (
+        words.select(stemming.stem("word").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "event_sliding_counts",
+    """
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def event_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min window / 5 min slide): every event lands in
+    two windows; Spark's window() emits both natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "event_type", "n"
+        )
+    )

@@ -1,0 +1,75 @@
+"""Unit tests for operator building blocks on tiny hand-computed
+fixtures (SURVEY.md §5: non-SQL-expressible ops get pytest oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataamazon_spark.functions.cleaning import clean_numeric, fill_then_clip
+from bigdataamazon_spark.functions.text import tokens, word_ngrams
+from bigdataamazon_spark.operators.stemming import _stem_word
+from bigdataamazon_spark.operators import similarity
+
+
+def test_clean_numeric_reference_cases(spark):
+    # the dirty-string shapes from FIXTURES.md §A (currency, separators, junk)
+    df = spark.createDataFrame(
+        [("₹1,299",), ("4.3",), ("1,23,456",), ("Get",), ("",), (None,)], ["s"]
+    )
+    got = [r.v for r in df.select(clean_numeric("s").alias("v")).collect()]
+    assert got == [1299.0, 4.3, 123456.0, None, None, None]
+
+
+def test_clean_numeric_integer_mode(spark):
+    df = spark.createDataFrame([("4.3",)], ["s"])
+    got = df.select(clean_numeric("s", allow_decimal=False).alias("v")).collect()
+    assert got[0].v == 43.0  # '.' stripped, reference's allow_decimal=False path
+
+
+def test_fill_then_clip_order(spark):
+    # fill(0) BEFORE clip, amazon1.py:89 — null becomes 0, then clip keeps 0
+    df = spark.createDataFrame([(None,), (150.0,), (-3.0,), (42.0,)], "v double")
+    got = [r.o for r in df.select(fill_then_clip("v", 0.0, 0.0, 100.0).alias("o")).collect()]
+    assert got == [0.0, 100.0, 0.0, 42.0]
+
+
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",), ("",)], ["t"])
+    out = df.select(word_ngrams(tokens(F.col("t")), 3).alias("g")).collect()
+    assert out[0].g == ["a b c", "b c d"]
+    assert out[1].g == []
+    assert out[2].g == []
+    assert out[3].g == []
+
+
+def test_stem_rules():
+    assert _stem_word("caresses") == "caress"
+    assert _stem_word("ponies") == "poni"
+    assert _stem_word("caress") == "caress"
+    assert _stem_word("cats") == "cat"
+    assert _stem_word("s") == "s"
+    assert _stem_word("run") == "run"
+
+
+def test_lsh_recall_on_planted_neardups(spark, sf_correctness):
+    """The approx path must find the exact path's high-cosine pairs for
+    its top-1 neighbors at reasonable parameters."""
+    from bigdataamazon_spark.catalog import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    exact = similarity.cosine_topk(emb, k=1)
+    approx = similarity.cosine_topk_approx(emb, k=1, n_planes=16, bands=8)
+    e = {(r.src, r.dst) for r in exact.collect()}
+    a = {(r.src, r.dst) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH top-1 recall too low: {recall}"
+
+
+def test_similarity_auto_heuristic_small(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.similarity_topk_auto(emb, k=3)
+    # exact path: every vector has exactly 3 neighbors
+    counts = out.groupBy("src").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [3]
