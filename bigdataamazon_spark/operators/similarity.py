@@ -81,6 +81,24 @@ def topk_per_src(edges: DataFrame, k: int, *, score_col: str = "score") -> DataF
     )
 
 
+def cosine_topk_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k via edge table + window — the pure-Catalyst
+    formulation. Correct everywhere, but it materializes all n² edges
+    through a shuffle; ``cosine_topk`` (GEMM) beats it whenever the
+    corpus fits a broadcast."""
+    out = topk_per_src(cosine_pairs(df, id_col, vec_col), k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -89,11 +107,67 @@ def cosine_topk(
     *,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Flagship M7 spine: exact cosine edges -> window top-k."""
-    out = topk_per_src(cosine_pairs(df, id_col, vec_col), k)
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    """Flagship M7 spine: exact cosine top-k per vector, computed as a
+    broadcast GEMM instead of an n² edge shuffle.
+
+    Physical plan: the (n × d) L2-normalized corpus matrix is broadcast
+    to every executor (n is bounded by ``EXACT_PAIRS_MAX_ROWS`` — above
+    that ``similarity_topk_auto`` routes to LSH); each Arrow batch of
+    query rows computes ``Q @ Cᵀ`` with BLAS and selects its own top-k
+    locally. No pair ever hits a shuffle, no window over n² rows — the
+    only distributed movement is the corpus broadcast (n·d·8 bytes) and
+    the (n × k) result. Tie-break matches the window formulation:
+    score desc, dst asc (corpus pre-sorted by id + stable argsort).
+
+    This replaces the reference's driver-side dense matrix + python
+    sort loop (``/root/reference/amazon1.py:138-155``) with the same
+    math distributed over executors.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(id_col, vec_col).collect()
+    # corpus sorted by id => stable argsort on -score == dst-asc tiebreak
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    pad = 32  # argpartition margin so boundary ties resolve exactly
+
+    def gen(batches):
+        corpus_ids, corpus = b_ids.value, b_mat.value
+        n = len(corpus_ids)
+        pos = {v: i for i, v in enumerate(corpus_ids.tolist())}
+        kk = min(k + pad, n - 1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            scores = q @ corpus.T
+            src_ids = pdf[id_col].to_numpy()
+            for i, s in enumerate(src_ids):
+                scores[i, pos[s]] = -np.inf  # exclude self
+            cand = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_src, out_dst, out_score, out_rank = [], [], [], []
+            for i in range(len(src_ids)):
+                c = np.sort(cand[i])  # corpus order == id order
+                order = c[np.argsort(-scores[i, c], kind="stable")][:k]
+                out_src.extend([src_ids[i]] * len(order))
+                out_dst.extend(corpus_ids[order].tolist())
+                out_score.extend(scores[i, order].tolist())
+                out_rank.extend(range(1, len(order) + 1))
+            if round_to is not None:
+                out_score = np.round(out_score, round_to).tolist()
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "score": out_score, "rank": out_rank}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"src {id_type}, dst {id_type}, score double, rank int"
+    )
 
 
 def ann_brute_force(
