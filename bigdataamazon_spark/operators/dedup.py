@@ -107,11 +107,20 @@ def exact_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     if candidates is not None:
-        shared = shared.join(candidates, ["src", "dst"], "left_semi")
+        # LSH survivors are tiny relative to the co-shingle edge table —
+        # broadcast so verification never shuffles the big side again.
+        shared = shared.join(F.broadcast(candidates), ["src", "dst"], "left_semi")
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    # sizes is one row per doc (ids + a count) — broadcast both probes.
     return (
-        shared.join(sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("a_sz")), "src")
-        .join(sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("b_sz")), "dst")
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("a_sz"))),
+            "src",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("b_sz"))),
+            "dst",
+        )
         .filter(jac >= threshold)
         .select("src", "dst", F.round(jac, round_to).alias("jaccard"))
     )
@@ -172,8 +181,19 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidate join -> exact-Jaccard verify (verification cost scales with
-    candidates, not pairs)."""
-    sids = shingle_ids(doc_shingles(df, id_col, text_col, n))
+    candidates, not pairs).
+
+    The shingle-id table feeds three consumers (signatures, sizes, and
+    both sides of the verify join); without a persist Spark re-runs the
+    shingle+vocab DAG once per consumer — at 100 TB that is 5 extra
+    full-corpus passes. Persisted MEMORY_AND_DISK; LRU-evicted or freed
+    with the session, so lazy consumers stay correct.
+    """
+    from pyspark import StorageLevel
+
+    sids = shingle_ids(doc_shingles(df, id_col, text_col, n)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidates(minhash_signatures(sids))
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
 

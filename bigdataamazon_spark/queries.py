@@ -931,6 +931,131 @@ def stemmed_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recommend_for_doc",
+    """
+    WITH probe AS (
+      SELECT min(doc_id) AS pid FROM documents WHERE text LIKE '%spark window%'
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    normed AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base),
+    q AS (SELECT n.* FROM normed n JOIN probe ON n.vec_id = probe.pid),
+    edges AS (
+      SELECT q.vec_id AS src, n.vec_id AS dst,
+             list_dot_product(q.vec, n.vec) / (q.nrm * n.nrm) AS score
+      FROM q JOIN normed n ON q.vec_id <> n.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM edges
+    )
+    SELECT src AS query_doc_id, dst AS rec_doc_id,
+           round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank,
+           d.lang, d.source, d.n_chars
+    FROM ranked JOIN documents d ON d.doc_id = ranked.dst
+    WHERE rnk <= 5
+    """,
+)
+def recommend_for_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 flagship composition (``amazon1.py:191-202``): resolve a text
+    query to a document (J3 contains-probe, min-id tiebreak), rank its
+    top-5 cosine neighbors (J4+T2), join back for display columns (J2).
+
+    The probe resolves to ONE row, so the probe->embeddings join and the
+    query batch broadcast; the corpus never shuffles — the serving shape
+    that replaces the reference's dict + driver matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = (
+        docs.filter(F.col("text").contains("spark window"))
+        .agg(F.min("doc_id").alias("vec_id"))
+    )
+    probes = emb.join(F.broadcast(probe_id), "vec_id")
+    recs = similarity.ann_brute_force(emb, probes, "vec_id", "embedding", k=5)
+    return recs.join(docs, recs.dst == docs.doc_id).select(
+        F.col("src").alias("query_doc_id"),
+        F.col("dst").alias("rec_doc_id"),
+        "score",
+        "rank",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: region/nation revenue with subtotals and a grand
+    total in one pass (``rollup`` — Spark expands to a single shuffle,
+    not one job per level)."""
+    joined = relational.star_join(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum(relational.revenue()), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQRT_2PI = "2.5066282746310002"
+
+
+@register(
+    "discount_kde",
+    f"""
+    SELECT x,
+           round(avg(exp(-0.5 * pow((x - l_discount) / 0.02, 2))
+                     / (0.02 * {_SQRT_2PI})), 4) AS density
+    FROM lineitem,
+         (SELECT unnest([0.0, 0.02, 0.04, 0.06, 0.08, 0.1]) AS x)
+    GROUP BY x
+    """,
+)
+def discount_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (``amazon1.py:92`` kde=True): gaussian KDE evaluated at fixed
+    grid points — expressed as a grouped aggregate (explode the grid,
+    avg the kernel), so the 'smoothed density curve' is one shuffle of
+    |grid| × partial aggregates, never a driver-side pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = 0.02
+    grid = [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]
+    z = (F.col("x") - F.col("l_discount")) / F.lit(h)
+    kern = F.exp(F.lit(-0.5) * z * z) / F.lit(h * float(_SQRT_2PI))
+    return (
+        li.select("l_discount", F.explode(F.array(*[F.lit(x) for x in grid])).alias("x"))
+        .groupBy("x")
+        .agg(F.round(F.avg(kern), 4).alias("density"))
+    )
+
+
+@register("cosine_topk_lsh")  # no SQL oracle: approximate recall by design
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB similarity-search path: random-hyperplane LSH buckets
+    -> candidate equi-join -> exact re-score -> window top-k. Driver
+    records rows-only; recall vs the exact path is pytest-asserted
+    (tests/test_operators.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_approx(emb, "vec_id", "embedding", k=5)
+
+
+@register(
     "event_sliding_counts",
     """
     SELECT CAST(ws AS VARCHAR) AS window_start, event_type, count(*) AS n
