@@ -1,0 +1,140 @@
+"""Sources/sinks: CSV ingest with the reference schema, the E1 cleaning
+pipeline, and the parquet sink roundtrip (SURVEY.md §2.1-§2.2)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import functions as F
+
+from bigdataamazon_spark.sources import (
+    PRODUCTS_SCHEMA,
+    clean_products,
+    read_products_csv,
+    read_parquet,
+    write_parquet,
+)
+
+_ROWS = [
+    # name, main_category, sub_category, image, link, ratings, no_of_ratings, discount_price, actual_price
+    (
+        "Dell MS116 Wired Mouse",
+        "electronics",
+        "mice",
+        "https://m.media-amazon.com/images/I/abc123._AC_UL320_.jpg",
+        "https://www.amazon.in/Dell-MS116-Wired-Mouse/dp/B00ZZZ",
+        "4.3",
+        "1,23,456",
+        "₹299",
+        "₹599",
+    ),
+    (
+        "OnePlus Nord CE 2 Lite 5G",
+        "electronics",
+        "phones",
+        "https://m.media-amazon.com/images/I/def456._AC_UL320_.jpg",
+        "https://www.amazon.in/OnePlus-Nord-CE-Lite/dp/B09YYYY",
+        "4.4",
+        "98,765",
+        "₹18,999",
+        "₹19,999",
+    ),
+    # junk ratings + empty price -> NULL after clean (P3)
+    (
+        "Mystery Gadget",
+        "electronics",
+        "misc",
+        "https://m.media-amazon.com/images/I/zzz999._AC_UL320_.jpg",
+        "https://www.amazon.in/Mystery/dp/B000001",
+        "Get",
+        "",
+        "",
+        "₹0",
+    ),
+    # null name -> dropped (P14)
+    (
+        None,
+        "electronics",
+        "misc",
+        "img",
+        "link",
+        "3.0",
+        "5",
+        "₹1",
+        "₹2",
+    ),
+]
+# exact duplicate of row 0 -> dropped (D2)
+_ROWS.append(_ROWS[0])
+
+
+def _write_csv(path: str) -> None:
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(PRODUCTS_SCHEMA.fieldNames())
+        w.writerows(_ROWS)
+
+
+def test_csv_roundtrip_and_clean(spark, tmp_path):
+    p = os.path.join(tmp_path, "products.csv")
+    _write_csv(p)
+    raw = read_products_csv(spark, p)
+    assert raw.schema == PRODUCTS_SCHEMA
+    assert raw.count() == 5
+
+    out = clean_products(raw)
+    rows = {r["name"]: r for r in out.collect()}
+    # dup + null-name rows dropped
+    assert set(rows) == {"Dell MS116 Wired Mouse", "OnePlus Nord CE 2 Lite 5G", "Mystery Gadget"}
+
+    dell = rows["Dell MS116 Wired Mouse"]
+    assert dell["ratings_cleaned"] == 4.3
+    assert dell["no_of_ratings_cleaned"] == 123456.0
+    assert dell["discount_price_cleaned"] == 299.0
+    assert dell["actual_price_cleaned"] == 599.0
+    assert dell["discount_diff"] == 300.0
+    assert abs(dell["discount_pct"] - 300.0 / 599.0 * 100.0) < 1e-9
+    assert dell["image_id"] == "I/abc123"
+    assert dell["link_id"] == "Dell-MS116-Wired-Mouse/dp/B00ZZZ"
+    assert dell["search_terms"] == "dell ms116 wired mouse"
+
+    myst = rows["Mystery Gadget"]
+    assert myst["ratings_cleaned"] is None  # "Get" -> NULL
+    assert myst["discount_price_cleaned"] is None  # "" -> NULL
+    assert myst["actual_price_cleaned"] == 0.0
+    # diff NULL -> pct NULL -> filled 0 -> clipped 0 (amazon1.py:89 order)
+    assert myst["discount_pct"] == 0.0
+
+
+def test_golden_lookups(spark, tmp_path):
+    """The reference's two de-facto golden tests (``amazon1.py:205,269``):
+    one exact-name probe (J1) and one partial-link contains probe (J3)."""
+    p = os.path.join(tmp_path, "products.csv")
+    _write_csv(p)
+    out = clean_products(read_products_csv(spark, p))
+
+    exact = out.filter(F.col("name") == "Dell MS116 Wired Mouse")
+    assert exact.count() == 1
+
+    partial = out.filter(F.col("link_id").contains("Nord-CE"))
+    got = partial.select("name").collect()
+    assert [r["name"] for r in got] == ["OnePlus Nord CE 2 Lite 5G"]
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    p = os.path.join(tmp_path, "products.csv")
+    _write_csv(p)
+    cleaned = clean_products(read_products_csv(spark, p))
+    dest = os.path.join(tmp_path, "out_parquet")
+    write_parquet(cleaned, dest, partition_by=["sub_category"], mode="overwrite")
+    # hive-style partition dirs exist -> partition pruning is available
+    subdirs = {d for d in os.listdir(dest) if d.startswith("sub_category=")}
+    assert {"sub_category=mice", "sub_category=phones", "sub_category=misc"} <= subdirs
+
+    back = read_parquet(spark, dest)
+    assert back.count() == 3
+    # partition filter prunes to one dir (plan shows PartitionFilters)
+    plan = back.filter(F.col("sub_category") == "mice")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.filter(F.col("sub_category") == "mice").count() == 1
