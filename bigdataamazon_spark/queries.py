@@ -1045,6 +1045,56 @@ def discount_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL '30 minutes' AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with native ``session_window`` (30-minute
+    gap) — one shuffle on (user_id), sessions merged inside the state
+    store; the oracle replays it relationally (lag + cumulative sum).
+    The same expression runs under ``readStream`` + watermark, which is
+    the point of using session_window over the lag/cumsum formulation:
+    the latter needs an unbounded window, the former streams."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register("cosine_topk_lsh")  # no SQL oracle: approximate recall by design
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB similarity-search path: random-hyperplane LSH buckets

@@ -23,6 +23,81 @@ def events_dir(spark, sf_dir):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_dedup_drops_replays(spark, sf_dir, events_dir):
+    """A replayed source (same dir read twice via union of two epochs is
+    not expressible with a file source, so duplicate the files) must come
+    out with one row per event_id."""
+    import os
+
+    from bigdataamazon_spark.streaming.stateful import stream_dedup_events
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        # two copies of every row -> every event_id is a duplicate
+        base = spark.read.parquet(events_dir)
+        base.write.mode("overwrite").parquet(dup_dir)
+        base.write.mode("append").parquet(dup_dir)
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(dup_dir)
+        )
+        q = (
+            stream_dedup_events(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream"
+            ).collect()[0]
+        finally:
+            q.stop()
+        assert got["n"] == got["d"] == base.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stateful_user_counts_matches_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState running totals: after draining the source,
+    the latest row per user must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.stateful import stateful_user_counts
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM stateful_counts").collect()
+        }  # update mode appends each revision; dict keeps the last
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    expected = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert got == expected
+
+
 def test_stream_matches_batch(spark, sf_dir, events_dir):
     batch = windowed_counts(spark.read.parquet(events_dir))
     expected = {tuple(r) for r in batch.collect()}
