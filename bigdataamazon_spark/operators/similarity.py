@@ -290,6 +290,119 @@ def cosine_topk_approx(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Approximate path 2: IVF (inverted-file) — data-adaptive coarse quantizer.
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Fit the coarse quantizer (KMeans) and return its (k × d) centroid
+    matrix. The model is tiny; at 100 TB you fit it on a sample
+    (``sample_fraction``) — quantizer quality needs representative data,
+    not all of it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    feat = train.select(array_to_vector(as_double_array(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(feat)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _nearest_clusters_gen(centroids: np.ndarray, vec_col: str, nprobe: int):
+    """mapInPandas kernel: per row, ids of the nprobe nearest centroids
+    (cosine). One GEMM per Arrow batch against the broadcast (k × d)
+    centroid matrix — k is small, so this is the cheap side of IVF."""
+    import pandas as pd
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cn.T
+            top = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+            out = pdf[["_rid"]].copy()
+            out["clusters"] = [row.tolist() for row in top]
+            yield out
+
+    return gen
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    centroids: np.ndarray | None = None,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF approximate per-vector top-k: assign every vector to its home
+    cluster (probe 1), probe each query against its ``nprobe`` nearest
+    clusters, exact-rescore only within probed buckets.
+
+    Physically: the candidate join is an equi-join on the cluster id —
+    the corpus shuffles once on a small int key, queries shuffle nprobe
+    copies; nothing quadratic. Versus LSH: buckets follow the data
+    distribution (no empty/megabucket pathology on clustered data), at
+    the cost of fitting the quantizer."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            df, vec_col, n_clusters=n_clusters, seed=seed
+        )
+
+    base = df.select(F.col(id_col).alias("_rid"), as_double_array(vec_col).alias("_v"))
+    assign_schema = f"_rid {df.schema[id_col].dataType.simpleString()}, clusters array<int>"
+    assigned = base.select("_rid", F.col("_v").alias(vec_col)).mapInPandas(
+        _nearest_clusters_gen(centroids, vec_col, nprobe), assign_schema
+    )
+    # corpus membership: home cluster only (first of the probe list)
+    corpus_side = (
+        assigned.select("_rid", F.col("clusters")[0].alias("cluster"))
+        .join(base, "_rid")
+        .select(
+            F.col("cluster"),
+            F.col("_rid").alias("dst"),
+            F.col("_v").alias("_vb"),
+            l2_norm(F.col("_v")).alias("_nb"),
+        )
+    )
+    query_side = (
+        assigned.select("_rid", F.explode("clusters").alias("cluster"))
+        .join(base, "_rid")
+        .select(
+            F.col("cluster"),
+            F.col("_rid").alias("src"),
+            F.col("_v").alias("_va"),
+            l2_norm(F.col("_v")).alias("_na"),
+        )
+    )
+    edges = (
+        query_side.join(corpus_side, "cluster")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", _score().alias("score"))
+        .dropDuplicates(["src", "dst"])
+    )
+    out = topk_per_src(edges, k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
 def similarity_topk_auto(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1105,6 +1105,15 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_approx(emb, "vec_id", "embedding", k=5)
 
 
+@register("cosine_topk_ivf")  # no SQL oracle: approximate + data-adaptive
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: KMeans coarse quantizer -> cluster equi-join ->
+    exact re-score. Rows-only driver check; recall vs the exact path is
+    pytest-asserted (tests/test_operators.py::test_ivf_recall_vs_exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, "vec_id", "embedding", k=5)
+
+
 @register(
     "event_sliding_counts",
     """

@@ -65,6 +65,20 @@ def test_lsh_recall_on_planted_neardups(spark, sf_correctness):
     assert recall >= 0.5, f"LSH top-1 recall too low: {recall}"
 
 
+def test_ivf_recall_vs_exact(spark, sf_correctness):
+    """IVF with nprobe=4 of 16 clusters must recover most exact top-1
+    neighbors (data-adaptive buckets beat LSH on clustered embeddings)."""
+    from bigdataamazon_spark.catalog import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    exact = similarity.cosine_topk(emb, k=1)
+    approx = similarity.ivf_topk(emb, k=1, n_clusters=16, nprobe=4)
+    e = {(r.src, r.dst) for r in exact.collect()}
+    a = {(r.src, r.dst) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF top-1 recall too low: {recall}"
+
+
 def test_similarity_auto_heuristic_small(spark, sf_dir):
     from bigdataamazon_spark.catalog import load_table
 
