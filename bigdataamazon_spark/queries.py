@@ -533,6 +533,104 @@ def nations_with_high_balance_customers(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@register(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_balance,
+           round(avg(s_acctbal), 4) AS avg_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-side rollup over the supplier leg of the schema (broadcast
+    join: nation is tiny)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    the CASE WHEN runs inside the aggregate, one pass, no second join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate (absent in the reference, unavoidable in any
+    analytics surface). Spark plans the two-phase expand + partial agg;
+    at 100 TB swap in approx_count_distinct (HLL) when ±2% is fine —
+    exact here so the oracle hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "all_account_balances",
+    """
+    SELECT 'customer' AS side, c_custkey AS acct_key, round(c_acctbal, 2) AS balance
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', s_suppkey, round(s_acctbal, 2) FROM supplier
+    """,
+)
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (§2.11): tagged UNION ALL via unionByName — no
+    shuffle at all, the two scans just concatenate partition lists."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"),
+        F.col("c_custkey").alias("acct_key"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"),
+        F.col("s_suppkey").alias("acct_key"),
+        F.round("s_acctbal", 2).alias("balance"),
+    )
+    return c.unionByName(s)
+
+
 # ---------------------------------------------------------------------------
 # Time windows (SURVEY.md §2.9 batch twins — streaming wrapper reuses these)
 # ---------------------------------------------------------------------------
