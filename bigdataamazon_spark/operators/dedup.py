@@ -128,17 +128,27 @@ def exact_jaccard_pairs(
 
 def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
     """Long-form MinHash signature: (doc_id, i, minv) for the 16 fixed
-    permutations. One K-way row blowup + hash-agg — partial aggregation
-    (map-side min) keeps the shuffle at |docs|·K rows."""
-    spark = doc_sids.sparkSession
-    params = spark.createDataFrame(MINHASH_PARAMS, "i int, a bigint, b bigint")
-    return (
-        doc_sids.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min((F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME)).alias(
-                "minv"
+    permutations. The K-way blowup is an explode of a literal params
+    array — a narrow op in the same stage as the scan, no join in the
+    plan at all; partial aggregation (map-side min) then keeps the
+    shuffle at |docs|·K rows."""
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("bigint").alias("a"),
+                F.lit(b).cast("bigint").alias("b"),
             )
+            for i, a, b in MINHASH_PARAMS
+        ]
+    )
+    return (
+        doc_sids.select("doc_id", "sid", F.explode(params).alias("p"))
+        .groupBy("doc_id", F.col("p.i").alias("i"))
+        .agg(
+            F.min(
+                (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_PRIME)
+            ).alias("minv")
         )
     )
 

@@ -1,0 +1,85 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Correctness says what a query returns; these pin HOW it runs. Each
+assertion is a property that must survive a 100× scale-up: filters
+reaching the parquet scan, column pruning, broadcast dims, real top-k
+plans, and no quadratic materialization. A refactor that silently
+regresses one of these still hash-matches the oracle — only the plan
+shows the damage, so the plan is what we test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bigdataamazon_spark import queries as registry
+
+
+def _executed_plan(spark, name: str, sf_dir: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_schemas(plan: str) -> list[list[str]]:
+    return [
+        [c.split(":")[0] for c in m.split(",") if c]
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+
+
+def test_q6_filters_pushed_and_pruned(spark, sf_dir):
+    plan = _executed_plan(spark, "q6_forecast_revenue", sf_dir)
+    # predicate reaches the scan (DataFilters/PushedFilters on shipdate)
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # 4 of lineitem's 11 columns read
+    (cols,) = _scan_schemas(plan)
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _executed_plan(spark, "star_join_revenue", sf_dir)
+    # every join in the star is a broadcast — the fact table never
+    # shuffles for the join (only for the final aggregate)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("SortMergeJoin") == 0
+    # lineitem scan pruned to the 3 needed columns
+    assert ["l_orderkey", "l_extendedprice", "l_discount"] in _scan_schemas(plan)
+
+
+def test_global_topn_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "top_customers_by_balance", sf_dir)
+    # top-N must never be sort-the-world + limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_word_frequency_scans_one_column(spark, sf_dir):
+    plan = _executed_plan(spark, "word_frequency", sf_dir)
+    assert _scan_schemas(plan) == [["text"]]
+
+
+def test_recommend_probe_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "recommend_for_doc", sf_dir)
+    # the one-row probe and the query batch broadcast; the corpus joins
+    # without a shuffle on its side
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_codegen_covers_relational_spine(spark, sf_dir):
+    # AQE only finalizes (and fuses codegen stages) after execution
+    df = registry.queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # count() would execute a derived plan, not this one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen'd spans print as "*(n) Operator" in the final plan
+    assert "*(" in plan
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_dedup_never_cross_joins(spark, sf_dir, name):
+    plan = _executed_plan(spark, name, sf_dir)
+    # candidate generation is equi-join on shingle/band keys — a cartesian
+    # product in the plan means the scale story is gone
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
