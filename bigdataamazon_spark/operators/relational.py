@@ -104,3 +104,66 @@ def star_join(
 
 def revenue() -> Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: salt the big side's key, replicate the
+    small side once per salt bucket, join on (key, salt).
+
+    A hot key (one customer with 30% of events, one null-ish default id)
+    lands all its rows on one reducer in a plain shuffle join; salting
+    splits it across ``salt_buckets`` reducers at the cost of
+    replicating the small side ×buckets. AQE's skew-join splits
+    post-shuffle partitions and usually wins without this — use salting
+    when the skew sits in a single KEY (AQE can't split one key's hash
+    group across joins) or when AQE is off. Result columns match the
+    plain join (salt columns dropped).
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    if big_key == small_key:
+        # name-based join coalesces the key column like the plain join
+        out = salted_big.join(salted_small, [big_key, "_salt"], how)
+    else:
+        out = salted_big.join(
+            salted_small,
+            (salted_big[big_key] == salted_small[small_key])
+            & (salted_big["_salt"] == salted_small["_salt"]),
+            how,
+        )
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    *,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist df as a bucketed (+ optionally sorted) managed table.
+
+    Two tables bucketed identically on their join key co-locate: the
+    join compiles with ZERO Exchange on either side (asserted in
+    tests/test_bucketing.py). This is the pre-shuffle-once,
+    join-many-times strategy for repeated fact⋈fact joins at 100 TB —
+    the one join shape broadcast can't save.
+    """
+    w = df.write.mode("overwrite").format("parquet")
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
