@@ -1112,6 +1112,64 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_priority_pivot",
+    """
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+           sum(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — without it Spark runs an extra
+    job just to discover the distinct pivot values; with it the whole
+    thing is one hash-agg pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            }
+        )
+        # a (status, priority) cell with no rows is NULL from pivot but 0
+        # from the oracle's SUM(CASE ...) — align them
+        .na.fill(0, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+
+
+@register(
+    "status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2² grouping sets in one shuffle (Expand feeds a single
+    hash-agg — not one job per set)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 _SQRT_2PI = "2.5066282746310002"
 
 
