@@ -43,6 +43,11 @@ HEADLINE = [
     "event_window_counts",
     "stemmed_word_freq",
     "multimodal_features",
+    "recommend_for_doc",
+    "user_sessions",
+    "revenue_rollup",
+    "promo_revenue_share",
+    "cosine_topk_ivf",
 ]
 
 

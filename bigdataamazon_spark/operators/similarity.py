@@ -319,7 +319,9 @@ def ivf_fit_centroids(
 def _nearest_clusters_gen(centroids: np.ndarray, vec_col: str, nprobe: int):
     """mapInPandas kernel: per row, ids of the nprobe nearest centroids
     (cosine). One GEMM per Arrow batch against the broadcast (k × d)
-    centroid matrix — k is small, so this is the cheap side of IVF."""
+    centroid matrix — k is small, so this is the cheap side of IVF.
+    The vector rides along in the output so downstream bucket joins
+    need no join-back-to-source shuffle."""
     import pandas as pd
 
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -333,10 +335,28 @@ def _nearest_clusters_gen(centroids: np.ndarray, vec_col: str, nprobe: int):
             sims = q @ cn.T
             top = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
             out = pdf[["_rid"]].copy()
+            # emit the L2-NORMALIZED vector: downstream cosine is then a
+            # plain dot product, no norm columns to carry
+            out[vec_col] = [row.tolist() for row in q]
             out["clusters"] = [row.tolist() for row in top]
             yield out
 
     return gen
+
+
+def _batch_dot(a, b):
+    """Arrow-batched dot product — one numpy einsum per batch instead of
+    an interpreted per-element fold per row (the higher-order-function
+    ``aggregate(zip_with(...))`` path is ~10× slower on wide edges)."""
+    import pandas as pd
+
+    return pd.Series(
+        np.einsum(
+            "ij,ij->i",
+            np.array(a.tolist(), dtype=np.float64),
+            np.array(b.tolist(), dtype=np.float64),
+        )
+    )
 
 
 def ivf_topk(
@@ -365,39 +385,79 @@ def ivf_topk(
             df, vec_col, n_clusters=n_clusters, seed=seed
         )
 
-    base = df.select(F.col(id_col).alias("_rid"), as_double_array(vec_col).alias("_v"))
-    assign_schema = f"_rid {df.schema[id_col].dataType.simpleString()}, clusters array<int>"
-    assigned = base.select("_rid", F.col("_v").alias(vec_col)).mapInPandas(
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col).alias("_rid"), as_double_array(vec_col).alias(vec_col)
+    )
+    assign_schema = (
+        f"_rid {df.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} array<double>, clusters array<int>"
+    )
+    # the vector rides through the kernel output, so neither join side
+    # needs a join-back-to-source shuffle; assignment feeds both sides,
+    # so persist to run the GEMM once
+    assigned = base.mapInPandas(
         _nearest_clusters_gen(centroids, vec_col, nprobe), assign_schema
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # corpus membership: home cluster only (first of the probe list)
-    corpus_side = (
-        assigned.select("_rid", F.col("clusters")[0].alias("cluster"))
-        .join(base, "_rid")
-        .select(
-            F.col("cluster"),
-            F.col("_rid").alias("dst"),
-            F.col("_v").alias("_vb"),
-            l2_norm(F.col("_v")).alias("_nb"),
+    corpus_side = assigned.select(
+        F.col("clusters")[0].alias("cluster"),
+        F.col("_rid").alias("dst"),
+        F.col(vec_col).alias("_vb"),
+    )
+    query_side = assigned.select(
+        F.explode("clusters").alias("cluster"),
+        F.col("_rid").alias("src"),
+        F.col(vec_col).alias("_va"),
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def per_cluster_topk(left, right):
+        """One GEMM per cluster; emits each query's LOCAL top-k within
+        the cluster. Vectors shuffle once into their cluster group and
+        never ride an edge row — the edge table that leaves this kernel
+        is (id, id, double) × k·nprobe per query, nothing more."""
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"src": [], "dst": [], "score": []})
+        q = np.array(left["_va"].tolist(), dtype=np.float64)
+        c = np.array(right["_vb"].tolist(), dtype=np.float64)
+        scores = q @ c.T
+        src_ids = left["src"].to_numpy()
+        dst_ids = right["dst"].to_numpy()
+        dorder = np.argsort(dst_ids, kind="stable")  # dst-asc tiebreak
+        scores = scores[:, dorder]
+        dst_sorted = dst_ids[dorder]
+        pos = {v: i for i, v in enumerate(dst_sorted.tolist())}
+        out_src, out_dst, out_score = [], [], []
+        for i, s in enumerate(src_ids):
+            row = scores[i]
+            if s in pos:
+                row = row.copy()
+                row[pos[s]] = -np.inf  # exclude self
+            kk = min(k, len(row))
+            cand = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            cand = np.sort(cand)  # dst-sorted positions => stable tiebreak
+            order = cand[np.argsort(-row[cand], kind="stable")][:kk]
+            keep = row[order] > -np.inf
+            out_src.extend([s] * int(keep.sum()))
+            out_dst.extend(dst_sorted[order[keep]].tolist())
+            out_score.extend(row[order[keep]].tolist())
+        return pd.DataFrame({"src": out_src, "dst": out_dst, "score": out_score})
+
+    local = (
+        query_side.groupBy("cluster")
+        .cogroup(corpus_side.groupBy("cluster"))
+        .applyInPandas(
+            per_cluster_topk, f"src {id_type}, dst {id_type}, score double"
         )
     )
-    query_side = (
-        assigned.select("_rid", F.explode("clusters").alias("cluster"))
-        .join(base, "_rid")
-        .select(
-            F.col("cluster"),
-            F.col("_rid").alias("src"),
-            F.col("_v").alias("_va"),
-            l2_norm(F.col("_v")).alias("_na"),
-        )
-    )
-    edges = (
-        query_side.join(corpus_side, "cluster")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", _score().alias("score"))
-        .dropDuplicates(["src", "dst"])
-    )
-    out = topk_per_src(edges, k)
+    # global merge: nprobe local top-k lists per query -> one window over
+    # k·nprobe rows per src
+    out = topk_per_src(local, k)
     if round_to is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_to))
     return out

