@@ -14,18 +14,20 @@ hash-aggs that scales by construction:
 - SimHash:      sign-aggregated bit signature + hamming filter.
 
 Hashing portability: signatures must be *engine-independent* so the
-DuckDB oracle can replay them bit-for-bit. Tokens/shingles are therefore
-mapped to dense integer ids (row_number over the sorted distinct
-vocabulary) and permuted with fixed linear-congruential functions
-h_i(x) = (a_i·x + b_i) mod p — pure integer arithmetic both engines
-evaluate identically. At production scale the vocabulary join would be
-replaced by ``xxhash64(shingle)`` (no global sort, no second pass); the
-structure of the pipeline is unchanged, which is the point.
+DuckDB oracle can replay them bit-for-bit. Shingles are mapped to 60-bit
+integer ids by content hash — the first 15 hex chars of md5, which both
+engines compute identically (Spark ``conv(substr(md5(s),1,15),16,10)``,
+DuckDB ``('0x' || substr(md5(s),1,15))::BIGINT``) — then permuted with
+fixed linear-congruential functions h_i(x) = (a_i·(x mod p) + b_i) mod p.
+No vocabulary table, no global sort, no join: id assignment is a narrow
+projection in the same stage as the scan, which is what lets the ladder
+run at 100 TB (the earlier dense-id design needed a row_number over the
+whole distinct vocabulary — a single-partition sort).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_ngrams
@@ -57,31 +59,36 @@ def content_key_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"),
-        )
-        .distinct()
+    """Word n-gram shingles per document: (doc_id, shingle).
+
+    ``distinct=False`` skips the set-dedup shuffle — pass that when the
+    next stage hashes to integer ids and dedups there (8-byte shuffle
+    keys instead of shingle strings)."""
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def shingle_ids(shingles: DataFrame) -> DataFrame:
-    """(doc_id, sid): dense deterministic shingle ids.
+    """(doc_id, sid): engine-independent 60-bit content-hash shingle ids,
+    set semantics (distinct per doc).
 
-    row_number over the sorted distinct vocabulary — a global sort, fine
-    for a vocabulary, and required for cross-engine determinism; swap for
-    xxhash64(shingle) in production (see module docstring).
+    Id assignment is a narrow projection — no vocabulary, no sort, no
+    join (see module docstring); the set-dedup shuffles (doc_id, int64)
+    only. Collisions at 2^-60 per pair are beyond negligible and, being
+    deterministic, affect both engines identically.
     """
-    vocab = (
-        shingles.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
-    )
-    return shingles.join(vocab, "shingle").select("doc_id", "sid")
+    sid = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    return shingles.select("doc_id", sid.alias("sid")).distinct()
 
 
 def exact_jaccard_pairs(
@@ -142,12 +149,16 @@ def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
             for i, a, b in MINHASH_PARAMS
         ]
     )
+    # reduce sid mod p BEFORE multiplying: sids are 60-bit, a*sid would
+    # overflow int64 (and DuckDB would silently widen to HUGEINT,
+    # breaking bit-parity)
+    sid_mod = F.col("sid") % F.lit(MINHASH_PRIME)
     return (
-        doc_sids.select("doc_id", "sid", F.explode(params).alias("p"))
+        doc_sids.select("doc_id", sid_mod.alias("_sm"), F.explode(params).alias("p"))
         .groupBy("doc_id", F.col("p.i").alias("i"))
         .agg(
             F.min(
-                (F.col("p.a") * F.col("sid") + F.col("p.b")) % F.lit(MINHASH_PRIME)
+                (F.col("p.a") * F.col("_sm") + F.col("p.b")) % F.lit(MINHASH_PRIME)
             ).alias("minv")
         )
     )
@@ -201,7 +212,7 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
-    sids = shingle_ids(doc_shingles(df, id_col, text_col, n)).persist(
+    sids = shingle_ids(doc_shingles(df, id_col, text_col, n, distinct=False)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = lsh_candidates(minhash_signatures(sids))
@@ -211,9 +222,11 @@ def minhash_dedup_pairs(
 def simhash_signatures(doc_sids: DataFrame) -> DataFrame:
     """31-bit SimHash per doc: per-bit ±1 majority over the shingle-id
     hash h(sid) = (a·sid+b) mod p. (doc_id, simhash)."""
-    # bigint arithmetic: a*sid overflows int32 under ANSI mode
+    # reduce mod p first: 60-bit sids times a 31-bit multiplier would
+    # overflow int64 (see minhash_signatures)
     h = (
-        F.lit(SIMHASH_A).cast("bigint") * F.col("sid").cast("bigint") + F.lit(SIMHASH_B)
+        F.lit(SIMHASH_A).cast("bigint") * (F.col("sid") % F.lit(MINHASH_PRIME))
+        + F.lit(SIMHASH_B)
     ) % F.lit(MINHASH_PRIME)
     bits = doc_sids.select(
         "doc_id",

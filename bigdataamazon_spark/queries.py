@@ -672,19 +672,20 @@ def event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup, textops  # noqa: E402
 
-# Shared oracle CTE: distinct trigram shingles per doc with dense ids —
-# the DuckDB replay of dedup.doc_shingles + dedup.shingle_ids.
+# Shared oracle CTE: distinct trigram shingles per doc with 60-bit
+# content-hash ids — the DuckDB replay of dedup.doc_shingles +
+# dedup.shingle_ids (md5-prefix hash, no vocabulary table).
 _SHINGLE_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)
 ),
-vocab AS (
-  SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh)
-),
-ds AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle))
+ds AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+)
 """
 
 _MINHASH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in dedup.MINHASH_PARAMS)
@@ -712,7 +713,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is the shingle, so candidate generation is linear in total
     shingles — never an n² cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    sids = dedup.shingle_ids(dedup.doc_shingles(docs))
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False))
     return dedup.exact_jaccard_pairs(sids, 0.5)
 
 
@@ -720,14 +721,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures",
     _SHINGLE_CTE
     + f", params(i, a, b) AS (VALUES {_MINHASH_VALUES}) "
-    + f"SELECT doc_id, i, CAST(min((a * sid + b) % {dedup.MINHASH_PRIME}) AS BIGINT) AS minv "
+    + f"SELECT doc_id, i, CAST(min((a * (sid % 2147483647) + b) % {dedup.MINHASH_PRIME}) AS BIGINT) AS minv "
     + "FROM ds, params GROUP BY doc_id, i",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form 16-permutation MinHash signature — bit-for-bit
     engine-independent (dense shingle ids + fixed LCG permutations)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+    return dedup.minhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False)))
 
 
 @register(
@@ -735,7 +736,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_CTE
     + f""", params(i, a, b) AS (VALUES {_MINHASH_VALUES}),
 sig AS (
-  SELECT doc_id, i, min((a * sid + b) % {dedup.MINHASH_PRIME}) AS minv
+  SELECT doc_id, i, min((a * (sid % 2147483647) + b) % {dedup.MINHASH_PRIME}) AS minv
   FROM ds, params GROUP BY 1, 2
 ),
 bands AS (
@@ -763,7 +764,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_signatures",
     _SHINGLE_CTE
     + f""", h AS (
-  SELECT doc_id, ({dedup.SIMHASH_A} * sid + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
+  SELECT doc_id, ({dedup.SIMHASH_A} * (sid % {dedup.MINHASH_PRIME}) + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
   FROM ds
 ),
 bits AS (
@@ -779,14 +780,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-bit SimHash per document (±1 bit majority over shingle-id
     hashes)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+    return dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False)))
 
 
 @register(
     "simhash_neardup_pairs",
     _SHINGLE_CTE
     + f""", h AS (
-  SELECT doc_id, ({dedup.SIMHASH_A} * sid + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
+  SELECT doc_id, ({dedup.SIMHASH_A} * (sid % {dedup.MINHASH_PRIME}) + {dedup.SIMHASH_B}) % {dedup.MINHASH_PRIME} AS h
   FROM ds
 ),
 bits AS (
@@ -807,7 +808,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming radius 8."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs)))
+    sigs = dedup.simhash_signatures(dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False)))
     return dedup.simhash_neardup_pairs(sigs, 8)
 
 
