@@ -631,6 +631,104 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s)
 
 
+@register(
+    "user_event_gaps",
+    """
+    SELECT event_id, user_id,
+           CAST(ts AS VARCHAR) AS ts,
+           CAST(lag(ts) OVER w AS VARCHAR) AS prev_ts,
+           CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_seconds,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS VARCHAR) AS last_purchase_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: lag (previous event + gap) and an AS-OF lookup
+    expressed as a conditional running max over a bounded frame — the
+    composition pattern for as-of semantics when the probe and the
+    reference stream are the same relation (one shuffle on user_id,
+    both windows share it)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    asof = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        prev.cast("string").alias("prev_ts"),
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev))
+        .cast("bigint")
+        .alias("gap_seconds"),
+        asof.cast("string").alias("last_purchase_ts"),
+    )
+
+
+@register(
+    "orders_price_bands",
+    """
+    SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('high', 150000.0, 1e18)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a literal band dimension — broadcast
+    nested-loop on a 3-row build side, so the 'non-equi' join costs one
+    scan of orders. The band table is the classic tiny-interval-dim
+    shape (SLA tiers, price bands, age buckets)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_SQL_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("sql_interface_revenue", _SQL_REVENUE)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string surface: the catalog registers every
+    testdata table as a temp view and the SAME ANSI text runs on Spark
+    and on the DuckDB oracle verbatim — one dialect-common query, two
+    engines, one result."""
+    from .catalog import load_catalog
+
+    load_catalog(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE)
+
+
 # ---------------------------------------------------------------------------
 # Time windows (SURVEY.md §2.9 batch twins — streaming wrapper reuses these)
 # ---------------------------------------------------------------------------
