@@ -105,8 +105,21 @@ def exact_jaccard_pairs(
     those pairs are scored — the LSH verification step.
     """
     sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = doc_sids.select(F.col("doc_id").alias("src"), "sid")
-    b = doc_sids.select(F.col("doc_id").alias("dst"), "sid")
+    scored = doc_sids
+    if candidates is not None:
+        # restrict BEFORE the self-join: only docs appearing in some
+        # candidate pair enter the co-shingle join — the expensive
+        # intersection count runs on the LSH survivors' shingles only,
+        # not the whole corpus (sizes stay full-corpus: set sizes are a
+        # property of the doc, not of the candidate subset)
+        cand_docs = (
+            candidates.select(F.col("src").alias("doc_id"))
+            .union(candidates.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+        scored = doc_sids.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    a = scored.select(F.col("doc_id").alias("src"), "sid")
+    b = scored.select(F.col("doc_id").alias("dst"), "sid")
     shared = (
         a.join(b, "sid")
         .filter(F.col("src") < F.col("dst"))
@@ -114,8 +127,8 @@ def exact_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     if candidates is not None:
-        # LSH survivors are tiny relative to the co-shingle edge table —
-        # broadcast so verification never shuffles the big side again.
+        # then keep exactly the candidate pairs (co-shingled non-candidates
+        # among candidate docs drop out here)
         shared = shared.join(F.broadcast(candidates), ["src", "dst"], "left_semi")
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
     # sizes is one row per doc (ids + a count) — broadcast both probes.
@@ -215,7 +228,11 @@ def minhash_dedup_pairs(
     sids = shingle_ids(doc_shingles(df, id_col, text_col, n, distinct=False)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidates(minhash_signatures(sids))
+    # candidates feed two consumers in the verify step (doc restriction +
+    # pair semi-join) — persist to avoid re-running sign+band twice
+    cands = lsh_candidates(minhash_signatures(sids)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
 
 
