@@ -632,6 +632,83 @@ def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bow_cosine_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    filt AS (
+      SELECT doc_id, word FROM toks
+      WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+    ),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM filt GROUP BY 1, 2),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM cnt GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, sum(a.c * b.c) AS dotp
+      FROM cnt a JOIN cnt b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, dotp / (x.nrm * y.nrm) AS score
+      FROM shared JOIN nrm x ON x.doc_id = src JOIN nrm y ON y.doc_id = dst
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL recommender core on text (M1+M3+M4+M5+M6,
+    ``amazon1.py:128-155``): tokenize -> stopword-filter -> bag-of-words
+    counts -> cosine -> per-doc top-5.
+
+    The 'vectorize' step is the long-form (doc, word, count) relation —
+    the join key is the word, so the similarity join shuffles term
+    postings (exactly a search-engine posting list), never an n×n
+    matrix. Sparse dot products happen in the groupBy; norms broadcast.
+    At corpus scale the posting join inherits the same hot-word problem
+    as any inverted index — cap document frequency or hand off to the
+    MinHash/LSH rung (same module) when |docs| passes the LSH threshold.
+    An ml.CountVectorizer equivalence test pins this relation to the
+    SparseVector representation (tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nrm = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cnt.select(F.col("doc_id").alias("src"), "word", F.col("c").alias("ca"))
+    b = cnt.select(F.col("doc_id").alias("dst"), "word", F.col("c").alias("cb"))
+    shared = (
+        a.join(b, "word")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dotp"))
+    )
+    scored = (
+        shared.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na"))),
+            "src",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb"))),
+            "dst",
+        )
+        .select("src", "dst", (F.col("dotp") / (F.col("na") * F.col("nb"))).alias("score"))
+    )
+    out = similarity.topk_per_src(scored, 5)
+    return out.withColumn("score", F.round(F.col("score"), 6))
+
+
+@register(
     "user_event_gaps",
     """
     SELECT event_id, user_id,

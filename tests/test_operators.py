@@ -79,6 +79,40 @@ def test_ivf_recall_vs_exact(spark, sf_correctness):
     assert recall >= 0.6, f"IVF top-1 recall too low: {recall}"
 
 
+def test_countvectorizer_matches_posting_counts(spark, sf_dir):
+    """M4 (``amazon1.py:133-135``): the long-form (doc, word, count)
+    relation used by bow_cosine_topk must agree with ml.CountVectorizer's
+    SparseVector output — same bag-of-words, two physical layouts."""
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.functions import text
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    toks = docs.select(
+        "doc_id", text.remove_stopwords(text.tokens(F.col("text"))).alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", vocabSize=1 << 18)
+    model = cv.fit(toks)
+    vocab = model.vocabulary
+    sparse = {
+        r["doc_id"]: r["vec"] for r in model.transform(toks).collect()
+    }
+    posting = (
+        docs.select("doc_id", F.explode(text.remove_stopwords(text.tokens(F.col("text")))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    expect: dict = {}
+    for r in posting:
+        expect.setdefault(r["doc_id"], {})[r["word"]] = r["c"]
+    for doc_id, vec in sparse.items():
+        got = {vocab[int(i)]: int(v) for i, v in zip(vec.indices, vec.values)}
+        assert got == expect.get(doc_id, {}), f"doc {doc_id} mismatch"
+
+
 def test_similarity_auto_heuristic_small(spark, sf_dir):
     from bigdataamazon_spark.catalog import load_table
 
