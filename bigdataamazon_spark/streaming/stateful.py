@@ -67,6 +67,36 @@ def _update_counts(
     )
 
 
+def session_aggregate(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """The shared batch/stream sessionization: gap-merged session windows
+    per user with event count + value total (the streaming twin of the
+    oracle-checked ``user_sessions`` registry query)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_user_sessions(
+    stream: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """session_window under readStream: the state store merges windows
+    as events arrive; the watermark closes sessions whose gap has
+    definitively passed and bounds state."""
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return session_aggregate(stream.withWatermark("ts", watermark), gap=gap)
+
+
 def stateful_user_counts(stream: DataFrame) -> DataFrame:
     """Per-user running (count, value-total) in explicit GroupState —
     emits the updated row for every user seen in each trigger."""

@@ -98,6 +98,49 @@ def test_stateful_user_counts_matches_batch(spark, sf_dir, events_dir):
     assert got == expected
 
 
+def test_stream_sessions_match_batch(spark, sf_dir, events_dir):
+    """session_window under readStream (update mode, single micro-batch)
+    must produce the batch sessionization exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.stateful import (
+        session_aggregate,
+        stream_user_sessions,
+    )
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    src = spark.read.parquet(events_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = session_aggregate(src)
+    # session windows stream in APPEND mode only: a session emits once the
+    # watermark passes its end. With delay 0 the watermark reaches max(ts),
+    # so exactly the sessions ending at or before max(ts) are closed; each
+    # user's final session (end = last_ts + gap > max_ts) stays open in
+    # state — that's the contract, so that's what we assert.
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    expected = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("session_end").cast("timestamp") <= F.lit(max_ts)
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
+    q = (
+        stream_user_sessions(stream, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM stream_sessions").collect()}
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_stream_matches_batch(spark, sf_dir, events_dir):
     batch = windowed_counts(spark.read.parquet(events_dir))
     expected = {tuple(r) for r in batch.collect()}
