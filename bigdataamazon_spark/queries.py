@@ -666,15 +666,18 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``amazon1.py:128-155``): tokenize -> stopword-filter -> bag-of-words
     counts -> cosine -> per-doc top-5.
 
-    The 'vectorize' step is the long-form (doc, word, count) relation —
-    the join key is the word, so the similarity join shuffles term
-    postings (exactly a search-engine posting list), never an n×n
-    matrix. Sparse dot products happen in the groupBy; norms broadcast.
-    At corpus scale the posting join inherits the same hot-word problem
-    as any inverted index — cap document frequency or hand off to the
-    MinHash/LSH rung (same module) when |docs| passes the LSH threshold.
-    An ml.CountVectorizer equivalence test pins this relation to the
-    SparseVector representation (tests/test_operators.py)."""
+    Physical strategy is vocabulary-driven. This corpus has a TINY
+    dense vocabulary (~31 words, ~78% document frequency), so a
+    posting-list join — the classic sparse-text plan — degenerates to
+    sum(df²) ≈ n² edge rows (it OOM'd a 128 GiB driver at sf0.1 before
+    this rewrite). Instead: build dense |V|-dim count vectors (one
+    narrow agg) and run the broadcast-GEMM cosine top-k, which costs
+    n·|V| memory and never shuffles a pair. The posting formulation
+    remains the right plan for large sparse vocabularies — that variant
+    lives in the oracle SQL, where DuckDB runs it at verification scale;
+    hand off to the MinHash/LSH rung (operators/dedup.py) when BOTH n
+    and |V| are large. CountVectorizer equivalence is pytest-pinned
+    (tests/test_operators.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.remove_stopwords(text.tokens(F.col("text")))
     cnt = (
@@ -682,30 +685,25 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nrm = cnt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    vocab = cnt.select("word").distinct()
+    v_size = vocab.count()  # tiny by construction; guards the dense path
+    widx = vocab.withColumn(
+        "wid", F.row_number().over(Window.orderBy("word")) - F.lit(1)
     )
-    a = cnt.select(F.col("doc_id").alias("src"), "word", F.col("c").alias("ca"))
-    b = cnt.select(F.col("doc_id").alias("dst"), "word", F.col("c").alias("cb"))
-    shared = (
-        a.join(b, "word")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dotp"))
-    )
-    scored = (
-        shared.join(
-            F.broadcast(nrm.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na"))),
-            "src",
+    entries = F.map_from_entries(F.array_sort(F.collect_list(F.struct("wid", "c"))))
+    vecs = (
+        cnt.join(F.broadcast(widx), "word")
+        .groupBy("doc_id")
+        .agg(entries.alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(v_size - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("double"),
+            ).alias("bow"),
         )
-        .join(
-            F.broadcast(nrm.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb"))),
-            "dst",
-        )
-        .select("src", "dst", (F.col("dotp") / (F.col("na") * F.col("nb"))).alias("score"))
     )
-    out = similarity.topk_per_src(scored, 5)
-    return out.withColumn("score", F.round(F.col("score"), 6))
+    return similarity.cosine_topk(vecs, "doc_id", "bow", k=5)
 
 
 @register(
@@ -1018,12 +1016,11 @@ WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
 """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: undirected pairs above 0.4."""
+    """Embedding-cosine near-dup: undirected pairs above 0.4, via the
+    broadcast-GEMM threshold scan (the edge-join formulation scored 12.5M
+    interpreted dots at sf0.1; this streams BLAS batch-slices)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(emb, "vec_id", "embedding", ordered=True)
-    return pairs.filter(F.col("score") >= 0.4).select(
-        "src", "dst", F.round("score", 6).alias("score")
-    )
+    return similarity.cosine_threshold_pairs(emb, "vec_id", "embedding", 0.4)
 
 
 @register(
