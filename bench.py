@@ -48,6 +48,8 @@ HEADLINE = [
     "revenue_rollup",
     "promo_revenue_share",
     "cosine_topk_ivf",
+    "bow_cosine_topk",
+    "embedding_neardup_pairs",
 ]
 
 

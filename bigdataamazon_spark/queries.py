@@ -691,6 +691,8 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wid", F.row_number().over(Window.orderBy("word")) - F.lit(1)
     )
     entries = F.map_from_entries(F.array_sort(F.collect_list(F.struct("wid", "c"))))
+    from pyspark import StorageLevel
+
     vecs = (
         cnt.join(F.broadcast(widx), "word")
         .groupBy("doc_id")
@@ -702,6 +704,9 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("double"),
             ).alias("bow"),
         )
+        # cosine_topk reads vecs twice (corpus broadcast + query stream);
+        # without a persist the tokenize+count DAG runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return similarity.cosine_topk(vecs, "doc_id", "bow", k=5)
 
