@@ -177,6 +177,45 @@ def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures_wide(doc_sids: DataFrame) -> DataFrame:
+    """Wide-form signatures: one row per doc with 16 ``m{i}`` columns,
+    computed as 16 min-aggregates in a SINGLE groupBy — no 16× explode,
+    one shuffle over (doc_id, 16 longs). Semantically identical to the
+    long form (``minhash_signatures`` keeps that shape for the
+    registry/oracle); this is the internal fast path."""
+    sid_mod = (F.col("sid") % F.lit(MINHASH_PRIME)).alias("_sm")
+    aggs = [
+        F.min((F.lit(a) * F.col("_sm") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, a, b in MINHASH_PARAMS
+    ]
+    return doc_sids.select("doc_id", sid_mod).groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Banded LSH over wide signatures: band keys are string-concats of
+    the wide columns — derived in the same stage as the aggregate, no
+    second groupBy, no collect_list sort. Join on (band, key) as usual."""
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
+        key = F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key")).alias(f"_b{b}")
+        )
+    keyed = wide_sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = keyed.select(F.col("doc_id").alias("src"), "band", "band_key")
+    b_ = keyed.select(F.col("doc_id").alias("dst"), "band", "band_key")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def lsh_candidates(signatures: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """Banded LSH: docs sharing all 4 minima in any band become a
     candidate pair. Band key is a short string — the equi-join shuffles
@@ -230,7 +269,7 @@ def minhash_dedup_pairs(
     )
     # candidates feed two consumers in the verify step (doc restriction +
     # pair semi-join) — persist to avoid re-running sign+band twice
-    cands = lsh_candidates(minhash_signatures(sids)).persist(
+    cands = lsh_candidates_wide(minhash_signatures_wide(sids)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
@@ -238,34 +277,34 @@ def minhash_dedup_pairs(
 
 def simhash_signatures(doc_sids: DataFrame) -> DataFrame:
     """31-bit SimHash per doc: per-bit ±1 majority over the shingle-id
-    hash h(sid) = (a·sid+b) mod p. (doc_id, simhash)."""
+    hash h(sid) = (a·sid+b) mod p. (doc_id, simhash).
+
+    All 31 bit-majorities are aggregates in ONE groupBy (no 31× bit
+    explode, no second shuffle): per bit j, sum(±1) via
+    ``2·((h>>j)&1) − 1``, then the signature assembles from the 31 sums
+    in the post-agg projection."""
     # reduce mod p first: 60-bit sids times a 31-bit multiplier would
     # overflow int64 (see minhash_signatures)
     h = (
         F.lit(SIMHASH_A).cast("bigint") * (F.col("sid") % F.lit(MINHASH_PRIME))
         + F.lit(SIMHASH_B)
     ) % F.lit(MINHASH_PRIME)
-    bits = doc_sids.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        # python F.shiftright only takes a literal shift; SQL's takes a column
-        F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("sgn"),
-    )
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("sgn").alias("s"))
+        doc_sids.select("doc_id", h.alias("_h"))
         .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
-        )
+        .agg(*bit_sums)
+        .select("doc_id", sig.alias("simhash"))
     )
 
 
