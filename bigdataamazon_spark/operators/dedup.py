@@ -101,35 +101,23 @@ def exact_jaccard_pairs(
     """(src, dst, jaccard) for pairs with set-Jaccard >= threshold.
 
     Without ``candidates`` the self-join on sid generates all co-shingled
-    pairs (exact, O(sum of shingle-frequency²)); with ``candidates`` only
-    those pairs are scored — the LSH verification step.
+    pairs (exact, O(sum of shingle-frequency²)); with ``candidates`` the
+    verification is per-pair set intersection instead (see
+    ``verify_jaccard_candidates``) — the LSH verification step.
     """
-    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    scored = doc_sids
     if candidates is not None:
-        # restrict BEFORE the self-join: only docs appearing in some
-        # candidate pair enter the co-shingle join — the expensive
-        # intersection count runs on the LSH survivors' shingles only,
-        # not the whole corpus (sizes stay full-corpus: set sizes are a
-        # property of the doc, not of the candidate subset)
-        cand_docs = (
-            candidates.select(F.col("src").alias("doc_id"))
-            .union(candidates.select(F.col("dst").alias("doc_id")))
-            .distinct()
+        return verify_jaccard_candidates(
+            doc_sids, candidates, threshold, round_to=round_to
         )
-        scored = doc_sids.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    a = scored.select(F.col("doc_id").alias("src"), "sid")
-    b = scored.select(F.col("doc_id").alias("dst"), "sid")
+    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_sids.select(F.col("doc_id").alias("src"), "sid")
+    b = doc_sids.select(F.col("doc_id").alias("dst"), "sid")
     shared = (
         a.join(b, "sid")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    if candidates is not None:
-        # then keep exactly the candidate pairs (co-shingled non-candidates
-        # among candidate docs drop out here)
-        shared = shared.join(F.broadcast(candidates), ["src", "dst"], "left_semi")
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
     # sizes is one row per doc (ids + a count) — broadcast both probes.
     return (
@@ -141,6 +129,55 @@ def exact_jaccard_pairs(
             F.broadcast(sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("b_sz"))),
             "dst",
         )
+        .filter(jac >= threshold)
+        .select("src", "dst", F.round(jac, round_to).alias("jaccard"))
+    )
+
+
+def verify_jaccard_candidates(
+    doc_sids: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs by per-pair set
+    intersection.
+
+    The shingle sets of candidate docs (LSH survivors — a tiny fraction
+    of the corpus) are gathered into one array row per doc, candidate
+    pairs join to their two arrays, and ``array_intersect`` counts the
+    overlap hash-set style, O(|A|+|B|) per pair. Compared with the
+    co-shingle self-join this trades three wide shuffles (sid self-join,
+    (src,dst) count agg, full-corpus sizes agg) for ONE groupBy over
+    the restricted shingles; set size rides along in that same agg
+    (a doc's set size is a property of the doc, so computing it on the
+    restricted rows is exact). The doc_id joins are left to AQE — the
+    sets side is small enough to broadcast at any scale where LSH did
+    its job.
+    """
+    cand_docs = (
+        candidates.select(F.col("src").alias("doc_id"))
+        .union(candidates.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        doc_sids.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("sz"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("src"), F.col("sids").alias("a_sids"), F.col("sz").alias("a_sz")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("dst"), F.col("sids").alias("b_sids"), F.col("sz").alias("b_sz")
+    )
+    shared = F.size(F.array_intersect(F.col("a_sids"), F.col("b_sids")))
+    jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    return (
+        candidates.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", "a_sz", "b_sz", shared.alias("shared"))
         .filter(jac >= threshold)
         .select("src", "dst", F.round(jac, round_to).alias("jaccard"))
     )
