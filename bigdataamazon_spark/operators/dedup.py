@@ -156,15 +156,21 @@ def verify_jaccard_candidates(
     sets side is small enough to broadcast at any scale where LSH did
     its job.
     """
-    cand_docs = (
-        candidates.select(F.col("src").alias("doc_id"))
-        .union(candidates.select(F.col("dst").alias("doc_id")))
-        .distinct()
+    # one scan of the pair list, no distinct: the semi-join's broadcast
+    # hash table dedups; a duplicate doc_id costs one extra 8-byte slot,
+    # a distinct costs a whole shuffle stage
+    cand_docs = candidates.select(
+        F.explode(F.array("src", "dst")).alias("doc_id")
     )
+    from pyspark import StorageLevel
+
+    # the two broadcast probes below each materialize their build side —
+    # persist so the semi-join + groupBy runs once, not per-probe
     sets = (
         doc_sids.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(
         F.col("doc_id").alias("src"), F.col("sids").alias("a_sids"), F.col("sz").alias("a_sz")
@@ -174,9 +180,12 @@ def verify_jaccard_candidates(
     )
     shared = F.size(F.array_intersect(F.col("a_sids"), F.col("b_sids")))
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    # sets holds only LSH survivors — broadcast both probes so the pair
+    # scoring never shuffles (AQE would reach the same shape, but only
+    # after materializing an exchange on each input first)
     return (
-        candidates.join(a, "src")
-        .join(b, "dst")
+        candidates.join(F.broadcast(a), "src")
+        .join(F.broadcast(b), "dst")
         .select("src", "dst", "a_sz", "b_sz", shared.alias("shared"))
         .filter(jac >= threshold)
         .select("src", "dst", F.round(jac, round_to).alias("jaccard"))

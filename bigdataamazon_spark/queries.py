@@ -678,34 +678,37 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand off to the MinHash/LSH rung (operators/dedup.py) when BOTH n
     and |V| are large. CountVectorizer equivalence is pytest-pinned
     (tests/test_operators.py)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     toks = text.remove_stopwords(text.tokens(F.col("text")))
     cnt = (
         docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers: vocabulary collect + vector build (and the
+        # bench's warm run) — persist before the eager collect below
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vocab = cnt.select("word").distinct()
-    v_size = vocab.count()  # tiny by construction; guards the dense path
-    widx = vocab.withColumn(
-        "wid", F.row_number().over(Window.orderBy("word")) - F.lit(1)
-    )
-    entries = F.map_from_entries(F.array_sort(F.collect_list(F.struct("wid", "c"))))
-    from pyspark import StorageLevel
-
+    # the dense path is vocabulary-driven: |V| is tiny by construction,
+    # so the word list collects to the driver and each vector component
+    # is a literal-key map lookup — no global row_number window (a
+    # single-partition sort) and no per-row join against a word index
+    words = sorted(r[0] for r in cnt.select("word").distinct().collect())
+    m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
     vecs = (
-        cnt.join(F.broadcast(widx), "word")
-        .groupBy("doc_id")
-        .agg(entries.alias("m"))
+        cnt.groupBy("doc_id")
+        .agg(m.alias("m"))
         .select(
             "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(v_size - 1)),
-                lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("double"),
+            F.array(
+                *[
+                    F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
+                    for w in words
+                ]
             ).alias("bow"),
         )
-        # cosine_topk reads vecs twice (corpus broadcast + query stream);
-        # without a persist the tokenize+count DAG runs twice
+        # cosine_topk reads vecs twice (corpus broadcast + query stream)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return similarity.cosine_topk(vecs, "doc_id", "bow", k=5)
