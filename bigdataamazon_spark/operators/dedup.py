@@ -109,6 +109,11 @@ def exact_jaccard_pairs(
         return verify_jaccard_candidates(
             doc_sids, candidates, threshold, round_to=round_to
         )
+    from pyspark import StorageLevel
+
+    # three consumers below (sizes + both sides of the co-shingle join):
+    # persist or the shingle/hash DAG upstream runs three times
+    doc_sids = doc_sids.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = doc_sids.select(F.col("doc_id").alias("src"), "sid")
     b = doc_sids.select(F.col("doc_id").alias("dst"), "sid")
