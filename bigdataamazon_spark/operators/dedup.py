@@ -78,17 +78,22 @@ def doc_shingles(
     return out.distinct() if distinct else out
 
 
-def shingle_ids(shingles: DataFrame) -> DataFrame:
+def shingle_ids(shingles: DataFrame, *, distinct: bool = True) -> DataFrame:
     """(doc_id, sid): engine-independent 60-bit content-hash shingle ids,
-    set semantics (distinct per doc).
+    set semantics (distinct per doc) by default.
 
     Id assignment is a narrow projection — no vocabulary, no sort, no
     join (see module docstring); the set-dedup shuffles (doc_id, int64)
     only. Collisions at 2^-60 per pair are beyond negligible and, being
     deterministic, affect both engines identically.
+
+    ``distinct=False`` skips the set-dedup shuffle entirely — correct
+    ONLY for duplicate-tolerant consumers (MinHash's min-agg; NOT
+    SimHash, whose ±1 bit sums count multiplicity).
     """
     sid = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
-    return shingles.select("doc_id", sid.alias("sid")).distinct()
+    out = shingles.select("doc_id", sid.alias("sid"))
+    return out.distinct() if distinct else out
 
 
 def exact_jaccard_pairs(
@@ -111,18 +116,38 @@ def exact_jaccard_pairs(
         )
     from pyspark import StorageLevel
 
-    # three consumers below (sizes + both sides of the co-shingle join):
-    # persist or the shingle/hash DAG upstream runs three times
+    # two consumers below (sizes + the co-shingle pair generation):
+    # persist or the shingle/hash DAG upstream runs twice
     doc_sids = doc_sids.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = doc_sids.select(F.col("doc_id").alias("src"), "sid")
-    b = doc_sids.select(F.col("doc_id").alias("dst"), "sid")
-    shared = (
-        a.join(b, "sid")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # Pair generation as ONE groupBy-on-sid + per-shingle combination
+    # explode, instead of a sid self-join: the join shuffles the table
+    # twice (both sides) and sorts for SMJ; this shuffles it once into a
+    # hash agg, then expands {i<j} pairs narrowly. Same O(Σ df²) output,
+    # half the shuffle bytes. Hot shingles still blow up quadratically —
+    # that is inherent to exact co-shingle counting; the LSH path is the
+    # scale answer, this is the exact small/medium-corpus answer.
+    docs_arr = F.array_sort(F.collect_list("doc_id"))
+    pairs = (
+        doc_sids.groupBy("sid")
+        .agg(docs_arr.alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
+    shared = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("shared"))
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
     # sizes is one row per doc (ids + a count) — broadcast both probes.
     return (
@@ -171,10 +196,14 @@ def verify_jaccard_candidates(
 
     # the two broadcast probes below each materialize their build side —
     # persist so the semi-join + groupBy runs once, not per-probe
+    # collect_set (not list+count): tolerates a non-distinct doc_sids, so
+    # the caller can skip the corpus-wide set-dedup shuffle and set
+    # semantics are restored here, on the LSH-restricted rows only
     sets = (
         doc_sids.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("sz"))
+        .agg(F.collect_set("sid").alias("sids"))
+        .select("doc_id", "sids", F.size("sids").alias("sz"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(
@@ -312,12 +341,17 @@ def minhash_dedup_pairs(
     shingle+vocab DAG once per consumer — at 100 TB that is 5 extra
     full-corpus passes. Persisted MEMORY_AND_DISK; LRU-evicted or freed
     with the session, so lazy consumers stay correct.
+
+    No set-dedup anywhere in the hot path: MinHash's min-agg is
+    duplicate-tolerant, so the corpus-wide distinct shuffle is skipped
+    (``distinct=False`` twice below) and the verify step's
+    ``collect_set`` restores set semantics on the LSH survivors only.
     """
     from pyspark import StorageLevel
 
-    sids = shingle_ids(doc_shingles(df, id_col, text_col, n, distinct=False)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sids = shingle_ids(
+        doc_shingles(df, id_col, text_col, n, distinct=False), distinct=False
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # candidates feed two consumers in the verify step (doc restriction +
     # pair semi-join) — persist to avoid re-running sign+band twice
     cands = lsh_candidates_wide(minhash_signatures_wide(sids)).persist(
