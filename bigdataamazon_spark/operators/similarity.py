@@ -81,6 +81,75 @@ def topk_per_src(edges: DataFrame, k: int, *, score_col: str = "score") -> DataF
     )
 
 
+def posting_cosine_topk(
+    cnt: DataFrame,
+    k: int = 5,
+    *,
+    max_df_frac: float | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Sparse BOW cosine top-k via an inverted-index (posting-list) join
+    over a (doc_id, word, c) counts table — the large-sparse-vocabulary
+    counterpart to the dense-GEMM ``bow_cosine_topk`` path.
+
+    Edge volume is Σ df(word)² — linear-ish for Zipfian text, quadratic
+    on near-universal words. ``max_df_frac`` prunes words whose document
+    frequency exceeds that fraction of the corpus BEFORE the join
+    (CountVectorizer ``max_df`` semantics: the pruned words leave the
+    vector space entirely, so scores are exact cosines of the reduced
+    vectors). Hot words carry ~no cosine signal but dominate Σ df², so
+    the cap is what keeps this plan alive at 100 TB; the hot-word list
+    is tiny by construction (few words can exceed a df fraction), hence
+    a broadcast anti-join, never a shuffle.
+
+    Physical shape: one groupBy for norms, one word-equi-join with
+    map-side partial-summed dot products, two norm joins left to AQE
+    (norms is one slim row per doc — broadcast when it fits), window
+    top-k. No driver collect anywhere.
+    """
+    if max_df_frac is not None:
+        total = cnt.agg(F.count_distinct("doc_id").alias("n"))
+        hot = (
+            cnt.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("df") > F.lit(max_df_frac) * F.col("n"))
+            .select("word")
+        )
+        cnt = cnt.join(F.broadcast(hot), "word", "left_anti")
+    from pyspark import StorageLevel
+
+    # three consumers (norms + both posting join sides): persist or the
+    # tokenize/count DAG upstream re-runs per consumer
+    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    nrm = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cnt.select(F.col("doc_id").alias("src"), "word", F.col("c").alias("ca"))
+    b = cnt.select(F.col("doc_id").alias("dst"), "word", F.col("c").alias("cb"))
+    shared = (
+        a.join(b, "word")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dotp"))
+    )
+    scored = (
+        shared.join(
+            nrm.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na")), "src"
+        )
+        .join(
+            nrm.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb")), "dst"
+        )
+        .select(
+            "src", "dst", (F.col("dotp") / (F.col("na") * F.col("nb"))).alias("score")
+        )
+    )
+    out = topk_per_src(scored, k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
 def cosine_topk_expr(
     df: DataFrame,
     id_col: str = "vec_id",

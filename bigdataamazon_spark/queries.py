@@ -715,6 +715,63 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bow_cosine_topk_sparse",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    filt AS (
+      SELECT doc_id, word FROM toks
+      WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+    ),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM filt GROUP BY 1, 2),
+    tot AS (SELECT count(DISTINCT doc_id) AS n FROM cnt),
+    hot AS (
+      SELECT word FROM cnt, tot GROUP BY word, tot.n
+      HAVING count(*) > 0.5 * tot.n
+    ),
+    cap AS (SELECT * FROM cnt WHERE word NOT IN (SELECT word FROM hot)),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM cap GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, sum(a.c * b.c) AS dotp
+      FROM cap a JOIN cap b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, dotp / (x.nrm * y.nrm) AS score
+      FROM shared JOIN nrm x ON x.doc_id = src JOIN nrm y ON y.doc_id = dst
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bow_cosine_topk_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting-list (inverted-index) BOW cosine plan with a
+    document-frequency cap — the large-sparse-vocabulary scale path that
+    ``bow_cosine_topk``'s docstring hands off to. On THIS corpus the cap
+    (df > 50% of docs) prunes the ~28 near-universal synthetic words and
+    keeps the one rare token, collapsing the posting join from Σ df² ≈
+    4.4M edge rows to ~600 — which is exactly the operator's job: at
+    100 TB the uncapped join dies on hot words, the capped one doesn't.
+    Score variety lives in the dense-path query; this one pins the
+    pruned plan shape and its exact reduced-space semantics against the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return similarity.posting_cosine_topk(cnt, k=5, max_df_frac=0.5)
+
+
+@register(
     "user_event_gaps",
     """
     SELECT event_id, user_id,
@@ -1485,5 +1542,239 @@ def event_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").cast("string").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (round-1 widening: the relational surface a reference
+# user would expect from any engine claiming the same query capabilities).
+# Tables here lack partsupp and some TPC-H columns (o_shippriority,
+# l_shipmode, l_commitdate/l_receiptdate), so Q2/Q4/Q11/Q12/Q16/Q20 keep
+# their SHAPE with the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority_top10",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two-fact join -> grouped
+    revenue -> global top-N. Both date filters reach their scans before
+    the join (pushdown), customer is the broadcast side, and the top-10
+    is TakeOrderedAndProject — no global sort materializes. Full
+    tiebreak chain (revenue, date, key) so LIMIT is deterministic for
+    the oracle compare."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate")
+        )
+    )
+
+
+@register(
+    "late_shipment_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS with a correlated theta condition): orders
+    with at least one line shipped >90 days after the order date,
+    counted by priority. The EXISTS is a LEFT SEMI join — each order
+    emits at most once no matter how many late lines — and the theta
+    part rides on the equi-key join, so it shuffles on l_orderkey like
+    any fact-fact join (no cartesian)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "urgent_mix_by_returnflag",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def urgent_mix_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_shipmode isn't in this schema; l_returnflag
+    plays the mode dimension): fact-fact equi-join with the date filter
+    pushed to the lineitem scan, two conditional counts in one agg
+    pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders, including k=0 —
+    the LEFT OUTER join is the point (an inner join silently drops the
+    zero-order customers; count(o_orderkey) ignores the nulls the outer
+    join manufactures). Two cascaded aggs, the second one tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (argmax): quarterly revenue per supplier, return the
+    max-revenue supplier(s). The scalar-subquery max becomes a one-row
+    broadcast cross join — never a global sort; ties (possible after
+    rounding) all surface, exactly as the SQL does."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_totalprice, round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 400.0
+    )
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact agg, then join the survivors
+    back to orders and customer. The quantity agg runs FIRST and the
+    filter cuts it to a sliver (>400 is ~the top half-percent of
+    orders), so both downstream joins see only survivors — at cluster
+    scale the survivors side is broadcastable by AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 400.0)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
         )
     )

@@ -121,3 +121,50 @@ def test_similarity_auto_heuristic_small(spark, sf_dir):
     # exact path: every vector has exactly 3 neighbors
     counts = out.groupBy("src").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [3]
+
+
+def test_posting_cosine_matches_dense_and_caps_hot_words(spark):
+    """posting_cosine_topk (inverted-index plan) must agree with the
+    numpy cosine on a handcrafted counts table; with max_df_frac the
+    near-universal word leaves the vector space entirely (CountVectorizer
+    max_df semantics), changing scores to the reduced-space cosine."""
+    import itertools
+    import math
+
+    # 4 docs over 3 words; "hot" appears in every doc
+    counts = {
+        1: {"hot": 2, "x": 1},
+        2: {"hot": 1, "x": 1, "y": 3},
+        3: {"hot": 5, "y": 1},
+        4: {"hot": 1, "x": 2, "y": 2},
+    }
+    rows = [(d, w, c) for d, wc in counts.items() for w, c in wc.items()]
+    cnt = spark.createDataFrame(rows, ["doc_id", "word", "c"])
+
+    def expected(vocab_filter):
+        out = {}
+        for s, d in itertools.permutations(counts, 2):
+            a, b = counts[s], counts[d]
+            words = [w for w in {"hot", "x", "y"} if vocab_filter(w)]
+            dot = sum(a.get(w, 0) * b.get(w, 0) for w in words)
+            na = math.sqrt(sum(a.get(w, 0) ** 2 for w in words))
+            nb = math.sqrt(sum(b.get(w, 0) ** 2 for w in words))
+            # posting plans emit a pair only when the docs SHARE a word:
+            # zero-overlap pairs never appear as edge rows (dot == 0
+            # neighbors are meaningless for top-k anyway)
+            if dot > 0:
+                out[(s, d)] = round(dot / (na * nb), 6)
+        return out
+
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similarity.posting_cosine_topk(cnt, k=3).collect()
+    }
+    assert got == expected(lambda w: True)
+
+    # cap at 75%: "hot" (df=4/4) is pruned, x (2/4) and y (3/4) stay
+    got_cap = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similarity.posting_cosine_topk(cnt, k=3, max_df_frac=0.75).collect()
+    }
+    assert got_cap == expected(lambda w: w != "hot")

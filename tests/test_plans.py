@@ -83,3 +83,39 @@ def test_dedup_never_cross_joins(spark, sf_dir, name):
     # product in the plan means the scale story is gone
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_q3_pushdown_broadcast_and_topn(spark, sf_dir):
+    plan = _executed_plan(spark, "shipping_priority_top10", sf_dir)
+    # the top-10 must be TakeOrderedAndProject, not sort-the-world
+    assert "TakeOrderedAndProject" in plan
+    # both date filters reach their scans
+    assert "DataFilters: [isnotnull(o_orderdate" in plan or "o_orderdate#" in plan.split("DataFilters")[1]
+    # the filtered customer dim broadcasts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = _executed_plan(spark, "late_shipment_priority_counts", sf_dir)
+    assert "LeftSemi" in plan
+    # the theta part rides the equi-join — no nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_is_outer_join(spark, sf_dir):
+    plan = _executed_plan(spark, "customer_order_distribution", sf_dir)
+    assert "LeftOuter" in plan
+
+
+def test_q15_argmax_no_global_sort(spark, sf_dir):
+    plan = _executed_plan(spark, "top_supplier_revenue", sf_dir)
+    # the scalar max joins back as a broadcast, never a global ORDER BY
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_sparse_posting_prunes_before_join(spark, sf_dir):
+    plan = _executed_plan(spark, "bow_cosine_topk_sparse", sf_dir)
+    # the hot-word prune is a broadcast anti-join feeding the posting join
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
