@@ -111,3 +111,86 @@ def stateful_user_counts(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _RunningCountsProcessor:
+    """StatefulProcessor twin of ``_update_counts`` on the Spark 4
+    ``transformWithStateInPandas`` API: typed ValueState instead of a
+    single opaque GroupState tuple, explicit lifecycle (init/close),
+    and room for timers/TTL the old API lacks. Needs the RocksDB state
+    store provider (``transform_with_state_session_confs``)."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._agg.exists():
+            n, total = self._agg.get()
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_session_confs() -> dict[str, str]:
+    """Session confs transformWithStateInPandas requires: the operator
+    is implemented only on the RocksDB state store (the default
+    HDFS-backed store lacks the column-family support typed state
+    handles compile to)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+    }
+
+
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol, so the Python side needs ``google.protobuf`` at
+    runtime (PySpark lists it under the optional ``connect`` extra).
+    Without it the TWS driver worker crashes at query start; callers
+    should fall back to ``stateful_user_counts`` (GroupState), which has
+    no such dependency."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_counts(stream: DataFrame) -> DataFrame:
+    """``stateful_user_counts`` re-expressed on transformWithStateInPandas
+    (Spark 4's replacement for applyInPandasWithState): same per-user
+    running totals, same update-mode emission, but state lives in named
+    typed slots (ValueState) that can carry TTLs, and the processor can
+    register event-/processing-time timers for gap-out emission — the
+    building blocks for custom session operators beyond what
+    ``session_window`` expresses."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never hard-depends on
+    # the Spark 4 API surface (older clusters still get the GroupState op)
+    proc = type(
+        "_RunningCountsStatefulProcessor",
+        (_RunningCountsProcessor, StatefulProcessor),
+        {},
+    )()
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -159,3 +159,68 @@ def test_stream_matches_batch(spark, sf_dir, events_dir):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_tws_user_counts_matches_batch(spark, sf_dir, events_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) must produce
+    the same per-user running totals as the GroupState operator and the
+    batch groupBy. Runs on the RocksDB state store (required by the
+    operator); the provider conf is restored afterwards so the other
+    streaming tests keep the default store."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.stateful import (
+        transform_with_state_session_confs,
+        tws_runtime_available,
+        tws_user_counts,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf at runtime "
+            "(pyspark[connect] extra); not present in this environment"
+        )
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    confs = transform_with_state_session_confs()
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
+        )
+        q = (
+            tws_user_counts(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_counts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["user_id"]: (r["n_events"], r["total_value"])
+                for r in spark.sql("SELECT * FROM tws_counts").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    expected = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
+    }
+    assert got == expected
