@@ -109,6 +109,12 @@ def exact_jaccard_pairs(
     pairs (exact, O(sum of shingle-frequency²)); with ``candidates`` the
     verification is per-pair set intersection instead (see
     ``verify_jaccard_candidates``) — the LSH verification step.
+
+    Both branches tolerate duplicate (doc_id, sid) rows, so callers can
+    skip the corpus-wide set-dedup shuffle: set semantics are restored
+    inside the aggregations that shuffle anyway (countDistinct for
+    sizes, collect_set in the by-sid group), where the map-side partial
+    agg dedups before anything crosses the wire.
     """
     if candidates is not None:
         return verify_jaccard_candidates(
@@ -119,7 +125,7 @@ def exact_jaccard_pairs(
     # two consumers below (sizes + the co-shingle pair generation):
     # persist or the shingle/hash DAG upstream runs twice
     doc_sids = doc_sids.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = doc_sids.groupBy("doc_id").agg(F.countDistinct("sid").alias("sz"))
     # Pair generation as ONE groupBy-on-sid + per-shingle combination
     # explode, instead of a sid self-join: the join shuffles the table
     # twice (both sides) and sorts for SMJ; this shuffles it once into a
@@ -127,7 +133,7 @@ def exact_jaccard_pairs(
     # half the shuffle bytes. Hot shingles still blow up quadratically —
     # that is inherent to exact co-shingle counting; the LSH path is the
     # scale answer, this is the exact small/medium-corpus answer.
-    docs_arr = F.array_sort(F.collect_list("doc_id"))
+    docs_arr = F.array_sort(F.collect_set("doc_id"))
     pairs = (
         doc_sids.groupBy("sid")
         .agg(docs_arr.alias("ds"))

@@ -949,9 +949,13 @@ JOIN sizes y ON y.doc_id = dst
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (threshold 0.5). The join
     key is the shingle, so candidate generation is linear in total
-    shingles — never an n² cross join."""
+    shingles — never an n² cross join. No set-dedup stage anywhere:
+    ``exact_jaccard_pairs`` restores set semantics inside the two
+    aggregations that shuffle anyway (distinct=False twice here)."""
     docs = load_table(spark, sf_dir, "documents")
-    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False))
+    sids = dedup.shingle_ids(
+        dedup.doc_shingles(docs, distinct=False), distinct=False
+    )
     return dedup.exact_jaccard_pairs(sids, 0.5)
 
 
