@@ -138,3 +138,76 @@ def test_parquet_sink_partitioned(spark, tmp_path):
     plan = back.filter(F.col("sub_category") == "mice")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.filter(F.col("sub_category") == "mice").count() == 1
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL sink/source: values survive the round trip under the
+    explicit schema, and a malformed line lands in _corrupt_record
+    instead of failing the scan (PERMISSIVE quarantine)."""
+    from pyspark.sql import types as T
+
+    from bigdataamazon_spark.sources import read_jsonl, write_jsonl
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    dest = os.path.join(tmp_path, "docs_jsonl")
+    write_jsonl(docs, dest, mode="overwrite", compression=None)
+
+    back = read_jsonl(spark, dest, docs.schema)
+    assert back.count() == docs.count()
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    got = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert got == want
+
+    # corrupt line -> quarantine column, not a job failure
+    bad = os.path.join(tmp_path, "bad.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"a": 1}\n')
+        f.write("this is not json\n")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    q = read_jsonl(spark, bad, schema, keep_corrupt=True)
+    rows = q.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC sink/source: partitioned write prunes on read like parquet."""
+    from bigdataamazon_spark.sources import read_orc, write_orc
+
+    orders = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    dest = os.path.join(tmp_path, "orders_orc")
+    write_orc(orders, dest, partition_by=["o_orderstatus"], mode="overwrite")
+
+    back = read_orc(spark, dest)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_text_corpus_ids_stable(spark, tmp_path):
+    """read_text_corpus: ids are content+provenance hashes — identical
+    across re-reads and repartitionings, distinct across files for the
+    same text."""
+    from bigdataamazon_spark.sources import read_text_corpus
+
+    d = os.path.join(tmp_path, "corpus")
+    os.makedirs(d)
+    for name, lines in [("a.txt", ["alpha", "beta"]), ("b.txt", ["alpha"])]:
+        with open(os.path.join(d, name), "w") as f:
+            f.write("\n".join(lines))
+
+    c1 = read_text_corpus(spark, d)
+    c2 = read_text_corpus(spark, d).repartition(4)
+    ids1 = sorted(r["doc_id"] for r in c1.collect())
+    ids2 = sorted(r["doc_id"] for r in c2.collect())
+    assert ids1 == ids2 and len(ids1) == 3
+    # same text in different files -> different ids (provenance in the mint)
+    alphas = {r["doc_id"] for r in c1.filter(F.col("text") == "alpha").collect()}
+    assert len(alphas) == 2
+
+    whole = read_text_corpus(spark, d, whole_files=True)
+    texts = sorted(r["text"] for r in whole.collect())
+    assert texts == ["alpha", "alpha\nbeta"]
