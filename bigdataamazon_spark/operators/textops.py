@@ -28,6 +28,31 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# GPT-2-style pre-tokenizer regex, RE2-safe (no lookahead variant: the
+# original's `\s+(?!\S)` trailing-space alternative is dropped so the
+# same pattern runs on Spark's Java regex AND DuckDB's RE2 — verified
+# to tokenize identically). Counts subword-ish units: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc BPE-ish token counts next to whitespace counts — the
+    budget/pricing measure a training pipeline actually bills by. The
+    regex runs JVM-side (``regexp_extract_all``), so the whole operator
+    is one codegen'd projection, no Python and no shuffle."""
+    ws = tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_ws"),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token counts: whitespace tokens, distinct tokens, total /
     average token length — one narrow projection, no shuffle at all."""

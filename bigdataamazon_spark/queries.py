@@ -1137,6 +1137,31 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+           CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+           round(len(bpe) * 1.0 / len(ws), 6) AS bpe_per_ws
+    FROM (
+      SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+             ) AS bpe
+      FROM documents
+    )
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex, RE2-safe
+    variant) next to whitespace counts — the unit a training pipeline
+    budgets by. Entirely ``regexp_extract_all`` inside codegen; the
+    identical pattern runs on both engines (textops.BPE_PRETOKEN_RE)."""
+    return textops.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "quality_scores",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
