@@ -280,7 +280,16 @@ def minhash_signatures_wide(doc_sids: DataFrame) -> DataFrame:
 def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """Banded LSH over wide signatures: band keys are string-concats of
     the wide columns — derived in the same stage as the aggregate, no
-    second groupBy, no collect_list sort. Join on (band, key) as usual."""
+    second groupBy, no collect_list sort.
+
+    Pair generation is a groupBy-per-bucket + in-array {i<j} explode
+    rather than a (band, key) self-join: the keyed table shuffles ONCE
+    into a hash agg, and singleton buckets — at web scale, nearly all
+    of them, since near-dups are rare — die in the size>=2 filter
+    without ever reaching pair-matching. The self-join form drags every
+    singleton row through an SMJ probe (and sorts both sides) first.
+    Hot buckets still expand quadratically; that is the LSH candidate
+    semantics itself, bounded by band-key entropy."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
     for b in range(bands):
@@ -292,14 +301,26 @@ def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> Dat
     keyed = wide_sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = keyed.select(F.col("doc_id").alias("src"), "band", "band_key")
-    b_ = keyed.select(F.col("doc_id").alias("dst"), "band", "band_key")
-    return (
-        a.join(b_, ["band", "band_key"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    pairs = (
+        keyed.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
+    return pairs.distinct()
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
