@@ -10,23 +10,17 @@ shows the damage, so the plan is what we test.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from bigdataamazon_spark import queries as registry
+from bigdataamazon_spark.plans import executed_plan, final_plan, scan_schemas
 
 
 def _executed_plan(spark, name: str, sf_dir: str) -> str:
-    df = registry.queries()[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(registry.queries()[name](spark, sf_dir))
 
 
-def _scan_schemas(plan: str) -> list[list[str]]:
-    return [
-        [c.split(":")[0] for c in m.split(",") if c]
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    ]
+_scan_schemas = scan_schemas
 
 
 def test_q6_filters_pushed_and_pruned(spark, sf_dir):
@@ -67,10 +61,9 @@ def test_recommend_probe_is_broadcast(spark, sf_dir):
 
 
 def test_codegen_covers_relational_spine(spark, sf_dir):
-    # AQE only finalizes (and fuses codegen stages) after execution
-    df = registry.queries()["q1_pricing_summary"](spark, sf_dir)
-    df.collect()  # count() would execute a derived plan, not this one
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE only finalizes (and fuses codegen stages) after execution;
+    # final_plan collects the exact df (count() would run a derived plan)
+    plan = final_plan(registry.queries()["q1_pricing_summary"](spark, sf_dir))
     assert "isFinalPlan=true" in plan
     # codegen'd spans print as "*(n) Operator" in the final plan
     assert "*(" in plan
@@ -119,3 +112,65 @@ def test_sparse_posting_prunes_before_join(spark, sf_dir):
     # the hot-word prune is a broadcast anti-join feeding the posting join
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_dim_side(spark, sf_dir):
+    plan = _executed_plan(spark, "local_supplier_volume", sf_dir)
+    # region->nation->supplier collapse to broadcast builds; the fact
+    # side never shuffles for them
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # order-date filter reaches the orders scan
+    assert "DataFilters: [isnotnull(o_orderdate" in plan
+
+
+def test_q10_topn_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "returned_item_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "DataFilters: [isnotnull(l_returnflag" in plan
+
+
+def test_q17_scans_lineitem_once(spark, sf_dir):
+    # the correlated scalar avg decorrelates to a window — the naive
+    # form re-scans lineitem for the subquery
+    plan = _executed_plan(spark, "small_quantity_revenue", sf_dir)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q19_envelopes_reach_scans(spark, sf_dir):
+    plan = _executed_plan(spark, "disjunctive_part_revenue", sf_dir)
+    # the disjunction's single-table envelopes are pushed: quantity
+    # range on the lineitem scan, brand/size on the part scan
+    assert "DataFilters: [isnotnull(l_quantity" in plan
+    assert "p_brand" in plan.split("part.parquet")[0].split("DataFilters")[-1] or (
+        "p_brand" in [l for l in plan.splitlines() if "part.parquet" in l][0]
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_scans_lineitem_twice_not_thrice(spark, sf_dir):
+    # decorrelated EXISTS + NOT EXISTS: per-order agg + join-back means
+    # two lineitem scans; the naive double-correlated form needs three
+    plan = _executed_plan(spark, "waiting_multi_supplier_orders", sf_dir)
+    assert plan.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_is_anti_join(spark, sf_dir):
+    plan = _executed_plan(spark, "idle_customer_balances", sf_dir)
+    assert "LeftAnti" in plan
+    # orders scan pruned to the join key + pushed date filter
+    assert "DataFilters: [isnotnull(o_orderdate" in plan
+
+
+def test_plan_summary_counts(spark, sf_dir):
+    from bigdataamazon_spark.plans import plan_summary
+
+    plan = _executed_plan(spark, "star_join_revenue", sf_dir)
+    s = plan_summary(plan)
+    assert s["broadcast_hash_joins"] == 4
+    assert s["sort_merge_joins"] == 0
+    assert s["cartesian_products"] == 0
+    assert s["scans"] >= 5
