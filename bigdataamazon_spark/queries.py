@@ -2171,3 +2171,81 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-join batch twin + analytic-window breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "click_purchase_attribution",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts, CAST(p.ts AS VARCHAR) AS purchase_ts,
+           round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join funnel: purchases within 1 hour of a click by
+    the same user — the batch twin of the stream-stream interval join
+    (streaming/joins.py). The range predicate rides the user_id
+    equi-join; both sides shuffle by user once."""
+    from .streaming.joins import click_purchase_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
+    "order_value_deciles",
+    """
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+    )
+    SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(pr), 6) AS avg_pct_rank,
+           round(avg(cd), 6) AS avg_cume_dist
+    FROM d GROUP BY o_orderpriority, decile
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: ntile/percent_rank/cume_dist over a
+    per-priority ordering (deterministic tie-break on the key), rolled
+    up to decile boundary stats. One window shuffle on the partition
+    key, then a cheap agg."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    d = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return d.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )

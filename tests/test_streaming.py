@@ -224,3 +224,38 @@ def test_tws_user_counts_matches_batch(spark, sf_dir, events_dir):
         r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch twin's pairs once all input is processed (append mode —
+    inner interval joins emit when the watermark passes)."""
+    from bigdataamazon_spark.streaming.joins import (
+        click_purchase_pairs,
+        stream_click_purchase_pairs,
+    )
+
+    q = (
+        stream_click_purchase_pairs(spark, events_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cp_pairs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM cp_pairs").collect()
+        }
+    finally:
+        q.stop()
+
+    ev = spark.read.parquet(events_dir)
+    batch = click_purchase_pairs(
+        ev.filter(ev.event_type == "click"),
+        ev.filter(ev.event_type == "purchase"),
+    )
+    expected = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got == expected
+    assert len(got) > 0
