@@ -81,3 +81,82 @@ def decode_blobs(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, blob binary"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, *, decode_mode: str = "fake"
+) -> DataFrame:
+    """Arrow-batched resize stage: (doc_id, blob) -> (doc_id, width,
+    height, blob). The payload stays binary end to end — input bytes
+    and output bytes both move as Arrow buffers, so a chain of media
+    stages (decode -> resize -> encode) never serializes through
+    Python objects row by row.
+
+    fake mode emits a deterministic stand-in payload (digest of the
+    input bytes + target dims) with the requested dims; real mode is
+    the PIL/libvips seam.
+    """
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"decode_mode must be 'fake' or 'real', got {decode_mode!r}")
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real resize needs an image library (PIL/libvips); "
+                    "not available in this environment — plug it in here"
+                )
+            tag = f":{width}x{height}".encode()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "blob": pdf["blob"].map(
+                        lambda b: hashlib.md5(bytes(b) + tag).digest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
+    """Frame-sampling stage: one (doc_id, blob) video row fans out to
+    N (doc_id, frame_idx, frame) rows — the 1->N batch shape every
+    video pipeline needs, expressed in ``mapInPandas`` (a yielded batch
+    may hold any number of output rows per input row; no explode of a
+    materialized array of frames, so one huge video never builds its
+    full frame list in memory at once).
+
+    fake mode derives a deterministic frame count (1 + b[3] % 4) and
+    per-frame payloads from the digest; real mode is the libav seam.
+    """
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"decode_mode must be 'fake' or 'real', got {decode_mode!r}")
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real frame sampling needs a video library (PyAV/ffmpeg); "
+                    "not available in this environment — plug it in here"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                for i in range(1 + b[3] % 4):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(hashlib.md5(b + bytes([i])).digest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, schema=FRAMES_SCHEMA)

@@ -1267,6 +1267,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_blobs(blobs, decode_mode="fake")
 
 
+@register("video_frame_samples")  # no SQL oracle: Arrow mapInPandas 1->N stage
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each synthetic 'video' blob fans out to
+    its deterministic frame rows (binary payloads end to end, Arrow
+    batches, no materialized frame arrays)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    return multimodal.sample_frames(blobs, decode_mode="fake")
+
+
 @register(
     "stemmed_word_freq",
     """

@@ -41,3 +41,39 @@ def test_bad_mode_rejected(spark, sf_dir):
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
     with pytest.raises(ValueError):
         multimodal.decode_blobs(blobs, decode_mode="png")
+
+
+def test_resize_keeps_binary_payload(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    out = multimodal.resize_images(blobs, 32, 24)
+    rows = {r.doc_id: r for r in out.collect()}
+    src = {r.doc_id: bytes(r.blob) for r in blobs.collect()}
+    assert len(rows) == 5
+    for doc_id, r in rows.items():
+        assert (r.width, r.height) == (32, 24)
+        expect = hashlib.md5(src[doc_id] + b":32x24").digest()
+        assert bytes(r.blob) == expect
+
+    with pytest.raises(Exception):
+        multimodal.resize_images(blobs, 32, 24, decode_mode="real").collect()
+
+
+def test_frame_sampling_fans_out(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    out = multimodal.sample_frames(blobs).collect()
+    src = {r.doc_id: bytes(r.blob) for r in blobs.collect()}
+    # per-doc fan-out matches the deterministic frame count; frame
+    # payloads are the digest chain
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(src)
+    for doc_id, frames in by_doc.items():
+        b = src[doc_id]
+        assert len(frames) == 1 + b[3] % 4
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert bytes(f.frame) == hashlib.md5(b + bytes([f.frame_idx])).digest()
