@@ -127,6 +127,79 @@ def language_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """The end-to-end corpus-curation composition a pretraining pipeline
+    runs: quality-score -> language-filter -> exact-dedup, in ONE pass.
+
+    Every metric (token counts, stopword/diversity ratios, quality,
+    language argmax) is a native expression over the same tokens()
+    array, so the whole filter stage is a single codegen'd projection —
+    no joins between "the quality table" and "the language table", no
+    re-tokenization per metric (Catalyst CSEs the shared subtrees). The
+    only shuffle is the final dedup groupBy on md5(text); survivors are
+    a filtered sliver, so that shuffle carries the curated fraction,
+    not the corpus. Thresholds compare on round(·, 6) so the cut is
+    reproducible across engines (raw-double boundaries are where
+    cross-engine jitter lives).
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    sw_ratio = stopword_ratio(F.col(text_col))
+    quality = F.round(
+        F.least(
+            F.greatest(
+                F.lit(0.2)
+                + F.lit(0.5) * diversity
+                + F.lit(0.5) * sw_ratio
+                + F.when(n_tok < 20, -0.3).otherwise(0.0),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    ratio_cols = []
+    for lg, markers in sorted(LANG_MARKERS.items()):
+        mk = F.array(*[F.lit(m) for m in markers])
+        ratio = F.size(F.filter(toks, lambda t: F.array_contains(mk, t))).cast(
+            "double"
+        ) / n_tok
+        ratio_cols.append((lg, ratio))
+    best = F.greatest(*[r for _, r in ratio_cols])
+    guess = F.lit("und")
+    for lg, ratio in reversed(ratio_cols):
+        guess = F.when((best >= 0.02) & (ratio == best), lg).otherwise(guess)
+
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_key"),
+        n_tok.alias("n_tokens"),
+        quality.alias("quality"),
+        guess.alias("lang_guess"),
+    ).filter((F.col("quality") >= min_quality) & (F.col("lang_guess") == lang))
+    # metrics are pure functions of the text, hence constant within a
+    # content_key group — min() picks the (identical) value without a
+    # nondeterministic first()
+    return (
+        scored.groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("quality"),
+        )
+        .select("keeper_id", "n_copies", "n_tokens", "quality")
+    )
+
+
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wid): dense deterministic word ids (cross-engine stand-in
     for xxhash64 — see operators.dedup docstring)."""

@@ -1215,6 +1215,48 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curated_corpus",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    m AS (
+      SELECT doc_id, text, len(l) AS n_tok,
+             len(list_filter(l, x -> x IN ('the','a','an','and','of','to','in'))) * 1.0 / len(l) AS sw,
+             len(list_distinct(l)) * 1.0 / len(l) AS dv,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0 / len(l) AS r_en,
+             len(list_filter(l, x -> x IN ('der','die','das','und'))) * 1.0 / len(l) AS r_de,
+             len(list_filter(l, x -> x IN ('el','la','los','que'))) * 1.0 / len(l) AS r_es,
+             len(list_filter(l, x -> x IN ('le','la','les','et'))) * 1.0 / len(l) AS r_fr
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, text, n_tok,
+             round(least(greatest(0.2 + 0.5 * dv + 0.5 * sw
+                                      + CASE WHEN n_tok < 20 THEN -0.3 ELSE 0.0 END,
+                                  0.0), 1.0), 6) AS quality,
+             CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und'
+                  WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                  WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                  WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_guess
+      FROM m
+    )
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+           CAST(min(n_tok) AS INTEGER) AS n_tokens,
+           round(min(quality), 6) AS quality
+    FROM q
+    WHERE quality >= 0.5 AND lang_guess = 'en'
+    GROUP BY md5(text)
+    """,
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data composition: quality-score ->
+    language-filter -> exact-dedup in one pass (textops.curate_corpus).
+    All metrics are native expressions over one shared tokens() array;
+    the only shuffle is the dedup groupBy over the filtered sliver."""
+    return textops.curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprints",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
