@@ -38,3 +38,23 @@ def cosine(a: Column, b: Column) -> Column:
     """cos(a,b); callers that join many pairs should precompute norms
     per side instead (see operators.similarity)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def max_abs(a: Column) -> Column:
+    """max(|x_i|) — the symmetric-quantization scale."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x)))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(127 · x_i / scale) as
+    ``array<tinyint>`` — 4× smaller than float32 at rest and on the
+    shuffle wire, which is the difference between an embedding column
+    that fits the shuffle and one that doesn't at 100 TB. Rounding is
+    ties-away-from-zero on both engines (Spark HALF_UP, DuckDB round),
+    so quantized values are bit-identical cross-engine."""
+    return F.transform(a, lambda x: F.round(x * F.lit(127.0) / scale).cast("tinyint"))
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Inverse map back to double: x̂_i = q_i · scale / 127."""
+    return F.transform(q, lambda x: x.cast("double") * scale / F.lit(127.0))

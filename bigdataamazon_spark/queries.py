@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .functions import cleaning, text
+from .functions import cleaning, text, vector
 from .operators import relational, similarity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2222,6 +2222,68 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector compression + sketch aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantized_embeddings",
+    """
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM b),
+    q AS (
+      SELECT vec_id, ma,
+             list_transform(v, x -> CAST(round(x * 127.0 / ma) AS TINYINT)) AS q8
+      FROM s
+    )
+    SELECT vec_id, round(ma, 6) AS max_abs, q8,
+           CAST(list_aggregate(list_transform(q8, x -> abs(x)), 'sum') AS BIGINT)
+             AS q8_l1
+    FROM q
+    """,
+)
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector max-abs scale):
+    4× smaller payloads at rest and on the shuffle wire. One narrow
+    projection; the q8_l1 checksum pins every component cross-engine
+    without shipping doubles through the hash compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vector.as_double_array("embedding")
+    ma = vector.max_abs(v)
+    df = emb.select(
+        "vec_id",
+        F.round(ma, 6).alias("max_abs"),
+        vector.quantize_int8(v, ma).alias("q8"),
+    )
+    l1 = F.aggregate(
+        F.transform(F.col("q8"), lambda x: F.abs(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select("vec_id", "max_abs", "q8", l1.alias("q8_l1"))
+
+
+@register("approx_order_stats")  # no SQL oracle: sketch results are
+# implementation-defined (HLL++ / KLL); pytest pins them within rel-error
+# bounds of the exact answers instead
+def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per order priority: HLL++ distinct customers
+    (approx_count_distinct, rsd 1%) and KLL quantiles of o_totalprice
+    (approx_percentile). Sketches are THE 100 TB answer for dashboard
+    aggregates: fixed-size state, one pass, mergeable across partitions
+    — an exact countDistinct shuffles every key; this shuffles a few KB
+    per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.percentile_approx(
+            "o_totalprice", [0.5, 0.9, 0.99], 10000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 

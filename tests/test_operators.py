@@ -168,3 +168,59 @@ def test_posting_cosine_matches_dense_and_caps_hot_words(spark):
         for r in similarity.posting_cosine_topk(cnt, k=3, max_df_frac=0.75).collect()
     }
     assert got_cap == expected(lambda w: w != "hot")
+
+
+def test_int8_quantization_roundtrip(spark, sf_dir):
+    """Quantize -> dequantize must reconstruct within the quantization
+    step (scale/127 per component), and values must be int8-ranged."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.functions import vector
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    v = vector.as_double_array("embedding")
+    ma = vector.max_abs(v)
+    q = emb.select(
+        "vec_id",
+        v.alias("v"),
+        ma.alias("ma"),
+        vector.quantize_int8(v, ma).alias("q8"),
+    ).withColumn("back", vector.dequantize_int8(F.col("q8"), F.col("ma")))
+    rows = q.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r.q8)
+        step = r.ma / 127.0
+        assert all(abs(a - b) <= step / 2 + 1e-9 for a, b in zip(r.v, r.back))
+
+
+def test_sketch_aggregates_near_exact(spark, sf_dir):
+    """HLL distinct and KLL quantiles land within loose rel-error of the
+    exact answers (the contract a sketch offers; exact parity is
+    impossible by construction)."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark import queries as registry
+    from bigdataamazon_spark.catalog import load_table
+
+    got = {
+        r.o_orderpriority: r
+        for r in registry.queries()["approx_order_stats"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("d"),
+            F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("q"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert abs(g.approx_customers - e.d) <= max(3, 0.05 * e.d)
+        for a, b in zip(g.price_quantiles, e.q):
+            assert abs(a - b) <= 0.05 * b
