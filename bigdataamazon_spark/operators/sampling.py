@@ -1,0 +1,114 @@
+"""Deterministic corpus sampling + benchmark decontamination.
+
+Training-data curation ops beyond the reference's surface (BASELINE.json
+"text analysis" ladder; the reference samples implicitly by slicing the
+pandas frame, ``/root/reference/amazon1.py:24-29``).
+
+Sampling here is hash-based, not ``rand()``-based: a sample defined by
+``md5(seed ':' key)`` is reproducible across runs, engines, partition
+layouts and cluster sizes — the property a 100 TB curation pipeline
+actually needs (``rand()`` resamples on every retry or re-shuffle, so a
+failed stage silently changes the corpus). Every sampler is a narrow
+projection + filter: zero shuffle, fully inside the scan's
+WholeStageCodegen span, and the filter is a deterministic pure
+expression so Catalyst pushes surviving-column pruning into the scan.
+
+The hash layout matches the dedup ladder's 60-bit md5-prefix ids
+(``operators/dedup.py``): Spark ``conv(substr(md5(s),1,15),16,10)`` ==
+DuckDB ``('0x' || substr(md5(s),1,15))::BIGINT``, so every oracle can
+replay the exact sample.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^60: the first 15 hex chars of an md5 as a uniform integer's range.
+HASH_SPACE = float(1 << 60)
+
+
+def hash_fraction(key: Column, seed: str = "s42") -> Column:
+    """Deterministic uniform [0, 1) draw from a row key.
+
+    First 60 bits of ``md5(seed ':' key)`` divided by 2^60. Both engines
+    convert the bigint to an IEEE double with round-to-nearest before
+    the divide, so threshold comparisons agree bit-for-bit.
+    """
+    s = F.concat(F.lit(seed + ":"), key.cast("string"))
+    num = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return num / F.lit(HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, *, seed: str = "s42"
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows with draw < rate."""
+    return df.filter(hash_fraction(F.col(key_col), seed) < F.lit(rate))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str,
+    key_col: str,
+    *,
+    seed: str = "s42",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus mixture reweighting.
+
+    ``rates`` maps stratum value -> keep-rate (e.g. upweight en, floor
+    zh). The rate lookup is a literal ``create_map`` expression, NOT a
+    join: the whole op stays a single narrow filter regardless of corpus
+    size. Strata missing from ``rates`` fall back to ``default_rate``.
+    """
+    pairs = [lit for k, v in rates.items() for lit in (F.lit(k), F.lit(float(v)))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(float(default_rate)),
+    )
+    return df.filter(hash_fraction(F.col(key_col), seed) < rate)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop training docs sharing ANY word n-gram with a benchmark set.
+
+    The standard eval-decontamination pass (13-grams in published
+    pipelines; parameterized because the synthetic docs are short).
+
+    Scale shape: the benchmark's distinct n-grams are tiny relative to
+    the corpus (evals are ~1e3-1e6 grams) — broadcast them, so the
+    contaminated-id scan is a map-side semi join over the exploded
+    corpus grams with no corpus-wide shuffle. The distinct on hit
+    doc-ids shuffles only the hits, and the final left_anti against the
+    doc table broadcasts that (AQE) — the full corpus is never
+    shuffled.
+    """
+    from .dedup import doc_shingles
+
+    bench_grams = (
+        doc_shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = doc_shingles(
+        docs, id_col=id_col, text_col=text_col, n=n, distinct=False
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

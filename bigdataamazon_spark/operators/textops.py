@@ -228,3 +228,35 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             )
         )
     )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics per doc:
+    the fraction of n-grams taken by the single most frequent n-gram
+    (``top_gram_frac``) and the fraction belonging to any n-gram that
+    occurs more than once (``dup_gram_frac``). High values flag
+    boilerplate / generated spam for a pretraining quality filter.
+
+    Shape: explode n-grams, count per (doc, gram), then fold to one row
+    per doc. Both aggregations partial-aggregate map-side, and both
+    shuffle keys carry the doc id, so the second agg is a near-local
+    fold of the first. Docs shorter than n tokens have no n-grams and
+    drop out (consistent on both engines).
+    """
+    from ..functions.text import word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        total.cast("int").alias("n_grams"),
+        F.round(F.max("c") / total, 6).alias("top_gram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / total, 6
+        ).alias("dup_gram_frac"),
+    )

@@ -2363,3 +2363,108 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + decontamination (training-data curation,
+# SURVEY.md §2.12 "text analysis" ladder extension)
+# ---------------------------------------------------------------------------
+
+from .operators import sampling  # noqa: E402
+
+
+@register(
+    "events_uniform_sample",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE ('0x' || substr(md5('s42:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < 0.1
+    """,
+)
+def events_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% uniform sample keyed on event_id — zero-shuffle
+    filter, reproducible across engines/retries/partitionings (unlike
+    rand(); see operators/sampling.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.hash_sample(ev, 0.1, "event_id").select(
+        "event_id", "event_type", "value"
+    )
+
+
+_MIXTURE_RATES = {"en": 0.8, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+@register(
+    "docs_mixture_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0
+          < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                      WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting: per-language keep-rates applied as a
+    deterministic hash filter (literal map lookup, not a join — the op
+    is one narrow filter at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, _MIXTURE_RATES, "lang", "doc_id", seed="mix1"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "docs_decontaminated",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 3, 1))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT doc_id FROM sh JOIN bench USING (g) WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+    """,
+)
+def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing any 5-gram with the
+    held-out benchmark slice (doc_id % 97 = 0) are dropped. Benchmark
+    grams broadcast; the corpus is never shuffled (see
+    sampling.decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return sampling.decontaminate(corpus, bench, n=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "repetition_scores",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(l[i:i+1], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(l), 1))) AS t(i)
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS INTEGER) AS n_grams,
+           round(max(c) * 1.0 / sum(c), 6) AS top_gram_frac,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+             AS dup_gram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (top-bigram fraction,
+    duplicated-bigram fraction) — boilerplate/spam detector for a
+    pretraining quality filter (textops.repetition_scores)."""
+    return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
