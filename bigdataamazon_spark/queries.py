@@ -2468,3 +2468,83 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-bigram fraction) — boilerplate/spam detector for a
     pretraining quality filter (textops.repetition_scores)."""
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+from .operators import graph, packing  # noqa: E402
+
+
+@register(
+    "packed_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM t
+    )
+    SELECT shard, start // 512 AS pack,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY 1, 2
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest (512-token chunks, 8
+    deterministic shards packed independently — window parallelism =
+    shard count; see operators/packing.py)."""
+    return packing.greedy_pack(
+        load_table(spark, sf_dir, "documents"), seq_len=512, n_shards=8
+    )
+
+
+@register(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT src, dst FROM shared
+      JOIN sizes x ON x.doc_id = src JOIN sizes y ON y.doc_id = dst
+      WHERE c * 1.0 / (x.sz + y.sz - c) >= 0.5
+    ),
+    und AS (SELECT src AS a, dst AS b FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over exact-Jaccard near-dup pairs
+    (threshold 0.5): iterative min-label propagation on Spark vs a
+    recursive-CTE transitive closure in the oracle — the closure step a
+    real dedup pass needs after pair generation (operators/graph.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(
+        dedup.doc_shingles(docs, distinct=False), distinct=False
+    )
+    pairs = dedup.exact_jaccard_pairs(sids, 0.5).select("src", "dst")
+    return graph.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

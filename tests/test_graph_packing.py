@@ -1,0 +1,73 @@
+"""Connected components (operators/graph.py) + sequence packing
+(operators/packing.py). Registry parity covers the corpus queries;
+these pin the algorithms on adversarial hand-built inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataamazon_spark.catalog import load_table
+from bigdataamazon_spark.operators import graph, packing
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = graph.connected_components(df).collect()
+    return {r.node: r.label for r in rows}
+
+
+def test_cc_two_components_and_chain(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round) + pair 10-11
+    got = _cc(spark, [(2, 1), (2, 3), (4, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_label_is_component_min_regardless_of_direction(spark):
+    # min id only ever appears as dst; star pointing the "wrong" way
+    got = _cc(spark, [(5, 1), (6, 1), (7, 6)])
+    assert got == {1: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_cc_long_path_converges(spark):
+    # 12-node path: worst diameter for its size; propagation must not
+    # stop early
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 12
+
+
+def test_dedup_keepers_one_per_cluster(spark):
+    df = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "src bigint, dst bigint")
+    keepers = {r.keeper_id for r in graph.dedup_keepers(graph.connected_components(df)).collect()}
+    assert keepers == {1, 10}
+
+
+def test_greedy_pack_partitions_every_doc_once(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    packs = packing.greedy_pack(docs, seq_len=512, n_shards=8)
+    agg = packs.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    assert agg.docs == docs.count()
+    # token mass is conserved: sum over packs == corpus token count
+    corpus_toks = docs.select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("t")
+    ).collect()[0].t
+    assert agg.toks == corpus_toks
+
+
+def test_greedy_pack_chunks_are_contiguous_and_dense(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    rows = packing.greedy_pack(docs, seq_len=512, n_shards=8).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, ps in by_shard.items():
+        ps.sort(key=lambda r: r.pack)
+        # pack ids are 0..k with no gaps (concat-and-chunk leaves no
+        # empty chunk: docs are ≤99 tokens < 512-token chunks)
+        assert [p.pack for p in ps] == list(range(len(ps)))
+        # doc-id ranges of consecutive packs don't interleave
+        for a, b in zip(ps, ps[1:]):
+            assert a.last_doc < b.first_doc
