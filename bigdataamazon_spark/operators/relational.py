@@ -167,3 +167,53 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def merge_upsert(
+    snapshot: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE (upsert) a change set into a snapshot: matched keys take
+    the change row, unmatched snapshot rows pass through, new keys
+    insert. Both frames must share a schema.
+
+    Plan shape for the common case (changes ≪ snapshot): the snapshot
+    is LEFT ANTI joined against just the change KEYS — a broadcast hash
+    probe, so the snapshot is never shuffled — then the change rows
+    union on. This is the merge-on-read strategy table formats use;
+    here it is the engine-level operator. (A full-outer join would
+    shuffle both sides on the key for the same result.)
+    """
+    from pyspark.sql import functions as F
+
+    keys = changes.select(*key_cols).distinct()
+    kept = snapshot.join(F.broadcast(keys), key_cols, "left_anti")
+    return kept.unionByName(changes)
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Orphan-count audit over declared FK relationships.
+
+    ``relations``: (name, child_df, child_key, parent_df, parent_key)
+    rows; returns (fk, orphans) — rows of the child whose key misses in
+    the parent. Each check is one LEFT ANTI join; dimension parents
+    broadcast, so the audit of a 100 TB fact table is a map-side pass
+    per relationship. Counts (including zeros) always appear: an
+    integrity report that silently omits a clean check is unreadable.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    counts = []
+    for name, child, ck, parent, pk in relations:
+        orphans = child.select(F.col(ck).alias("k")).join(
+            parent.select(F.col(pk).alias("k")), "k", "left_anti"
+        )
+        counts.append(
+            orphans.agg(F.count(F.lit(1)).alias("orphans")).select(
+                F.lit(name).alias("fk"), "orphans"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), counts)

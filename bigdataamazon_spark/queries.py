@@ -2548,3 +2548,78 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "orders_upsert_merge",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+    UNION ALL SELECT * FROM chg
+    """,
+)
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics as an engine op (relational.merge_upsert):
+    a synthetic change set (every even order, price +10, status 'U')
+    upserted into a snapshot (orders not divisible by 3). The snapshot
+    is never shuffled — anti-join against broadcast change keys, then
+    union."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = o.filter(F.col("o_orderkey") % 3 != 0)
+    chg = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    return relational.merge_upsert(snap, chg, ["o_orderkey"])
+
+
+@register(
+    "referential_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS orphans FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem->part', count(*) FROM lineitem
+      WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*) FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orders->customer', count(*) FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'customer->nation', count(*) FROM customer
+      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'supplier->nation', count(*) FROM supplier
+      WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'nation->region', count(*) FROM nation
+      WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+    """,
+)
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: orphan counts for every FK edge of the star
+    schema (relational.referential_audit — per-edge broadcast anti
+    join, map-side over the fact tables)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "part", "supplier", "customer", "nation", "region"]}
+    return relational.referential_audit([
+        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ])

@@ -224,3 +224,44 @@ def test_sketch_aggregates_near_exact(spark, sf_dir):
         assert abs(g.approx_customers - e.d) <= max(3, 0.05 * e.d)
         for a, b in zip(g.price_quantiles, e.q):
             assert abs(a - b) <= 0.05 * b
+
+
+def test_merge_upsert_semantics(spark):
+    from bigdataamazon_spark.operators.relational import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    chg = spark.createDataFrame([(2, "B"), (9, "Z")], "k int, v string")
+    got = {(r.k, r.v) for r in merge_upsert(snap, chg, ["k"]).collect()}
+    # matched key updated, unmatched kept, new key inserted
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "Z")}
+
+
+def test_merge_upsert_never_shuffles_snapshot(spark, sf_correctness):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators.relational import merge_upsert
+    from bigdataamazon_spark.plans import executed_plan
+
+    o = load_table(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    chg = o.filter(F.col("o_orderkey") % 100 == 0)
+    plan = executed_plan(merge_upsert(o, chg, ["o_orderkey"]))
+    # change keys broadcast into an anti probe; the snapshot side must
+    # not hash-partition (only the tiny keys-distinct side may exchange)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_referential_audit_flags_planted_orphans(spark):
+    from bigdataamazon_spark.operators.relational import referential_audit
+
+    child = spark.createDataFrame([(1,), (2,), (99,)], "ck int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rows = referential_audit(
+        [("child->parent", child, "ck", parent, "pk"),
+         ("parent->parent", parent, "pk", parent, "pk")]
+    ).collect()
+    got = {r.fk: r.orphans for r in rows}
+    # one planted orphan found; the clean edge still reports a zero row
+    assert got == {"child->parent": 1, "parent->parent": 0}
