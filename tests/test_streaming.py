@@ -259,3 +259,82 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     expected = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_foreachbatch_upsert_snapshot_matches_batch(spark, sf_dir, events_dir):
+    """The foreachBatch merge sink must leave the snapshot at
+    last-writer-wins per user_id — identical to the batch window
+    computed over the same rows."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.sinks import read_snapshot, stream_upsert_sink
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    snap_dir = tempfile.mkdtemp(prefix="snap_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+            .load(events_dir)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        q = stream_upsert_sink(
+            stream,
+            snap_dir,
+            ["user_id"],
+            "ts",
+            checkpoint_dir=ckpt_dir,
+            query_name="upsert_smoke",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = read_snapshot(spark, snap_dir)
+        batch = spark.read.parquet(events_dir).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("user_id"))
+        want = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # one row per user; ties on ts are possible across files, so
+        # compare (user_id, ts) — the last-writer key — not event ids
+        got_m = {(r.user_id, r.ts) for r in got.collect()}
+        want_m = {(r.user_id, r.ts) for r in want.collect()}
+        assert got.count() == batch.select("user_id").distinct().count()
+        assert got_m == want_m
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_upsert_batch_out_of_order_never_regresses(spark):
+    """A replayed/late micro-batch carrying an OLDER version of a key
+    must not overwrite the newer snapshot row."""
+    import datetime
+    import os
+
+    from bigdataamazon_spark.streaming.sinks import read_snapshot, upsert_batch
+
+    snap_dir = tempfile.mkdtemp(prefix="snap_ooo_")
+    try:
+        t1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        t2 = datetime.datetime(2024, 1, 1, 13, 0, 0)
+        newer = spark.createDataFrame([(7, t2, "new")], "k bigint, ts timestamp, v string")
+        older = spark.createDataFrame([(7, t1, "old"), (8, t1, "other")],
+                                      "k bigint, ts timestamp, v string")
+        upsert_batch(newer, snap_dir, ["k"], "ts", 0)
+        upsert_batch(older, snap_dir, ["k"], "ts", 1)
+        got = {(r.k, r.v) for r in read_snapshot(spark, snap_dir).collect()}
+        assert got == {(7, "new"), (8, "other")}
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
