@@ -174,3 +174,20 @@ def test_plan_summary_counts(spark, sf_dir):
     assert s["sort_merge_joins"] == 0
     assert s["cartesian_products"] == 0
     assert s["scans"] >= 5
+
+
+def test_packed_sequences_window_is_sharded(spark, sf_dir):
+    """The packing running-sum must window on hashpartitioning(shard) —
+    a SinglePartition window would serialize the corpus through one
+    task at scale."""
+    plan = _executed_plan(spark, "packed_sequences", sf_dir)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_upsert_merge_snapshot_side_not_shuffled(spark, sf_dir):
+    """MERGE keeps the snapshot un-shuffled: the only joins are
+    broadcast (anti probe on change keys)."""
+    plan = _executed_plan(spark, "orders_upsert_merge", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
