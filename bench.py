@@ -66,10 +66,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footer cache
+        fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footers + plan caches
         start = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 4)
+        # CacheManager matches persisted plans across calls, so the warm
+        # run legitimately feeds the timed run — but left alone, every
+        # query's blocks pile up in the shared heap and later queries pay
+        # the GC bill (observed as 10-30x timing outliers). Scope each
+        # query's caches to its own measurement.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

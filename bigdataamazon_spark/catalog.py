@@ -67,6 +67,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee at least ``min_parts`` partitions before a CPU-heavy
+    expansion (shingle explode, pair generation, GEMM).
+
+    A small table scans as one task (one file / one row group), so every
+    narrow operator chained onto it — however expensive per row — runs
+    single-threaded, and AQE can't help because it only sees shuffle
+    BYTES, not CPU. The fix is a round-robin shuffle of the small input,
+    which costs ~input-size bytes and buys full-cluster parallelism for
+    the expansion. Gated: when the scan is already wide (the 100-TB
+    case), this is a no-op and no shuffle is added.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every testdata table and register it as a temp view."""
     out: dict[str, DataFrame] = {}

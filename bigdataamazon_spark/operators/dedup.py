@@ -70,7 +70,14 @@ def doc_shingles(
 
     ``distinct=False`` skips the set-dedup shuffle — pass that when the
     next stage hashes to integer ids and dedups there (8-byte shuffle
-    keys instead of shingle strings)."""
+    keys instead of shingle strings).
+
+    The input is widened first: a doc table that scans as one task would
+    otherwise run the whole tokenize→n-gram→md5 chain single-threaded
+    (catalog.widen is a no-op on an already-wide scan)."""
+    from ..catalog import widen
+
+    df = widen(df)
     out = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("shingle"),
@@ -134,10 +141,19 @@ def exact_jaccard_pairs(
     # that is inherent to exact co-shingle counting; the LSH path is the
     # scale answer, this is the exact small/medium-corpus answer.
     docs_arr = F.array_sort(F.collect_set("doc_id"))
+    # The {i<j} expansion multiplies rows quadratically per shingle, but
+    # its INPUT (one row per shingle) is tiny, so AQE coalesces the
+    # post-agg stage down to one partition and the expansion runs
+    # single-threaded. An explicit numPartitions repartition pins the
+    # exchange width (AQE respects user-specified counts) so the
+    # quadratic work and the map-side partial agg of the (src,dst)
+    # count below stay parallel.
+    width = doc_sids.sparkSession.sparkContext.defaultParallelism
     pairs = (
         doc_sids.groupBy("sid")
         .agg(docs_arr.alias("ds"))
         .filter(F.size("ds") >= 2)
+        .repartition(width)
         .select(
             F.explode(
                 F.flatten(

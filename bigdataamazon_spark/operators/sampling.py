@@ -73,6 +73,47 @@ def mixture_sample(
     return df.filter(hash_fraction(F.col(key_col), seed) < rate)
 
 
+def shard_assignments(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int = 8,
+    seed: str = "s42",
+) -> DataFrame:
+    """Deterministic global shuffle: (key, shard, pos) — the exact
+    training-example order a dataloader will read, decided by data
+    alone.
+
+    ``rand()``-based shuffles change on every retry; ``orderBy(rand())``
+    is additionally a full global sort. Here shard = hash mod n_shards
+    and pos = rank of the hash within the shard, so (a) the order is
+    reproducible across engines, cluster sizes, and stage retries,
+    (b) there is no global sort — one hash-partitioned exchange plus a
+    per-shard sort, parallelism = n_shards, and (c) adding a shard
+    never perturbs the relative order of rows that stayed put in some
+    other shard. Pick n_shards ≫ executor count at scale; the sort is
+    per-shard, so shard size (not corpus size) bounds task memory.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    hashed = df.select(F.col(key_col), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return hashed.select(
+        key_col,
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

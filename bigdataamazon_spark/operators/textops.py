@@ -200,6 +200,82 @@ def curate_corpus(
     )
 
 
+# PII patterns, written to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes + bounded repeats only, no
+# lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Regex PII scrub: count and mask emails, IPv4 literals, and
+    NNN-NNN-NNNN phone numbers (the minimum redaction pass a
+    training-data pipeline runs before anything leaves the raw zone).
+
+    Entirely ``regexp_count`` / ``regexp_replace`` inside whole-stage
+    codegen — one narrow projection, no Python, no shuffle, so it
+    composes with the scan at any corpus size. Masking order matters:
+    emails first (an address can embed digits), then IPs (dotted quads
+    would otherwise be half-eaten by the phone pattern), then phones.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 120,
+    stride: int = 80,
+) -> DataFrame:
+    """Sliding-window character chunking with provenance offsets —
+    the context-window prep step between curation and tokenization.
+
+    One generator expression per doc (``sequence`` of starts →
+    ``posexplode`` → ``substring``): the fan-out is pipelined inside
+    the scan stage, no shuffle, and each output row carries
+    (chunk_id, chunk_start) so chunks join back to their source doc
+    deterministically. ``stride < size`` gives overlapping chunks.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(t) - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_text"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    chunk = F.substring(F.col("_text"), F.col("chunk_start") + 1, size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wid): dense deterministic word ids (cross-engine stand-in
     for xxhash64 — see operators.dedup docstring)."""

@@ -2623,3 +2623,186 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
         ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / chunking / deterministic global shuffle (training-data
+# pipeline surface, BASELINE.json ladder continued) + TPC-H Q8 shape
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no natural PII, so the query injects a
+# deterministic contact string into every third doc on BOTH engines —
+# the redaction counts and masked text are then non-trivially checked.
+_PII_AUG_SQL = """
+      text || CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.7 call 555-123-4567'
+        ELSE '' END
+"""
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails / IPv4 / phones) with per-doc match
+    counts and a hash of the masked text. All codegen-native
+    regexp_count/regexp_replace — one projection, no shuffle
+    (textops.pii_redact); generalizes the reference's regex-clean
+    passes (``/root/reference/amazon1.py:42-49,163-176``) from
+    currency strings to privacy masking."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 555-123-4567"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", injected.alias("text"))
+    out = textops.pii_redact(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 1), 80)) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_start // 80 AS INTEGER) AS chunk_id,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(length(substr(text, chunk_start + 1, 120)) AS INTEGER) AS chunk_len,
+           md5(substr(text, chunk_start + 1, 120)) AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window character chunking (size 120, stride 80) with
+    provenance offsets — generator-expression fan-out pipelined in the
+    scan, no shuffle (textops.chunk_documents)."""
+    return textops.chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=120, stride=80
+    )
+
+
+@register(
+    "training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: (doc, shard, pos) read-order
+    manifest — hash-mod sharding + per-shard rank, no global sort, no
+    rand() (sampling.shard_assignments)."""
+    return sampling.shard_assignments(
+        load_table(spark, sf_dir, "documents"), "doc_id", n_shards=8
+    )
+
+
+@register(
+    "national_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    )
+    GROUP BY o_year
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year. Every dimension (part filtered, both
+    nation legs, region, customer, supplier) broadcasts; lineitem is
+    touched once and the only fact-fact shuffle is lineitem⋈orders on
+    orderkey. The share is a conditional-sum / sum ratio in a single
+    grouped agg — no second pass."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )

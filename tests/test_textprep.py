@@ -1,0 +1,70 @@
+"""Unit semantics for the text-prep additions: PII redaction, chunking,
+and deterministic shard assignment (operators/textops.py,
+operators/sampling.py). Registry parity covers the corpus-scale runs;
+these pin the hand-checkable edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataamazon_spark.operators import sampling, textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_masks_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-ample.org and 192.168.0.1 then 555-123-4567 ok"),
+            (2, "no pii here, just 1.2 numbers and a dash-word"),
+            (3, "two mails x@y.io z@w.co one ip 10.0.0.7"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> and <IP> then <PHONE> ok"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "no pii here, just 1.2 numbers and a dash-word"
+    assert (out[3]["n_emails"], out[3]["n_ipv4"]) == (2, 1)
+    assert out[3]["redacted"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_chunking_covers_text_exactly(spark):
+    text = "abcdefghij" * 25  # 250 chars
+    df = _docs(spark, [(7, text), (8, "short"), (9, "")])
+    out = textops.chunk_documents(df, size=100, stride=60).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 7: starts 0,60,120,180,240 -> lens 100,100,100,70,10
+    c7 = sorted(by_doc[7], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c7] == [0, 60, 120, 180, 240]
+    assert [r["chunk_len"] for r in c7] == [100, 100, 100, 70, 10]
+    # strided chunks overlap, and their union covers every char:
+    # last chunk reaches the final char exactly
+    assert c7[-1]["chunk_start"] + c7[-1]["chunk_len"] == len(text)
+    # short doc -> one whole-text chunk; empty doc -> one empty chunk
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[8]] == [(0, 5)]
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[9]] == [(0, 0)]
+
+
+def test_shard_assignments_deterministic_and_dense(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    a = sampling.shard_assignments(df, "k", n_shards=4)
+    rows = a.collect()
+    assert len(rows) == 500
+    # positions are dense 1..n within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # identical assignment regardless of input partitioning (the
+    # property rand()-based shuffles lack)
+    b = sampling.shard_assignments(df.repartition(13), "k", n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
