@@ -217,3 +217,62 @@ def referential_audit(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row of
+    the same key with ``right.ts <= left.ts`` (left-outer: unmatched
+    left rows keep nulls). The canonical time-series enrichment join —
+    trades-to-quotes, event-to-session, feature-as-of-label.
+
+    Spark has no AsOfJoin operator, and the naive formulation
+    (range join + per-left-row argmax) explodes into every (left,
+    right) pair within the time bound. This is the union-window plan
+    instead: tag both inputs, union them, and run ONE window per key
+    ordered by (ts, side) taking the last non-null right payload —
+    right rows sort before left rows at equal ts, which is exactly the
+    inclusive <= semantics. Cost: a single hash exchange on key + a
+    per-key sort; output rows = left rows, never a pair blow-up. Skewed
+    keys split fine under AQE since the window partitions by key alone.
+    """
+    from pyspark.sql.types import StructType
+
+    payload_fields = [f for f in right.schema.fields if f.name != key_col]
+    payload_type = StructType(payload_fields)
+    rstruct = F.struct(*[F.col(f.name) for f in payload_fields])
+
+    lhs = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(payload_type).alias("_rrow"),
+    )
+    rhs = right.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
+        rstruct.alias("_rrow"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("_m", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_m.{f.name}").alias(f"{right_prefix}{f.name}") for f in payload_fields
+    ]
+    return matched.select(*out_cols)

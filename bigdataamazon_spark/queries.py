@@ -2806,3 +2806,174 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "rolling_revenue_7d",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day, day_rev,
+           round(sum(day_rev) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d
+    FROM daily
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: daily grouped agg, then a RANGE-frame
+    window sum keyed on epoch-day (value-based frame, so gap days
+    shrink the window — the semantics ROWS BETWEEN gets wrong).
+
+    The rolling pass is a single unpartitioned window, which is fine
+    ONLY because its input is one row per day (~2.4k rows at any
+    corpus size) — the heavy lifting happened in the partial-agg
+    groupBy below it. A per-key rolling metric would put the key in
+    partitionBy and keep the same frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+@register(
+    "purchase_asof_signup",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           s.event_id AS r_event_id, s.ts AS r_ts,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest
+    signup at-or-before it (relational.asof_join — union-window plan,
+    one key exchange, no range-pair blow-up; the oracle is DuckDB's
+    native ASOF LEFT JOIN, so the semantics are checked against a
+    first-class implementation)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    s = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    joined = relational.asof_join(p, s, "user_id", "ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "r_event_id",
+        "r_ts",
+        # NTZ has no direct long cast; session TZ is pinned UTC so the
+        # LTZ hop is shift-free on both engines
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("r_ts").cast("timestamp").cast("long")
+        ).alias("lag_seconds"),
+    )
+
+
+@register(
+    "signup_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.st
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+      GROUP BY 1
+    )
+    SELECT stage, users FROM (
+      SELECT 'signup' AS stage, count(*) AS users FROM s
+      UNION ALL SELECT 'click', count(*) FROM c
+      UNION ALL SELECT 'purchase', count(*) FROM p
+    )
+    """,
+)
+def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first click follows their
+    first signup, then whose first purchase follows that click. Each
+    stage is a grouped min-ts plus an equi-join to the prior stage —
+    the per-stage tables shrink monotonically, so every join after the
+    first broadcasts its build side under AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    count = lambda df, stage: df.agg(F.count(F.lit(1)).alias("users")).select(  # noqa: E731
+        F.lit(stage).alias("stage"), "users"
+    )
+    return count(s, "signup").unionByName(count(c, "click")).unionByName(
+        count(p, "purchase")
+    )
+
+
+@register(
+    "daily_event_anomalies",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT event_type, day, n,
+             round((n - avg(n) OVER (PARTITION BY event_type))
+                   / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS zscore
+      FROM d
+    )
+    SELECT event_type, day, n, zscore FROM z WHERE abs(zscore) > 2.0
+    """,
+)
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly flags: daily counts per event type, z-scored
+    against that type's own mean/stddev (unpartitioned-safe: the window
+    partitions by event_type, cardinality = #types, each holding one
+    row per day). Threshold compares the ROUNDED z so the cut is
+    reproducible across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6
+    )
+    return d.select("event_type", "day", "n", z.alias("zscore")).filter(
+        F.abs(F.col("zscore")) > 2.0
+    )

@@ -10,6 +10,9 @@ driver-side coalesce, partition columns for pruning on known filters.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -44,3 +47,47 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a small-file parquet directory into ~target-sized files;
+    returns the number of output partitions requested.
+
+    Streaming sinks, per-task writes, and hive partitioning all shed
+    thousands of tiny files over time; at scale each file costs a
+    listing call, a footer read, and a scheduler task, so scan latency
+    degrades long before data size does. Compaction = one distributed
+    read → round-robin ``repartition(ceil(bytes/target))`` → write.
+    The explicit partition count pins the output width (AQE won't
+    re-split it), and ``sort_within_by`` optionally re-sorts rows
+    inside each output file so parquet row-group min/max stats prune
+    range predicates on those columns (cheap zone-map clustering, no
+    global sort).
+
+    Local-filesystem sizing only (os.walk); on an object store, size
+    from the catalog/listing instead. Not atomic: write to a fresh
+    directory and swap a pointer (see streaming/sinks.py) rather than
+    overwriting in place.
+    """
+    n = max(1, math.ceil(_dir_bytes(in_path) / target_file_bytes))
+    df = spark.read.parquet(in_path).repartition(n)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("error").parquet(out_path)
+    return n

@@ -191,3 +191,36 @@ def test_upsert_merge_snapshot_side_not_shuffled(spark, sf_dir):
     plan = _executed_plan(spark, "orders_upsert_merge", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_and_chunks_are_shuffle_free(spark, sf_dir):
+    # narrow text prep must compose with the scan: no exchange at all,
+    # text is the only column read beside the id
+    for name in ("pii_redaction", "doc_chunks"):
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "Exchange" not in plan, name
+        assert all(set(s) <= {"doc_id", "text"} for s in _scan_schemas(plan)), name
+
+
+def test_training_shards_single_exchange_no_global_sort(spark, sf_dir):
+    plan = _executed_plan(spark, "training_shards", sf_dir)
+    # one hash exchange on the shard key; the sort is per-shard, so no
+    # rangepartitioning (a global sort would show Exchange rangepartitioning)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_q8_all_dims_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "national_market_share", sf_dir)
+    # part/customer(+nation+region)/supplier(+nation) all broadcast;
+    # the only sort-merge-eligible join is lineitem⋈orders
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_asof_join_is_one_key_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "purchase_asof_signup", sf_dir)
+    # union-window plan: no join operator at all, no range-pair blow-up
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Window" in plan

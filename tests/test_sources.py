@@ -211,3 +211,35 @@ def test_text_corpus_ids_stable(spark, tmp_path):
     whole = read_text_corpus(spark, d, whole_files=True)
     texts = sorted(r["text"] for r in whole.collect())
     assert texts == ["alpha", "alpha\nbeta"]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from bigdataamazon_spark.sources.parquet import compact_parquet
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    frag = os.path.join(tmp_path, "fragmented")
+    # force a small-file mess: many tiny files from one modest table
+    li.repartition(40).write.option("maxRecordsPerFile", 500).parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small >= 40
+
+    out = os.path.join(tmp_path, "compacted")
+    n = compact_parquet(
+        spark, frag, out, target_file_bytes=2 * 1024 * 1024,
+        sort_within_by=["l_shipdate"],
+    )
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out == n < n_small
+    # contents identical (multiset)
+    a = spark.read.parquet(out)
+    assert a.count() == li.count()
+    assert a.exceptAll(li).count() == 0 and li.exceptAll(a).count() == 0
+    # row-group clustering: every output file is internally sorted by
+    # l_shipdate, so min/max zone maps prune date ranges
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out, f), columns=["l_shipdate"])
+            vals = t.column("l_shipdate").to_pylist()
+            assert vals == sorted(vals)

@@ -68,3 +68,23 @@ def test_shard_assignments_deterministic_and_dense(spark):
     # property rand()-based shuffles lack)
     b = sampling.shard_assignments(df.repartition(13), "k", n_shards=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_join_semantics(spark):
+    from bigdataamazon_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        "k long, ts long, pname string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "s_at_10"), (1, 15, "s_at_15"), (3, 1, "other_key")],
+        "k long, ts long, sname string",
+    )
+    out = {r["pname"]: r for r in asof_join(left, right, "k", "ts").collect()}
+    # equal ts matches (inclusive <=)
+    assert out["p1"]["r_sname"] == "s_at_10" and out["p1"]["r_ts"] == 10
+    # latest prior wins, not the earliest
+    assert out["p2"]["r_sname"] == "s_at_15"
+    # left-outer: no right row for key 2 -> nulls
+    assert out["p3"]["r_sname"] is None and out["p3"]["r_ts"] is None
