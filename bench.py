@@ -50,6 +50,12 @@ HEADLINE = [
     "cosine_topk_ivf",
     "bow_cosine_topk",
     "embedding_neardup_pairs",
+    "pii_redaction",
+    "doc_chunks",
+    "training_shards",
+    "purchase_asof_signup",
+    "national_market_share",
+    "rolling_revenue_7d",
 ]
 
 

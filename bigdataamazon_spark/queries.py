@@ -2977,3 +2977,87 @@ def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("event_type", "day", "n", z.alias("zscore")).filter(
         F.abs(F.col("zscore")) > 2.0
     )
+
+
+@register(
+    "tfidf_cosine_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    filt AS (
+      SELECT doc_id, word FROM toks
+      WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+    ),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM filt GROUP BY 1, 2),
+    tot AS (SELECT count(DISTINCT doc_id) AS n FROM cnt),
+    idf AS (
+      SELECT word, ln((tot.n + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+      FROM cnt, tot GROUP BY word, tot.n
+    ),
+    w AS (
+      SELECT doc_id, cnt.word, cnt.c * idf.idf AS wt
+      FROM cnt JOIN idf ON cnt.word = idf.word
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, sum(a.wt * b.wt) AS dotp
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, dotp / (x.nrm * y.nrm) AS score
+      FROM shared JOIN nrm x ON x.doc_id = src JOIN nrm y ON y.doc_id = dst
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine top-5: the bow_cosine_topk plan with
+    smoothed-idf term weights (ln((N+1)/(df+1))+1). Same dense-GEMM
+    physical strategy — the vocabulary is tiny by construction, so the
+    (word, df) stats collect to the driver and each vector component
+    is a literal-keyed map probe times an idf literal; no word join,
+    no n-squared posting blow-up. Large sparse vocabularies take the
+    df-capped posting-list plan instead (bow_cosine_topk_sparse)."""
+    import math
+
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = cnt.select("doc_id").distinct().count()
+    stats = cnt.groupBy("word").agg(F.countDistinct("doc_id").alias("df")).collect()
+    idf = {
+        r["word"]: math.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0 for r in stats
+    }
+    words = sorted(idf)
+    m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
+    vecs = (
+        cnt.groupBy("doc_id")
+        .agg(m.alias("m"))
+        .select(
+            "doc_id",
+            F.array(
+                *[
+                    F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
+                    * F.lit(idf[w])
+                    for w in words
+                ]
+            ).alias("tfidf"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return similarity.cosine_topk(vecs, "doc_id", "tfidf", k=5)

@@ -37,7 +37,11 @@ def get_spark(app_name: str = DEFAULT_APP_NAME, *, ui: bool = False) -> SparkSes
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver IS the executor: 32 task threads share this
+        # heap, and persisted blocks live in it too. 8g showed GC-driven
+        # timing outliers under memory-heavy text queries; 16g is still
+        # an eighth of the box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "true" if ui else "false")
         # testdata parquet files are single small files; keep splits sane
         .config("spark.sql.files.maxPartitionBytes", "134217728")

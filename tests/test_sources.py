@@ -243,3 +243,19 @@ def test_compact_parquet_small_files(spark, tmp_path):
             t = pq.read_table(os.path.join(out, f), columns=["l_shipdate"])
             vals = t.column("l_shipdate").to_pylist()
             assert vals == sorted(vals)
+
+
+def test_html_report_sink(spark, tmp_path):
+    from bigdataamazon_spark.sources.html import to_html_table, write_html_report
+
+    df = spark.createDataFrame(
+        [(1, "a <b> & 'c'"), (2, None)], "id long, name string"
+    )
+    t = to_html_table(df.orderBy("id"), max_rows=1)
+    assert "<th>id</th><th>name</th>" in t
+    assert "a &lt;b&gt; &amp; &#x27;c&#x27;" in t  # escaped
+    assert "<td>2</td>" not in t  # max_rows respected
+    out = os.path.join(tmp_path, "report.html")
+    write_html_report(df.orderBy("id"), out, title="T & T")
+    s = open(out).read()
+    assert s.startswith("<!DOCTYPE html>") and "T &amp; T" in s and "<td></td>" in s

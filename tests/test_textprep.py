@@ -88,3 +88,72 @@ def test_asof_join_semantics(spark):
     assert out["p2"]["r_sname"] == "s_at_15"
     # left-outer: no right row for key 2 -> nulls
     assert out["p3"]["r_sname"] is None and out["p3"]["r_ts"] is None
+
+
+# --- property tests (hypothesis): random inputs vs independent references
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_asof_events = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_asof_events, right=_asof_events)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(0, -1, -1)],
+        "k long, ts long, lid long",
+    )
+    # dedupe right to one row per (k, ts): with duplicate keys both
+    # merge_asof and the window's last() would be pick-dependent
+    rpd = (
+        pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(right)] or [(9, -1, -1)],
+                     columns=["k", "ts", "rid"])
+        .sort_values(["k", "ts", "rid"])
+        .drop_duplicates(["k", "ts"], keep="last")
+    )
+    rdf = spark.createDataFrame(rpd, "k long, ts long, rid long")
+    lpd = ldf.toPandas().sort_values(["ts", "lid"])
+    expected = pd.merge_asof(
+        lpd, rpd.sort_values("ts"), on="ts", by="k", direction="backward"
+    )
+    from bigdataamazon_spark.operators.relational import asof_join
+
+    got = {r["lid"]: r["r_rid"] for r in asof_join(ldf, rdf, "k", "ts").collect()}
+    for _, row in expected.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[int(row["lid"])] == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=40), min_size=1, max_size=8),
+    size=st.integers(1, 10),
+    stride=st.integers(1, 10),
+)
+def test_chunking_matches_python_reference(spark, texts, size, stride):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_len"])
+        for r in textops.chunk_documents(df, size=size, stride=stride).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        starts = range(0, max(len(t), 1), stride)
+        for cid, s in enumerate(starts):
+            want.append((i, cid, s, len(t[s : s + size])))
+    assert got == sorted(want)
