@@ -3061,3 +3061,59 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return similarity.cosine_topk(vecs, "doc_id", "tfidf", k=5)
+
+
+@register(
+    "brand_price_quartiles",
+    """
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.25), 4) AS q25,
+           round(quantile_cont(p_retailprice, 0.50), 4) AS q50,
+           round(quantile_cont(p_retailprice, 0.75), 4) AS q75,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+)
+def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles: per-brand price quartiles via
+    ``percentile`` (exact linear-interpolation, matching DuckDB's
+    quantile_cont — NOT percentile_approx, whose sketch answers drift
+    between engines; the grouped generalization of describe()'s
+    25/50/75% rows, ``/root/reference/amazon1.py:62``). Exact grouped
+    percentile sorts within each group's hash-agg buffer — fine while
+    single groups fit an executor; switch to approx_order_stats'
+    KLL sketch when they don't."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(p_retailprice, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(p_retailprice, 0.75)"), 4).alias("q75"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register(
+    "segment_nation_overlap",
+    """
+    SELECT n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      EXCEPT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    )
+    """,
+)
+def segment_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.11 beyond unionByName): nations with
+    customers in BOTH building and machinery segments but NONE in
+    furniture — INTERSECT then EXCEPT, each planned as a distinct-ing
+    join (left-semi / left-anti under the hood), never a collect."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = lambda s: (  # noqa: E731
+        c.filter(F.col("c_mktsegment") == s)
+        .select(F.col("c_nationkey").alias("n_nationkey"))
+        .distinct()
+    )
+    return seg("BUILDING").intersect(seg("MACHINERY")).exceptAll(seg("FURNITURE"))

@@ -338,3 +338,50 @@ def test_upsert_batch_out_of_order_never_regresses(spark):
         assert got == {(7, "new"), (8, "other")}
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, events_dir):
+    """Stream-static join: a streaming fact leg enriched by a static
+    (broadcastable) dimension — no watermark needed on the static side,
+    and the result matches the batch twin row-for-row. The static side
+    here is a per-user first-seen table derived once in batch."""
+    import pyspark.sql.functions as F
+
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("ts").cast("timestamp").cast("long")
+             - F.col("first_seen").cast("timestamp").cast("long")).alias("age_s"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_purchases")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["age_s"])
+        for r in spark.sql("SELECT * FROM enriched_purchases").collect()
+    }
+    batch = ev.filter(F.col("event_type") == "purchase").join(dim, "user_id")
+    want = {
+        (r["event_id"], r["age_s"])
+        for r in batch.select(
+            "event_id",
+            (F.col("ts").cast("timestamp").cast("long")
+             - F.col("first_seen").cast("timestamp").cast("long")).alias("age_s"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
