@@ -58,3 +58,16 @@ def quantize_int8(a: Column, scale: Column) -> Column:
 def dequantize_int8(q: Column, scale: Column) -> Column:
     """Inverse map back to double: x̂_i = q_i · scale / 127."""
     return F.transform(q, lambda x: x.cast("double") * scale / F.lit(127.0))
+
+
+def centroid_agg(vec_col: Column | str, dim: int, *, round_to: int = 4) -> Column:
+    """Element-wise mean of a fixed-dim vector column as ONE aggregate
+    expression: ``array(avg(v[0]), …, avg(v[dim-1]))``. Mean-pooling per
+    group (class prototypes, IVF seed centroids, per-source embedding
+    drift) without exploding — the explode plan multiplies shuffle rows
+    by ``dim``; this stays one row per input, partial-aggregates
+    map-side, and remains inside whole-stage codegen."""
+    v = as_double_array(vec_col)
+    return F.array(
+        *[F.round(F.avg(F.element_at(v, i + 1)), round_to) for i in range(dim)]
+    )

@@ -219,6 +219,48 @@ def referential_audit(
     return reduce(lambda a, b: a.unionByName(b), counts)
 
 
+def binned_range_join(
+    facts: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval (theta) join rewritten as an equi-join on a bin grid —
+    the scale path when the interval side is too big to broadcast, where
+    a BroadcastNestedLoopJoin would be O(|facts| · |intervals|).
+
+    Each interval ``[lo, hi)`` explodes to the bins it overlaps
+    (``(hi - lo) / bin_width + 1`` rows — bounded, chosen by the
+    caller); each fact lands in exactly one bin; a hash equi-join on
+    the bin id pairs them, and the exact predicate re-checks as a
+    residual filter. A fact meets an interval in exactly one bin (the
+    fact's own), so no post-join dedup is needed. Shuffles hash on the
+    bin id — both sides exchange once, no cartesian anywhere, and AQE
+    can split hot bins. Pick ``bin_width`` near the typical interval
+    width: wider bins → fewer replicated interval rows but more
+    residual-filtered pairs; narrower → the reverse.
+    """
+    fb = facts.withColumn(
+        "_vbin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_vbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        fb.join(ib, "_vbin")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_vbin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -306,6 +306,74 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet/RefinedWeb-style line
+    dedup, generalized to fixed-width word segments since the corpus has
+    no newlines): split each document into NON-overlapping ``seg_words``
+    windows, drop every segment that occurs in more than ``max_docs``
+    distinct documents, and reassemble the survivors in order. This is
+    the segment-granular sibling of exact doc dedup (SURVEY §2.3 D2,
+    seeded by ``/root/reference/amazon1.py:119-122``) — it removes the
+    shared headers/footers exact-doc dedup cannot see.
+
+    Scale shape: the frequent-segment set is small BY CONSTRUCTION
+    (boilerplate = few distinct strings with many occurrences), so after
+    one hash aggregation over segment hashes the removal is a broadcast
+    LEFT ANTI join — the corpus itself is never shuffled, and the
+    reassembly groupBy shuffles on the doc id exactly once. Segmentation
+    runs as higher-order array functions inside codegen, no UDF.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    )
+    segments = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(segments).alias("pos", "seg"),
+    )
+    frequent = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(frequent), "seg", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.lit(1), F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(seg_words))
+        )
+        .cast("int")
+        .alias("n_segments"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def repetition_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:

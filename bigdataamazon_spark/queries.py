@@ -3117,3 +3117,105 @@ def segment_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return seg("BUILDING").intersect(seg("MACHINERY")).exceptAll(seg("FURNITURE"))
+
+
+@register(
+    "segment_dedup_docs",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segidx AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               0, greatest(CAST(ceil(len(ws) / 10.0) AS INTEGER), 1) - 1)) AS i
+      FROM words
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+      FROM segidx
+    ),
+    frequent AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (SELECT s.* FROM segs s ANTI JOIN frequent f ON s.seg = f.seg),
+    reassembled AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS INTEGER) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id,
+             greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INTEGER),
+                      1) AS n_segments
+      FROM documents
+    )
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_segments,
+           t.n_segments - coalesce(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN reassembled r USING (doc_id)
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: drop every non-overlapping
+    10-word segment that appears in more than one distinct document,
+    reassemble the survivors (textops.segment_dedup). Segment-granular
+    sibling of exact dedup `content_dedup_docs` — catches shared
+    headers/footers whole-doc hashing cannot. The frequent-segment set
+    is tiny by construction, so removal is a broadcast anti-join and the
+    corpus shuffles once (on doc_id, for reassembly)."""
+    return textops.segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_EMB_DIM = 64
+_CENTROID_ORACLE = (
+    "SELECT label, CAST(count(*) AS BIGINT) AS n, ["
+    + ", ".join(f"round(avg(embedding[{i + 1}]), 4)" for i in range(_EMB_DIM))
+    + "] AS centroid FROM embeddings GROUP BY label"
+)
+
+
+@register("embedding_centroids", _CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding (class prototype / IVF seed): 64
+    columnar ``avg`` aggregates folded into one array column
+    (vector.centroid_agg). No explode — the explode plan would multiply
+    the shuffle by the dimension; this one keeps one row per vector,
+    partial-aggregates map-side, and shuffles only |labels| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        vector.centroid_agg("embedding", _EMB_DIM).alias("centroid"),
+    )
+
+
+@register(
+    "supplier_price_band_orders",
+    """
+    WITH iv AS (
+      SELECT s_suppkey, round(abs(s_acctbal), 2) * 30 AS lo,
+             round(abs(s_acctbal), 2) * 30 + 25000 AS hi
+      FROM supplier
+    )
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS band_total
+    FROM iv JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY s_suppkey
+    """,
+)
+def supplier_price_band_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at scale: orders whose total price falls in each
+    supplier's (overlapping, data-derived) price band, via
+    relational.binned_range_join — the bin-grid equi-join rewrite, NOT
+    a nested-loop theta join. Contrast `orders_price_bands`, whose
+    3-row literal band table makes broadcast-nested-loop the right
+    plan; here the interval side is a real table, the shape that must
+    hash-partition at 100 TB."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.round(F.abs(F.col("s_acctbal")), 2) * 30).alias("lo")
+    )
+    s = s.withColumn("hi", F.col("lo") + 25000)
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    joined = relational.binned_range_join(o, "o_totalprice", s, "lo", "hi", 25000.0)
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+    )

@@ -224,3 +224,14 @@ def test_asof_join_is_one_key_exchange(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan
     assert "Window" in plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _executed_plan(spark, "supplier_price_band_orders", sf_dir)
+    # the bin-grid rewrite must plan a hash equi-join on the bin id;
+    # a BroadcastNestedLoopJoin here means the rewrite regressed to
+    # O(|facts| x |intervals|)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # orders scan pruned to the single value column
+    assert ["o_totalprice"] in _scan_schemas(plan)

@@ -157,3 +157,62 @@ def test_chunking_matches_python_reference(spark, texts, size, stride):
         for cid, s in enumerate(starts):
             want.append((i, cid, s, len(t[s : s + size])))
     assert got == sorted(want)
+
+
+def test_segment_dedup_edges(spark):
+    # doc 1 and 2 share their first 3-word segment (boilerplate); doc 3
+    # is unique; doc 4 is ONLY boilerplate -> empty clean_text, kept row
+    rows = [
+        (1, "a b c x y z tail"),          # segs: "a b c","x y z","tail"
+        (2, "a b c p q r"),               # segs: "a b c","p q r"
+        (3, "u v w"),                     # unique single segment
+        (4, "a b c"),                     # fully boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.segment_dedup(df, seg_words=3).collect()
+    }
+    assert out[1]["clean_text"] == "x y z tail" and out[1]["n_removed"] == 1
+    assert out[1]["n_segments"] == 3  # trailing partial segment counts
+    assert out[2]["clean_text"] == "p q r"
+    assert out[3]["clean_text"] == "u v w" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert len(out) == 4  # fully-removed docs stay present
+
+
+def test_centroid_agg_exact(spark):
+    from bigdataamazon_spark.functions import vector
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [5.0, 5.0])],
+        "label int, embedding array<double>",
+    )
+    got = {
+        r["label"]: r["centroid"]
+        for r in df.groupBy("label")
+        .agg(vector.centroid_agg("embedding", 2).alias("centroid"))
+        .collect()
+    }
+    assert got[0] == [2.0, 4.0] and got[1] == [5.0, 5.0]
+
+
+def test_binned_range_join_matches_naive(spark):
+    from bigdataamazon_spark.operators import relational
+
+    facts = spark.range(0, 500).select((F.col("id") * 7 % 400).cast("double").alias("v"))
+    iv = spark.createDataFrame(
+        [(1, 0.0, 50.0), (2, 25.0, 130.0), (3, 390.0, 1000.0), (4, 600.0, 700.0)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["iid"], r["v"])
+        for r in relational.binned_range_join(facts, "v", iv, "lo", "hi", 64.0).collect()
+    )
+    want = sorted(
+        (r["iid"], r["v"])
+        for r in facts.crossJoin(iv)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
