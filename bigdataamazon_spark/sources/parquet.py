@@ -91,3 +91,74 @@ def compact_parquet(
         df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("error").parquet(out_path)
     return n
+
+
+def zorder_value(df: DataFrame, cols: list[str], *, bits: int = 16):
+    """Z-order (Morton) key over numeric columns as ONE codegen'd long
+    expression: each column min-max-scales to ``bits`` buckets, then the
+    bucket bits interleave (bit b of column i lands at position
+    b·ncols+i). Rows close in z are close in EVERY input dimension, so
+    range-partitioning by z clusters each output file in all the
+    dimensions at once — which single-column sorting cannot do.
+    Returns (zcol, stats_row); nulls scale to bucket 0. Column count ×
+    bits must stay ≤ 63 to fit the long."""
+    from pyspark.sql import functions as F
+
+    assert len(cols) * bits <= 63, "z-value must fit a signed long"
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    stats = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = stats[2 * i], stats[2 * i + 1]
+        rng = (hi - lo) if hi is not None and hi > lo else 1.0
+        scaled = F.coalesce(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(rng) * top
+                    ).cast("long"),
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    return z
+
+
+def zorder_compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    zorder_by: list[str],
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> int:
+    """Compaction with multi-dimensional clustering: range-partition by
+    the interleaved z-value and sort within files by it, so parquet
+    row-group min/max stats prune predicates on ANY of ``zorder_by`` —
+    the lakehouse OPTIMIZE ZORDER shape, built from public primitives.
+    Costs one extra exchange (range partitioner sampling included)
+    versus plain compaction; pays for itself on the first scan that
+    filters a z-ordered column. Same non-atomicity caveat as
+    ``compact_parquet``."""
+    n = max(1, math.ceil(_dir_bytes(in_path) / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    z = zorder_value(df, zorder_by, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("error")
+        .parquet(out_path)
+    )
+    return n

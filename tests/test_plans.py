@@ -235,3 +235,62 @@ def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     # orders scan pruned to the single value column
     assert ["o_totalprice"] in _scan_schemas(plan)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime row-level filtering: when a selective dim filter feeds a
+    shuffle join, Spark builds a bloom filter on the dim keys and
+    probes it on the fact side BEFORE the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the matching slice. Pin that the injection fires (thresholds are
+    sized for clusters, so the scan-size gate is lowered here)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_brand") == "Brand#11"
+        )
+        j = (
+            l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Partition-pruning at runtime: a fact table hive-partitioned on a
+    derived key, joined to a dim filtered on a NON-partition column —
+    the partition filter is only knowable at run time, and DPP must
+    inject it as a subquery so unneeded partitions are never scanned."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    part_dir = os.path.join(tmp_path, "orders_by_year")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(part_dir)
+    )
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [(y, f"label{y}") for y in range(1992, 1999)], "o_year int, lbl string"
+    ).filter(F.col("lbl").isin("label1995", "label1996"))
+    j = fact.join(dim, "o_year").groupBy("lbl").count()
+    plan = executed_plan(j)
+    assert "dynamicpruning" in plan.lower()

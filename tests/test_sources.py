@@ -259,3 +259,40 @@ def test_html_report_sink(spark, tmp_path):
     write_html_report(df.orderBy("id"), out, title="T & T")
     s = open(out).read()
     assert s.startswith("<!DOCTYPE html>") and "T &amp; T" in s and "<td></td>" in s
+
+
+def test_zorder_compact_clusters_both_dims(spark, tmp_path):
+    """Files written by zorder_compact must be clustered in EVERY
+    z-ordered dimension: per-file value span << global span for both
+    columns (a single-column sort clusters one dim; round-robin
+    clusters none)."""
+    import glob as _glob
+
+    from bigdataamazon_spark.sources.parquet import zorder_compact
+
+    src = str(tmp_path / "src")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(src)
+    dest = str(tmp_path / "zout")
+    zorder_compact(spark, src, dest, ["l_extendedprice", "l_quantity"],
+                   target_file_bytes=24 * 1024)
+
+    files = _glob.glob(os.path.join(dest, "part-*.parquet"))
+    assert len(files) >= 4
+    glob_stats = spark.read.parquet(dest).agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+        F.min("l_quantity"), F.max("l_quantity"),
+    ).first()
+    e_rng = glob_stats[1] - glob_stats[0]
+    q_rng = glob_stats[3] - glob_stats[2]
+    e_fracs, q_fracs = [], []
+    for f in files:
+        s = spark.read.parquet(f).agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice"),
+            F.min("l_quantity"), F.max("l_quantity"),
+        ).first()
+        e_fracs.append((s[1] - s[0]) / e_rng)
+        q_fracs.append((s[3] - s[2]) / q_rng)
+    assert sum(e_fracs) / len(e_fracs) < 0.7
+    assert sum(q_fracs) / len(q_fracs) < 0.7
+    # rows conserved
+    assert spark.read.parquet(dest).count() == spark.read.parquet(src).count()
