@@ -382,6 +382,41 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS missing_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4):
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, and every ``try_variant_get`` path walks that
+    encoding instead of re-running a JSON parser per extracted key —
+    at 100 TB the difference between one parse per row and one per
+    (row × key), and the representation Parquet variant shredding
+    stores columnar. ``try_variant_get`` (not ``variant_get``) so
+    malformed or missing paths degrade to NULL rather than failing
+    the job — the same generalization of P3's empty→null contract
+    (``amazon1.py:47``) applied to nested data."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("missing_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / distinct (SURVEY.md §2.3)
 # ---------------------------------------------------------------------------

@@ -294,3 +294,16 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     j = fact.join(dim, "o_year").groupBy("lbl").count()
     plan = executed_plan(j)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_topk_window_gets_group_limit_pushdown(spark, sf_dir):
+    """Per-key top-k must not shuffle whole groups: Spark's
+    WindowGroupLimit rewrite keeps only k rows per key per map
+    partition BEFORE the exchange (partial) and re-limits after
+    (final). At 100 TB this bounds the window shuffle at
+    k·keys·partitions rows instead of the full table — if this pin
+    breaks (rank filter drifts away from the window, or a
+    non-rank-like function sneaks in), the top-k family silently
+    reverts to full-group shuffles."""
+    plan = _executed_plan(spark, "top_parts_per_brand", sf_dir)
+    assert plan.count("WindowGroupLimit") >= 2, plan
