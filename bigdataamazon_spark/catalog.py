@@ -39,23 +39,34 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
-    rejects outright; read it as raw nanos and rebuild a microsecond
-    timestamp with INTEGER division (double division would lose
-    precision above 2^53 — epoch-nanos are ~1.7e18).
+    """events.ts is parquet INT64 TIMESTAMP(NANOS). Readers differ:
+    Spark >=4.1 maps it natively to TIMESTAMP_NTZ (micro truncation);
+    older readers reject it unless ``spark.sql.legacy.parquet.nanosAsLong``
+    exposes raw nanos, which we then rebuild with INTEGER division
+    (double division would lose precision above 2^53 — epoch-nanos are
+    ~1.7e18). Handle both so the engine is reader-version-portable.
 
-    Session timezone is pinned UTC here so the LTZ->NTZ cast is a
-    no-op shift and values match DuckDB's naive-UTC reading even if
-    the caller's session was built elsewhere.
+    Session timezone is pinned UTC here so any LTZ<->NTZ hop is a no-op
+    shift and values match DuckDB's naive-UTC reading even if the
+    caller's session was built elsewhere.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts div 1000 AS LONG)")).cast("timestamp_ntz")
-    )
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, TimestampNTZType):
+        return df
+    if isinstance(ts_type, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts div 1000 AS LONG)")).cast("timestamp_ntz")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

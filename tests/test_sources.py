@@ -271,10 +271,12 @@ def test_zorder_compact_clusters_both_dims(spark, tmp_path):
     from bigdataamazon_spark.sources.parquet import zorder_compact
 
     src = str(tmp_path / "src")
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(src)
+    # coalesce(1): src byte size (→ output file count → z-range granularity)
+    # must not depend on how many files prior session state splits this into
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").coalesce(1).write.parquet(src)
     dest = str(tmp_path / "zout")
     zorder_compact(spark, src, dest, ["l_extendedprice", "l_quantity"],
-                   target_file_bytes=24 * 1024)
+                   target_file_bytes=12 * 1024)
 
     files = _glob.glob(os.path.join(dest, "part-*.parquet"))
     assert len(files) >= 4
