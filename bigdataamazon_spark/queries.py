@@ -3254,3 +3254,554 @@ def supplier_price_band_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("band_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived-partsupp TPC-H shapes (Q9/Q11/Q16/Q20 need a partsupp table the
+# testdata lacks; both engines derive the SAME part-supplier relation from
+# lineitem, so the capability — the query shape — is still oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_profit_by_nation_year",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1.0 - l_discount)
+                     - (p_retailprice * 0.6) * l_quantity), 1) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation,
+    per-order-year profit on a part-name sliver. Supply cost is the
+    deterministic proxy ``p_retailprice * 0.6`` (testdata has no
+    partsupp; the derivation is identical in the oracle). The p_name
+    filter prunes part FIRST, its keys broadcast into the lineitem
+    scan, and the fact shuffles once for the (nation, year) agg —
+    never for the dimension joins. Generalizes the grouped-agg surface
+    of ``amazon1.py:62`` to a 5-table star."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - (F.col("p_retailprice") * F.lit(0.6)) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 1).alias("profit"))
+    )
+
+
+@register(
+    "important_part_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS availqty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT ps.l_partkey, ps.availqty * (p_retailprice * 0.6) AS value
+      FROM ps
+      JOIN supplier ON s_suppkey = ps.l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = ps.l_partkey
+      WHERE n_name = 'NATION_3'
+    ),
+    byp AS (SELECT l_partkey, sum(value) AS value FROM nat GROUP BY 1)
+    SELECT l_partkey, round(value, 2) AS stock_value
+    FROM byp
+    WHERE value > (SELECT sum(value) * 0.002 FROM byp)
+    ORDER BY stock_value DESC, l_partkey ASC
+    LIMIT 100
+    """,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose one-nation stock
+    value exceeds a fraction of that nation's total. partsupp derives
+    from lineitem (sum quantity per part-supplier); value uses the
+    same retailprice supply-cost proxy as Q9. The global threshold is
+    a 1-row agg broadcast back (crossJoin) — Spark's decorrelation of
+    the scalar subquery — so the per-part frame is scanned once."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("availqty"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    byp = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("value", F.col("availqty") * (F.col("p_retailprice") * F.lit(0.6)))
+        .groupBy("l_partkey")
+        .agg(F.sum("value").alias("value"))
+    )
+    total = byp.agg((F.sum("value") * F.lit(0.002)).alias("threshold"))
+    return (
+        byp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "supplier_part_concentration",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    LIMIT 50
+    """,
+)
+def supplier_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier concentration): how many distinct
+    eligible suppliers serve each (brand, type, size) bucket, excluding
+    one brand, one type, and suppliers in bad standing (negative
+    balance — the 'complaints' proxy). The eligible-supplier set is a
+    broadcast semi-join; the distinct-agg shuffles (group keys +
+    suppkey) once."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    good = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(good), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH ps95 AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT l_suppkey, qty * 1.0 / sum(qty) OVER (PARTITION BY l_partkey) AS share
+      FROM ps95
+    ),
+    dom AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated
+      FROM shares WHERE share > 0.5 GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_name, n_dominated
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    ORDER BY n_dominated DESC, s_suppkey ASC
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape restated for the derived partsupp: suppliers who
+    shipped >50% of a part's 1995 volume ('dominant' suppliers), with
+    how many parts they dominate. The year filter hits the scan; the
+    per-part share is a window over the part-supp agg (same keys →
+    one shuffle reused); the supplier/nation decode joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    ps95 = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        ps95.withColumn("share", F.col("qty") / F.sum("qty").over(w))
+        .filter(F.col("share") > 0.5)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_dominated")
+        .orderBy(F.desc("n_dominated"), F.asc("s_suppkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series / distribution analytics (beyond the reference; the grouped /
+# windowed generalizations its describe()+histogram surface implies)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "signup_retention_cohorts",
+    """
+    WITH wk AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    coh AS (
+      SELECT DISTINCT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM coh
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week ASC, week_offset ASC
+    """,
+)
+def signup_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in each subsequent active week. One shuffle on user_id computes the
+    cohort (window min) AND the distinct (user, week) activity set; the
+    final agg shuffles only (cohort, offset) pairs. At 100 TB the
+    user-keyed shuffle is the unavoidable cost; everything after is
+    dim-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    coh = (
+        e.distinct()
+        .withColumn("cohort_week", F.min("wk").over(w))
+    )
+    return (
+        coh.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.asc("cohort_week"), F.asc("week_offset"))
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS cnt, avg(value) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds) g
+    )
+    SELECT grid.event_type, grid.hr,
+           CAST(coalesce(hourly.cnt, 0) AS BIGINT) AS n_events,
+           round(last_value(hourly.avg_val IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value_ff
+    FROM grid LEFT JOIN hourly
+      ON hourly.event_type = grid.event_type AND hourly.hr = grid.hr
+    ORDER BY grid.event_type ASC, grid.hr ASC
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a dense (event_type × hour) grid with
+    zero-filled counts and forward-filled averages — the resample +
+    ffill every monitoring pipeline needs, with no data in silent gaps.
+    The grid is generated (types × sequence()), never scanned; the
+    hourly agg shuffles once; the forward fill is last(ignorenulls)
+    over an hour-ordered window per type (|types| partitions, each a
+    bounded series — safe to window even at 100 TB because the PRE-AGG
+    bounds the partition to hours-per-year, not raw events)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("avg_val"))
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+            F.round(F.last("avg_val", ignorenulls=True).over(w), 4).alias(
+                "avg_value_ff"
+            ),
+        )
+        .orderBy(F.asc("event_type"), F.asc("hr"))
+    )
+
+
+@register(
+    "order_price_equidepth",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM b GROUP BY bucket ORDER BY bucket ASC
+    """,
+)
+def order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (quantile binning) — the complement of the
+    reference's equi-WIDTH histogram (``amazon1.py:68``): 8 buckets of
+    equal row count with their value spans. ntile needs a total order;
+    at 100 TB swap the exact ntile for approx percentile cut points +
+    width_bucket (same output contract) — here the exact form is kept
+    because it is what DuckDB can verify bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy(F.asc("bucket"))
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH pct AS (
+      SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+      FROM orders
+    )
+    SELECT round(p05, 2) AS p05, round(p95, 2) AS p95,
+           round(avg(o_totalprice), 2) AS avg_raw,
+           round(stddev_samp(o_totalprice), 2) AS std_raw,
+           round(avg(least(greatest(o_totalprice, p05), p95)), 2) AS avg_wins,
+           round(stddev_samp(least(greatest(o_totalprice, p05), p95)), 2) AS std_wins
+    FROM orders, pct
+    GROUP BY p05, p95
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: clamp to the exact [p5, p95] band and
+    compare raw vs robust mean/stddev — outlier handling the
+    reference's clip (``amazon1.py:89``, P6) does with constants,
+    generalized to data-derived exact percentiles. The percentile agg
+    is one pass; its 1-row result broadcasts back (crossJoin) so the
+    clamped re-agg is a second scan, never a self-join."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    pct = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        o.crossJoin(F.broadcast(pct))
+        .groupBy("p05", "p95")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_raw"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("std_raw"),
+            F.round(F.avg(clamped), 2).alias("avg_wins"),
+            F.round(F.stddev_samp(clamped), 2).alias("std_wins"),
+        )
+        .select(
+            F.round("p05", 2).alias("p05"),
+            F.round("p95", 2).alias("p95"),
+            "avg_raw", "std_raw", "avg_wins", "std_wins",
+        )
+    )
+
+
+@register(
+    "fuzzy_brand_probe",
+    """
+    WITH probes(probe) AS (
+      VALUES ('brandd#12'), ('Brnd#7'), ('brand#33x'), ('BRAND#21'), ('bran#3')
+    ),
+    brands AS (SELECT DISTINCT p_brand FROM part),
+    scored AS (
+      SELECT probe, p_brand,
+             levenshtein(lower(probe), lower(p_brand)) AS dist,
+             row_number() OVER (
+               PARTITION BY probe
+               ORDER BY levenshtein(lower(probe), lower(p_brand)), p_brand
+             ) AS rnk
+      FROM probes, brands
+    )
+    SELECT probe, p_brand AS matched_brand, CAST(dist AS INTEGER) AS dist
+    FROM scored WHERE rnk = 1 ORDER BY probe ASC
+    """,
+)
+def fuzzy_brand_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension lookup: noisy query strings matched to their
+    nearest catalog brand by edit distance — the resilient form of the
+    reference's exact dict probe + contains fallback
+    (``amazon1.py:179-189``, J1/J3). Probes × distinct brands is a
+    broadcast nested-loop on two TINY sides (the distinct collapses
+    the big table first); per-probe argmin is a window over ≤|brands|
+    rows."""
+    probes = spark.createDataFrame(
+        [("brandd#12",), ("Brnd#7",), ("brand#33x",), ("BRAND#21",), ("bran#3",)],
+        ["probe"],
+    )
+    brands = load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    dist = F.levenshtein(F.lower(F.col("probe")), F.lower(F.col("p_brand")))
+    w = Window.partitionBy("probe").orderBy(dist.asc(), F.asc("p_brand"))
+    return (
+        probes.crossJoin(F.broadcast(brands))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "probe",
+            F.col("p_brand").alias("matched_brand"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy(F.asc("probe"))
+    )
+
+
+@register(
+    "neardup_canonical_docs",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT src, dst FROM shared
+      JOIN sizes x ON x.doc_id = src JOIN sizes y ON y.doc_id = dst
+      WHERE c * 1.0 / (x.sz + y.sz - c) >= 0.5
+    ),
+    und AS (SELECT src AS a, dst AS b FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC
+             ) AS rnk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_sz
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+           CAST(cluster_sz AS BIGINT) AS cluster_sz
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER clustering that an actual dedup pass ships: one
+    canonical representative per near-dup cluster (longest text, doc_id
+    tiebreak). Composes pair generation → connected components →
+    per-cluster argmax; the final window runs over cluster-sized
+    groups (tiny), and the doc join-back is by key, never by order —
+    the distributed restatement of the reference keeping the first
+    duplicate row (``amazon1.py:121-122``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False), distinct=False)
+    pairs = dedup.exact_jaccard_pairs(sids, 0.5).select("src", "dst")
+    clusters = graph.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("cluster_sz", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            F.col("cluster_sz"),
+        )
+    )

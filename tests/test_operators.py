@@ -265,3 +265,73 @@ def test_referential_audit_flags_planted_orphans(spark):
     got = {r.fk: r.orphans for r in rows}
     # one planted orphan found; the clean edge still reports a zero row
     assert got == {"child->parent": 1, "parent->parent": 0}
+
+
+def test_hourly_gapfill_fills_gaps_and_forward_fills(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["events_hourly_gapfill"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    hours = {len(v) for v in by_type.values()}
+    # dense grid: every type covers the identical full hour range
+    assert len(hours) == 1
+    zeros = [r for r in rows if r.n_events == 0]
+    assert zeros, "sf0.001 events have silent hours; grid must surface them"
+    # forward fill: a zero-count hour after any observation carries a value
+    for rs in by_type.values():
+        seen = False
+        for r in rs:  # collect preserves the ORDER BY (type, hr)
+            if r.n_events > 0:
+                seen = True
+            if seen:
+                assert r.avg_value_ff is not None
+
+
+def test_equidepth_buckets_balanced(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["order_price_equidepth"](spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile guarantee
+    # spans are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_neardup_canonical_picks_longest(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.queries import queries
+
+    reps = queries()["neardup_canonical_docs"](spark, sf_dir).collect()
+    assert reps, "sf0.001 documents contain near-dup clusters"
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in queries()["neardup_clusters"](spark, sf_dir).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in reps:
+        assert r.cluster_sz >= 2  # singletons never form a cluster row
+        members = [d for d, c in clusters.items() if c == r.cluster_id]
+        assert r.rep_doc_id in members
+        assert r.rep_n_chars == max(chars[d] for d in members)
+
+
+def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["signup_retention_cohorts"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cohort, rs in by_cohort.items():
+        offs = sorted(r.week_offset for r in rs)
+        assert offs[0] == 0  # every cohort is active in its own first week
+        # retention can only count users who existed at offset 0
+        base = next(r.n_users for r in rs if r.week_offset == 0)
+        assert all(r.n_users <= base for r in rs)

@@ -307,3 +307,21 @@ def test_topk_window_gets_group_limit_pushdown(spark, sf_dir):
     reverts to full-group shuffles."""
     plan = _executed_plan(spark, "top_parts_per_brand", sf_dir)
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_q9_shape_all_dims_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "part_profit_by_nation_year", sf_dir)
+    # part(filtered)/supplier/nation broadcast; lineitem⋈orders is the
+    # only potentially shuffled join; fact shuffles once for the agg
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # p_name filter prunes the part side before the join
+    assert "p_name" in plan and "gear" in plan
+
+
+def test_gapfill_grid_is_generated_not_scanned(spark, sf_dir):
+    plan = _executed_plan(spark, "events_hourly_gapfill", sf_dir)
+    # the dense grid comes from sequence()+explode over a broadcast
+    # 1-row bounds agg — never a big scan or a shuffled join build
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "sequence(" in plan
