@@ -85,3 +85,67 @@ def connected_components(
 def dedup_keepers(components: DataFrame) -> DataFrame:
     """One keeper per cluster: the min-id member (= the label itself)."""
     return components.select(F.col("label").alias("keeper_id")).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after a FIXED number of weighted PageRank rounds.
+
+    r_{t+1}(j) = (1-d)/N + d * Σ_i r_t(i) · w_ij / out_i — the directed,
+    weight-normalized form. Fixed iteration count (not convergence-test)
+    keeps the result bit-deterministic and SQL-replayable, so the oracle
+    can chain the same number of CTE rounds. Dangling nodes (no out-edges)
+    leak their damped mass by design here; callers that need the
+    stochastic-matrix invariant add a uniform dangling term.
+
+    Each round is one shuffle join (ranks ⋈ out-normalized edges) + one
+    agg on dst; out-weights are computed once and persisted. Same
+    localCheckpoint discipline as :func:`connected_components` — lineage
+    would otherwise double per round.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst"), w.cast("double").alias("w")
+    )
+    out = e.groupBy("esrc").agg(F.sum("w").alias("out_w"))
+    norm = (
+        e.join(out, "esrc")
+        .select("esrc", "edst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("esrc").alias("node"))
+        .union(e.select(F.col("edst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node", "esrc"), "esrc")
+            .groupBy("edst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("edst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    norm.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -3805,3 +3805,489 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_sz"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping / robust statistics / graph analytics (beyond the reference:
+# the remaining gaps a complete engine surface needs — melt, SCD2 history,
+# skew diagnosis, rank correlation, grouped regression, keyword extraction,
+# dataset splits, iterative PageRank, markup stripping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_measures_unpivot",
+    """
+    SELECT measure, CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+           round(avg(value), 4) AS avg_value
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure ORDER BY measure ASC
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (melt): the four lineitem measures unpivoted to
+    (measure, value) rows, then profiled per measure — the §2.11 set-op
+    gap closed with the dedicated operator instead of a 4-way union.
+    ``unpivot`` is a zero-shuffle generator (4 output rows per input
+    row in the same scan stage); the only shuffle is the 4-group agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy(F.asc("measure"))
+    )
+
+
+@register(
+    "user_state_scd2",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id % 29 = 0
+    ),
+    chg AS (
+      SELECT user_id, ts AS valid_from, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM seq WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, CAST(version AS INTEGER) AS version, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+    FROM chg
+    ORDER BY user_id ASC, version ASC
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from a change log: consecutive identical
+    user states collapse, each surviving row gets [valid_from, valid_to)
+    with an open (NULL) end on the current state — the dimension-history
+    table every warehouse ETL maintains. Both windows share the
+    (user_id)-keyed shuffle; the change-compression filter runs between
+    them without re-exchanging. The user_id sliver bounds the checked
+    output; the plan is the full-table plan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        chg.select(
+            "user_id", "event_type", F.col("version").cast("int").alias("version"),
+            "valid_from", F.lead("valid_from").over(wv).alias("valid_to"),
+        )
+        .orderBy(F.asc("user_id"), F.asc("version"))
+    )
+
+
+@register(
+    "custkey_skew_report",
+    """
+    WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+    t AS (SELECT avg(cnt) AS avg_cnt, sum(cnt) AS total FROM c)
+    SELECT o_custkey, CAST(cnt AS BIGINT) AS n_orders,
+           round(cnt * 1.0 / total, 6) AS share,
+           round(cnt / avg_cnt, 4) AS skew_ratio
+    FROM c, t
+    ORDER BY cnt DESC, o_custkey ASC
+    LIMIT 15
+    """,
+)
+def custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: heavy-hitter customer keys with their
+    share of all orders and ratio over the mean key frequency — the
+    report that decides whether a downstream join needs salting
+    (relational.salted_join) or AQE skew splitting. One key-agg, then a
+    1-row global agg broadcast back; top-k is TakeOrdered, no full
+    sort."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.agg(F.avg("cnt").alias("avg_cnt"), F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "o_custkey",
+            F.col("cnt").alias("n_orders"),
+            F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "quantity_price_spearman",
+    """
+    WITH base AS (SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem),
+    rr AS (
+      SELECT q, p,
+             row_number() OVER (ORDER BY q) AS rq,
+             row_number() OVER (ORDER BY p) AS rp
+      FROM base
+    ),
+    ar AS (
+      SELECT avg(rq) OVER (PARTITION BY q) AS aq,
+             avg(rp) OVER (PARTITION BY p) AS ap
+      FROM rr
+    )
+    SELECT round(corr(aq, ap), 6) AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ar
+    """,
+)
+def quantity_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation — the robust complement of the
+    reference's Pearson matrix (``amazon1.py:97-98``, A3): Pearson over
+    average ranks, ties getting their tie-group mean rank (row_number
+    is arbitrary WITHIN a tie group, but the group's mean rank is not —
+    engine-independent by construction). The exact global rank needs a
+    total order; at scale the drop-in substitute is percent_rank over
+    approx-quantile buckets — here the exact form is what DuckDB
+    verifies."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+    )
+    rr = base.select(
+        "q", "p",
+        F.row_number().over(Window.orderBy("q")).alias("rq"),
+        F.row_number().over(Window.orderBy("p")).alias("rp"),
+    )
+    ar = rr.select(
+        F.avg("rq").over(Window.partitionBy("q")).alias("aq"),
+        F.avg("rp").over(Window.partitionBy("p")).alias("ap"),
+    )
+    return ar.agg(
+        F.round(F.corr("aq", "ap"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "returnflag_price_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC
+    """,
+)
+def returnflag_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form linear regression (price ~ quantity per return
+    flag) via the SQL-standard regr_* aggregates — model fitting that
+    stays a one-pass partial+final hash agg, no ML pipeline, no second
+    scan. The grouped generalization of the reference's corr matrix
+    (A3) to slope/intercept/fit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )
+
+
+@register(
+    "priority_status_mode",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY cnt DESC, o_orderstatus ASC
+      ) AS rnk FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           CAST(cnt AS BIGINT) AS n
+    FROM r WHERE rnk = 1 ORDER BY o_orderpriority ASC
+    """,
+)
+def priority_status_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: most frequent order status per
+    priority, ties broken by status asc — built as count + window argmax
+    rather than the builtin ``mode()`` precisely because the builtin's
+    tie choice is engine-arbitrary and would never oracle-match. The
+    window runs over group-count rows (|priorities|×|statuses|), i.e.
+    nothing."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("o_orderstatus")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("n"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+@register(
+    "tfidf_doc_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / idf.df) AS score
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+      WHERE tf.doc_id % 41 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, term, score, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS rnk FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 TF-IDF terms (idf over the
+    FULL corpus, probe docs a deterministic sliver). The df table is a
+    term-keyed agg reused broadcast-side; tf and the final window both
+    ride the doc_id partitioning. The per-doc top-k is WindowGroupLimit-
+    prunable like every other top-k here. Keyword extraction is the
+    per-doc dual of the corpus-level ``word_frequency`` (A8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") % 41 == 0)
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", F.round("score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "docs_split_assignment",
+    """
+    WITH d AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM d GROUP BY lang, split ORDER BY lang ASC, split ASC
+    """,
+)
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (80/10/10) from the same
+    md5 draw as the sampling operators — reproducible across engines,
+    retries, and cluster sizes, zero shuffle for the assignment itself;
+    the audit agg (per lang × split counts + mean length) is the only
+    exchange. A new doc lands in a stable split forever — the property
+    rand() splits silently lose on retry."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = sampling.hash_fraction(F.col("doc_id"), "split1")
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy(F.asc("lang"), F.asc("split"))
+    )
+
+
+_PAGERANK_EDGE_SQL = """
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             sum(l_extendedprice * (1.0 - l_discount)) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      GROUP BY 1, 2
+"""
+
+_PAGERANK_ITER_SQL = """
+    r{k} AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * coalesce(m.mass, 0.0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT norm.dst AS node, sum(r{j}.rank * norm.p) AS mass
+        FROM norm JOIN r{j} ON r{j}.node = norm.src GROUP BY 1
+      ) m USING (node)
+    )"""
+
+_PAGERANK_ORACLE = (
+    "WITH e AS (" + _PAGERANK_EDGE_SQL + "),\n"
+    "norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),\n"
+    "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+    "nn AS (SELECT count(*) AS n FROM nodes),\n"
+    "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"
+    + ",".join(_PAGERANK_ITER_SQL.format(k=k, j=k - 1) for k in range(1, 6))
+    + "\nSELECT node AS nation, round(rank, 7) AS rank FROM r5"
+)
+
+
+@register("nation_trade_pagerank", _PAGERANK_ORACLE)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 fixed rounds, d=0.85) over the nation trade
+    graph: supplier-nation -> customer-nation edges weighted by revenue.
+    The iterative operator (operators/graph.pagerank) is the same
+    loop-with-localCheckpoint harness as connected components — per
+    round one join + one dst-agg, lineage cut so round N never replays
+    rounds 1..N-1; the oracle replays the identical 5 rounds as chained
+    CTEs. Fixed iteration count (not convergence test) is what makes an
+    iterative algorithm SQL-verifiable at all."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("w")
+        )
+    )
+    ranks = graph.pagerank(edges, weight="w", iters=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("rank", 7).alias("rank")
+    )
+
+
+@register(
+    "html_strip_docs",
+    """
+    WITH marked AS (
+      SELECT doc_id,
+             '<h1 class="t">Doc ' || CAST(doc_id AS VARCHAR) || '</h1> <p>'
+               || text || ' &amp; <b>tail</b> &lt;EOF&gt;</p>' AS html
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    stripped AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INTEGER) AS n_tags,
+             trim(regexp_replace(
+               replace(replace(replace(
+                 regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM marked
+    )
+    SELECT doc_id, n_tags, CAST(length(clean) AS INTEGER) AS clean_len,
+           substr(clean, 1, 60) AS clean_head
+    FROM stripped
+    """,
+)
+def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping for web-corpus curation: tag removal, entity
+    decode, whitespace collapse — all codegen-native string expressions
+    in ONE projection, zero shuffle (the shape of a trafilatura-lite
+    pass). Markup is injected deterministically from doc_id (the corpus
+    is clean text) so the check is non-trivial, mirroring the
+    pii_redaction fixture pattern; generalizes the reference's URL
+    strip-to-clean passes (``amazon1.py:163-176``)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    html = F.concat(
+        F.lit('<h1 class="t">Doc '), F.col("doc_id").cast("string"),
+        F.lit("</h1> <p>"), F.col("text"), F.lit(" &amp; <b>tail</b> &lt;EOF&gt;</p>"),
+    )
+    no_tags = F.regexp_replace(html, "<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"),
+        "&gt;", ">",
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html, F.lit("<[^>]*>"), F.lit(0))).alias("n_tags"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.substring(clean, 1, 60).alias("clean_head"),
+    )

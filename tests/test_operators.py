@@ -335,3 +335,122 @@ def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
         # retention can only count users who existed at offset 0
         base = next(r.n_users for r in rs if r.week_offset == 0)
         assert all(r.n_users <= base for r in rs)
+
+
+def test_scd2_intervals_contiguous_and_compressed(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["user_state_scd2"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gaps/overlap
+            assert a.event_type != b.event_type  # change-compressed
+        assert rs[-1].valid_to is None  # current state stays open
+
+
+def test_pagerank_tiny_graph_matches_hand_rolled(spark):
+    from bigdataamazon_spark.operators.graph import pagerank
+
+    # star graph: a->b, a->c (equal weight), b->a, c->a
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    got = {r.node: r.rank for r in pagerank(edges, weight="w", iters=5).collect()}
+    # replay the same fixed-iteration recurrence in plain python
+    ranks = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    for _ in range(5):
+        mass = {"a": ranks["b"] + ranks["c"], "b": ranks["a"] / 2, "c": ranks["a"] / 2}
+        ranks = {k: 0.15 / 3 + 0.85 * mass[k] for k in ranks}
+    for k in ranks:
+        assert abs(got[k] - ranks[k]) < 1e-12
+    assert got["b"] == got["c"]  # symmetric spokes tie exactly
+
+
+def test_split_assignment_partitions_corpus(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["docs_split_assignment"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total  # exhaustive, no drops
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "valid", "test"}
+    assert 0.7 < by_split["train"] / total < 0.9
+    assert by_split["valid"] / total < 0.2 and by_split["test"] / total < 0.2
+
+
+def test_tfidf_keywords_ranked_and_positive(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["tfidf_doc_keywords"](spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s >= 0 for s in scores)  # idf >= 0 when df <= N
+
+
+def test_unpivot_preserves_row_counts(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["lineitem_measures_unpivot"](spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert {r.measure for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
+    assert all(r.n == n_li for r in rows)
+    disc = next(r for r in rows if r.measure == "l_discount")
+    assert 0.0 <= disc.lo <= disc.hi <= 1.0
+
+
+def test_html_strip_removes_all_markup(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["html_strip_docs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tags == 6  # h1, /h1, p, b, /b, /p — the injected set
+        assert r.clean_head.startswith(f"Doc {r.doc_id} ")
+        # decoded entities survive; tag text does not
+        assert "<h1" not in r.clean_head and "<p>" not in r.clean_head
+
+
+def test_spearman_bounded_and_mode_is_argmax(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.queries import queries
+    from pyspark.sql import functions as F
+
+    rho = queries()["quantity_price_spearman"](spark, sf_dir).collect()[0]
+    assert -1.0 <= rho.spearman_rho <= 1.0
+    assert rho.n == load_table(spark, sf_dir, "lineitem").count()
+
+    modes = queries()["priority_status_mode"](spark, sf_dir).collect()
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    best = {}
+    for r in counts:
+        cur = best.get(r.o_orderpriority)
+        key = (-r.cnt, r.o_orderstatus)
+        if cur is None or key < cur[0]:
+            best[r.o_orderpriority] = (key, r.o_orderstatus, r.cnt)
+    for m in modes:
+        _, status, cnt = best[m.o_orderpriority]
+        assert (m.mode_status, m.n) == (status, cnt)
