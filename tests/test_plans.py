@@ -325,3 +325,43 @@ def test_gapfill_grid_is_generated_not_scanned(spark, sf_dir):
     # 1-row bounds agg — never a big scan or a shuffled join build
     assert "Generate explode" in plan or "Generate" in plan
     assert "sequence(" in plan
+
+
+def test_skew_report_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "custkey_skew_report", sf_dir)
+    # heavy-hitter top-15 must be TakeOrdered over the key agg, never a
+    # global sort; the 1-row totals side joins broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_keywords_topk_pruned_and_idf_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "tfidf_doc_keywords", sf_dir)
+    # per-doc top-3 gets the rank-limit pushdown; the idf table joins
+    # broadcast so tf rows never shuffle for the join
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_scan_side_expand(spark, sf_dir):
+    plan = _executed_plan(spark, "lineitem_measures_unpivot", sf_dir)
+    # melt runs as Expand in the scan stage: exactly one shuffle (the
+    # 4-group agg), no join, no sort-before-agg
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert "SortMergeJoin" not in plan
+
+
+def test_html_strip_is_shuffle_free(spark, sf_dir):
+    plan = _executed_plan(spark, "html_strip_docs", sf_dir)
+    assert "Exchange" not in plan
+    # modulo filter reaches the scan
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "user_state_scd2", sf_dir)
+    # lag, row_number, and lead all partition by user_id: one hash
+    # exchange feeds every window (plus the presentation sort)
+    assert plan.count("hashpartitioning(user_id") <= 1
