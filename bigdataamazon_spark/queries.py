@@ -4291,3 +4291,169 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("int").alias("clean_len"),
         F.substring(clean, 1, 60).alias("clean_head"),
     )
+
+
+@register(
+    "doc_perplexity_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (
+      SELECT doc_id, term, count(*) AS c FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dt AS (SELECT doc_id, sum(c) AS dt FROM t GROUP BY 1),
+    v AS (SELECT term, sum(c) AS vc FROM t GROUP BY 1),
+    corpus AS (SELECT sum(c) AS ct FROM t)
+    SELECT t.doc_id,
+           CAST(dt.dt AS BIGINT) AS n_tokens,
+           round(-sum(t.c * ln(t.c * 1.0 / dt.dt)) / dt.dt, 6) AS self_entropy,
+           round(-sum(t.c * ln(v.vc * 1.0 / corpus.ct)) / dt.dt, 6) AS unigram_nll
+    FROM t
+    JOIN dt USING (doc_id) JOIN v USING (term) CROSS JOIN corpus
+    GROUP BY t.doc_id, dt.dt
+    """,
+)
+def doc_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring without an external model: per-doc
+    token-distribution Shannon entropy (low = repetitive junk) and
+    negative log-likelihood under the corpus-trained unigram LM (high =
+    off-distribution text) — the perplexity-filter shape of pretraining
+    curation, closed-vocab so no smoothing term. The unigram "model" is
+    a term-keyed agg broadcast back into the per-doc agg; tf and the
+    final agg share the doc_id-keyed exchange. Extends quality_scores /
+    repetition_scores with distributional signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("c").alias("vc"))
+    corpus = tf.agg(F.sum("c").alias("ct"))
+    w = Window.partitionBy("doc_id")
+    per = (
+        tf.withColumn("dt", F.sum("c").over(w))
+        .join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    return (
+        per.groupBy("doc_id", "dt")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("c") * 1.0 / F.col("dt"))) / F.col("dt"), 6
+            ).alias("self_entropy"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("vc") * 1.0 / F.col("ct"))) / F.col("dt"), 6
+            ).alias("unigram_nll"),
+        )
+        .select(
+            "doc_id", F.col("dt").alias("n_tokens"), "self_entropy", "unigram_nll"
+        )
+    )
+
+
+@register(
+    "copurchase_part_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS pc FROM items GROUP BY 1),
+    n AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           round(n_both * 1.0 / n.n, 6) AS support,
+           round(n_both * 1.0 * n.n / (x.pc * y.pc), 4) AS lift
+    FROM pairs
+    JOIN pc x ON x.l_partkey = part_a
+    JOIN pc y ON y.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_both >= 2
+    ORDER BY n_both DESC, part_a ASC, part_b ASC
+    LIMIT 100
+    """,
+)
+def copurchase_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-occurring in ≥2 orders
+    with support and lift — the collaborative complement of the
+    reference's content-based recommender (``amazon1.py:138-155``).
+    The pair join keys on l_orderkey whose fan-out is bounded (~7 items
+    per order), so the expansion is linear-with-constant, never n²; the
+    per-part priors are a broadcast dim; top-100 is TakeOrdered."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pc"))
+    n = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderkey").alias("n")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"), F.col("pc").alias("pca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"), F.col("pc").alias("pcb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_both",
+            F.round(F.col("n_both") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n") / (F.col("pca") * F.col("pcb")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "orders_mom_growth",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             sum(o_totalprice) AS rev, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT mo, round(rev, 2) AS revenue, CAST(n_orders AS BIGINT) AS n_orders,
+           round(rev / lag(rev) OVER (ORDER BY mo) - 1.0, 6) AS mom_growth
+    FROM m ORDER BY mo ASC
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly pre-agg, then a lag
+    ratio — the discrete derivative every revenue dashboard plots. The
+    global-order window runs over months-not-rows (the pre-agg bounds
+    it to |months| rows regardless of data scale), so the single
+    partition is safe at 100 TB; first month's growth is NULL by
+    construction."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("mo")
+    return (
+        m.select(
+            "mo", F.round("rev", 2).alias("revenue"), F.col("n_orders"),
+            F.round(F.col("rev") / F.lag("rev").over(w) - 1.0, 6).alias("mom_growth"),
+        )
+        .orderBy(F.asc("mo"))
+    )

@@ -454,3 +454,42 @@ def test_spearman_bounded_and_mode_is_argmax(spark, sf_dir):
     for m in modes:
         _, status, cnt = best[m.o_orderpriority]
         assert (m.mode_status, m.n) == (status, cnt)
+
+
+def test_perplexity_scores_identities(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["doc_perplexity_scores"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every doc scored
+    import math
+    for r in rows:
+        # entropy bounded by log of the doc's token count (uniform case);
+        # both sides rounded to 6 decimals, so allow that granularity
+        assert 0.0 <= r.self_entropy <= math.log(r.n_tokens) + 1e-6
+        # the corpus model can never beat the doc's own distribution
+        assert r.unigram_nll >= r.self_entropy - 1e-6
+
+
+def test_copurchase_lift_consistency(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["copurchase_part_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b  # canonical pair order, no mirrors
+        assert r.n_both >= 2 and r.support > 0 and r.lift > 0
+    ns = [r.n_both for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_mom_growth_first_month_null_and_ratio(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["orders_mom_growth"](spark, sf_dir).collect()
+    assert rows[0].mom_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.mom_growth is not None
+        expect = cur.revenue / prev.revenue - 1.0
+        assert abs(cur.mom_growth - expect) < 1e-4  # rounded revenue drift only
