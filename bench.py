@@ -56,6 +56,12 @@ HEADLINE = [
     "purchase_asof_signup",
     "national_market_share",
     "rolling_revenue_7d",
+    "part_profit_by_nation_year",
+    "signup_retention_cohorts",
+    "tfidf_doc_keywords",
+    "doc_perplexity_scores",
+    "copurchase_part_lift",
+    "nation_trade_pagerank",
 ]
 
 

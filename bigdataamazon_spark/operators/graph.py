@@ -95,6 +95,7 @@ def pagerank(
     *,
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """(node, rank) after a FIXED number of weighted PageRank rounds.
 
@@ -106,9 +107,12 @@ def pagerank(
     stochastic-matrix invariant add a uniform dangling term.
 
     Each round is one shuffle join (ranks ⋈ out-normalized edges) + one
-    agg on dst; out-weights are computed once and persisted. Same
-    localCheckpoint discipline as :func:`connected_components` — lineage
-    would otherwise double per round.
+    agg on dst; out-weights are computed once and persisted. Unlike
+    :func:`connected_components` (whose convergence check forces an
+    action every round), the rank lineage is a LINEAR chain — each round
+    reads the previous exactly once — so the whole fixed-round loop
+    stays one lazy plan; ``checkpoint_interval`` cuts lineage only every
+    k rounds (one job per cut, not per round) for large ``iters``.
     """
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
@@ -128,24 +132,24 @@ def pagerank(
     )
     n = nodes.count()
     base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(iters):
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "esrc"), "esrc")
             .groupBy("edst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("edst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contrib.withColumnRenamed("edst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
         )
-    norm.unpersist()
-    nodes.unpersist()
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    # NOTE: norm/nodes stay persisted until the caller's action consumes
+    # the returned lazy plan; unpersisting here would evict them before
+    # the (single) job that needs them 2·iters times runs.
     return ranks
