@@ -4457,3 +4457,53 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("mo"))
     )
+
+
+_PRETRAIN_SPLIT_SQL = """
+    SELECT CASE
+             WHEN ('0x' || substr(md5('split1:' || CAST(keeper_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0 < 0.8 THEN 'train'
+             WHEN ('0x' || substr(md5('split1:' || CAST(keeper_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0 < 0.9 THEN 'valid'
+             ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupes_removed,
+           round(avg(quality), 6) AS avg_quality
+    FROM cur GROUP BY split ORDER BY split ASC
+"""
+
+
+@register("pretraining_manifest", None)  # oracle composed below
+def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation ladder as ONE declarative plan: quality score ->
+    language filter -> exact dedup (curated_corpus) -> deterministic
+    train/valid/test assignment -> per-split budget report (docs, token
+    totals, dupes removed, mean quality). Everything before the final
+    4-row agg rides the dedup groupBy's single shuffle; the split
+    assignment is a zero-shuffle md5 projection. This is the manifest a
+    pretraining run reads before any GPU spins up — and the composition
+    proof that the operator surface closes over itself."""
+    cur = textops.curate_corpus(load_table(spark, sf_dir, "documents"))
+    u = sampling.hash_fraction(F.col("keeper_id"), "split1")
+    split = F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test")
+    return (
+        cur.select(
+            split.alias("split"), "n_tokens", "n_copies", "quality"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias("n_dupes_removed"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy(F.asc("split"))
+    )
+
+
+# the manifest oracle reuses the curated_corpus oracle verbatim as a CTE —
+# same ladder, same numbers, one more agg on top
+_ORACLES["pretraining_manifest"] = (
+    "WITH cur AS (" + _ORACLES["curated_corpus"] + ")" + _PRETRAIN_SPLIT_SQL
+)

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the hand-built distributed
+operators whose correctness is easiest to fumble on edge cases: the
+as-of join's tie/unmatched semantics, packing conservation, PageRank
+mass conservation, and the engine-portable hash draw.
+
+Each property compares the Spark operator against a straight-line
+Python re-implementation on generated inputs — the strategy the parity
+sweep can't cover because DuckDB has its own implementation of only
+SOME of these (asof) and none of the rest.
+
+Examples are capped low: every example is a Spark action; the value is
+in the generated edge cases (duplicate timestamps, empty sides,
+singleton keys), not in volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)
+VAL = st.integers(min_value=-100, max_value=100)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12),
+    right=st.lists(st.tuples(KEYS, TS, VAL), min_size=0, max_size=12),
+)
+@SLOW
+def test_asof_join_matches_naive(spark, left, right):
+    from bigdataamazon_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, float(t)) for k, t in left], ["k", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in right],
+        "k bigint, ts double, v bigint",
+    )
+    got = {
+        (r.k, r.ts, i): r.r_v
+        for i, r in enumerate(
+            asof_join(ldf, rdf, "k", "ts").orderBy("k", "ts").collect()
+        )
+    }
+    # naive: latest right row with same key and right.ts <= left.ts;
+    # ties on right.ts broken by the larger v is NOT required — the
+    # operator takes the LAST right row in (ts, side) order, which for
+    # equal right ts is whichever sorts later; assert against the set
+    # of admissible answers instead of one arbitrary choice.
+    rows = sorted(left)
+    naive = []
+    for k, t in rows:
+        cand = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        if not cand:
+            naive.append({None})
+        else:
+            best_ts = max(rt for rt, _ in cand)
+            naive.append({v for rt, v in cand if rt == best_ts})
+    assert len(got) == len(rows)
+    for (key, admissible), (gk, gt, gi) in zip(
+        zip(rows, naive), sorted(got)
+    ):
+        assert got[(gk, gt, gi)] in admissible
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=20),
+    seq_len=st.integers(min_value=8, max_value=64),
+)
+@SLOW
+def test_greedy_pack_conserves_tokens(spark, lens, seq_len):
+    from bigdataamazon_spark.operators.packing import greedy_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        ["doc_id", "text"],
+    )
+    packs = greedy_pack(docs, seq_len=seq_len, n_shards=3).collect()
+    # conservation: every token lands in exactly one pack manifest row
+    assert sum(p.n_tokens for p in packs) == sum(lens)
+    assert sum(p.n_docs for p in packs) == len(lens)
+    for p in packs:
+        assert p.first_doc <= p.last_doc
+        # a pack starts before the shard's cumulative stream passes its
+        # boundary: pack index grows monotonically with first offset
+        assert p.pack >= 0
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_mass_conserved_without_dangling(spark, edges):
+    from bigdataamazon_spark.operators.graph import pagerank
+
+    # close the graph: give every dst-only node a self-loop so no node
+    # dangles (the operator documents that dangling mass leaks)
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    srcs = {a for a, _ in edges}
+    closed = list(edges) + [(n, n) for n in nodes - srcs]
+    df = spark.createDataFrame(closed, ["src", "dst"])
+    ranks = pagerank(df, iters=3).collect()
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-9  # stochastic matrix preserves mass
+    assert all(r.rank > 0 for r in ranks)
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50))
+@SLOW
+def test_hash_fraction_in_unit_interval_and_deterministic(spark, keys):
+    from bigdataamazon_spark.operators.sampling import hash_fraction
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], ["k"])
+    out1 = {r.k: r.u for r in df.select("k", hash_fraction(F.col("k")).alias("u")).collect()}
+    out2 = {r.k: r.u for r in df.select("k", hash_fraction(F.col("k")).alias("u")).collect()}
+    assert out1 == out2  # retry-stable
+    assert all(0.0 <= u < 1.0 for u in out1.values())
