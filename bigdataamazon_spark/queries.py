@@ -4393,11 +4393,21 @@ def copurchase_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "orders").agg(
         F.countDistinct("o_orderkey").alias("n")
     )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # alias AFTER the join: both sides canonicalize to the identical
+    # distinct subplan, so its shuffle runs once and the second side is
+    # a ReusedExchange (aliasing before the join defeats the reuse and
+    # the distinct would run per-side)
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 2)
@@ -4507,3 +4517,48 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["pretraining_manifest"] = (
     "WITH cur AS (" + _ORACLES["curated_corpus"] + ")" + _PRETRAIN_SPLIT_SQL
 )
+
+
+@register(
+    "event_series_correlation",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.cnt, b.cnt), 6) AS r,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over the metric catalog: which
+    event types move together day-to-day (Pearson over the inner-joined
+    daily series, pairs canonicalized a<b). The raw stream collapses to
+    |types|×|days| FIRST — the pair join and corr agg run over the
+    pre-agg, so at 100 TB the expensive part stays the one groupBy of
+    the scan; the pairwise stage is dims-squared, not events-squared."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = d.select(F.col("event_type").alias("type_a"), "day", F.col("cnt").alias("ca"))
+    b = d.select(F.col("event_type").alias("type_b"), "day", F.col("cnt").alias("cb"))
+    return (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("ca", "cb"), 6).alias("r"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy(F.asc("type_a"), F.asc("type_b"))
+    )
