@@ -132,3 +132,56 @@ def test_hash_fraction_in_unit_interval_and_deterministic(spark, keys):
     out2 = {r.k: r.u for r in df.select("k", hash_fraction(F.col("k")).alias("u")).collect()}
     assert out1 == out2  # retry-stable
     assert all(0.0 <= u < 1.0 for u in out1.values())
+
+
+@given(
+    facts=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=15),
+    ivals=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=90, allow_nan=False),
+            st.floats(min_value=0.5, max_value=15, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([1.0, 2.5, 7.0]),
+)
+@SLOW
+def test_binned_range_join_matches_naive(spark, facts, ivals, width):
+    from bigdataamazon_spark.operators.relational import binned_range_join
+
+    fdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(facts)], "fid bigint, v double"
+    )
+    idf = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(ivals)],
+        "iid bigint, lo double, hi double",
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in binned_range_join(fdf, "v", idf, "lo", "hi", width).collect()
+    }
+    naive = {
+        (i, j)
+        for i, v in enumerate(facts)
+        for j, (lo, w) in enumerate(ivals)
+        if lo <= v < lo + w
+    }
+    assert got == naive
+
+
+@given(
+    snap=st.dictionaries(KEYS, VAL, min_size=0, max_size=8),
+    changes=st.dictionaries(KEYS, VAL, min_size=1, max_size=8),
+)
+@SLOW
+def test_merge_upsert_matches_dict_update(spark, snap, changes):
+    from bigdataamazon_spark.operators.relational import merge_upsert
+
+    schema = "k bigint, v bigint"
+    sdf = spark.createDataFrame(list(snap.items()), schema)
+    cdf = spark.createDataFrame(list(changes.items()), schema)
+    got = {r.k: r.v for r in merge_upsert(sdf, cdf, ["k"]).collect()}
+    expect = dict(snap)
+    expect.update(changes)  # MERGE == dict update
+    assert got == expect
