@@ -186,6 +186,83 @@ def exact_jaccard_pairs(
     )
 
 
+def prefix_filter_candidates(
+    doc_sids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """AllPairs-style prefix-filtered candidate pairs for exact Jaccard
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    positional refinement in Xiao et al., PPJoin, WWW'08 — both public).
+
+    For J(A,B) >= t the overlap is >= ceil(t·max(|A|,|B|)), so under ANY
+    fixed global shingle order the first ``|A| - ceil(t·|A|) + 1``
+    shingles of A and the corresponding prefix of B must intersect —
+    pairs can therefore be generated from PREFIX postings only. Ordering
+    shingles by ascending document frequency puts the corpus's hot
+    shingles (the quadratic killers of the naive co-shingle join) in the
+    SUFFIXES, where they never generate a candidate. A size filter
+    (min >= t·max) prunes further; exact verification restores precision,
+    so the final pair set is IDENTICAL to the naive join's.
+
+    Plan: one sid-keyed agg (df), one sid join riding the same
+    partitioning, one doc-keyed set-agg, prefix explode, self-join on
+    prefix sid (both sides the same canonicalized plan -> the exchange
+    is reused), then a distinct over the (small) candidate set.
+    Tolerates duplicate (doc_id, sid) rows: collect_set restores set
+    semantics; a multiplicity-inflated df only perturbs the ORDER
+    heuristic, never correctness.
+
+    WHEN TO USE (measured 2026-08-13): on the synthetic testdata the
+    shingle-frequency distribution is near-uniform, so the prefix prunes
+    little and the extra shuffles make this ~1.6x SLOWER than
+    ``exact_jaccard_pairs``'s direct co-shingle join (3.6s vs 2.2s at
+    sf0.1; 51s vs 23s on the 100x stress corpus) — the registry default
+    therefore stays the direct join, with MinHash+LSH as the scale path.
+    Prefix filtering wins on REAL corpora whose df distribution is
+    Zipfian (web text), where a few hot shingles dominate the direct
+    join's O(Σ df²) blowup but sit harmlessly in the suffixes here.
+    """
+    dfc = doc_sids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    ranked = doc_sids.join(dfc, "sid")
+    arr = F.array_sort(
+        F.collect_set(F.struct(F.col("df"), F.col("sid")))
+    )
+    prefixed = (
+        ranked.groupBy("doc_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("sz"),
+            F.slice(
+                F.col("arr"),
+                1,
+                (
+                    F.size("arr")
+                    - F.ceil(F.lit(threshold) * F.size("arr")).cast("int")
+                    + F.lit(1)
+                ),
+            ).alias("prefix"),
+        )
+    )
+    posts = prefixed.select(
+        "doc_id", "sz", F.explode(F.col("prefix.sid")).alias("sid")
+    )
+    return (
+        posts.alias("x")
+        .join(
+            posts.alias("y"),
+            (F.col("x.sid") == F.col("y.sid"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.least(F.col("x.sz"), F.col("y.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+            ),
+        )
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def verify_jaccard_candidates(
     doc_sids: DataFrame,
     candidates: DataFrame,

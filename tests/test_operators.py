@@ -493,3 +493,24 @@ def test_mom_growth_first_month_null_and_ratio(spark, sf_dir):
         assert cur.mom_growth is not None
         expect = cur.revenue / prev.revenue - 1.0
         assert abs(cur.mom_growth - expect) < 1e-4  # rounded revenue drift only
+
+
+def test_prefix_filter_candidates_lossless(spark, sf_dir):
+    """Prefix filtering must yield the IDENTICAL pair set as the direct
+    co-shingle join — it is a candidate-pruning rewrite, not an
+    approximation (AllPairs guarantee)."""
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False), distinct=False)
+    direct = {
+        (r.src, r.dst, r.jaccard)
+        for r in dedup.exact_jaccard_pairs(sids, 0.5).collect()
+    }
+    cands = dedup.prefix_filter_candidates(sids, 0.5)
+    filtered = {
+        (r.src, r.dst, r.jaccard)
+        for r in dedup.exact_jaccard_pairs(sids, 0.5, candidates=cands).collect()
+    }
+    assert direct == filtered and direct
