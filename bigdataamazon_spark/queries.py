@@ -4562,3 +4562,86 @@ def event_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("type_a"), F.asc("type_b"))
     )
+
+
+@register(
+    "nation_top_customers_listagg",
+    """
+    WITH ranked AS (
+      SELECT n_name, c_name, c_acctbal,
+             row_number() OVER (
+               PARTITION BY n_name ORDER BY c_acctbal DESC, c_name ASC
+             ) AS rnk
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY rnk) AS top_customers,
+           round(sum(c_acctbal), 2) AS top_balance
+    FROM ranked WHERE rnk <= 3
+    GROUP BY n_name ORDER BY n_name ASC
+    """,
+)
+def nation_top_customers_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG surface: per nation, the top-3 customers by balance as
+    one ordered CSV cell — the denormalized report cell BI exports
+    want. Deterministic by construction (rank collected into the
+    struct, array_sort, then join); the top-3 window prunes under
+    WindowGroupLimit before the string agg ever sees a row."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_name"))
+    ranked = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+                    lambda s: s.getField("c_name"),
+                ),
+                ",",
+            ).alias("top_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("top_balance"),
+        )
+        .orderBy(F.asc("n_name"))
+    )
+
+
+@register(
+    "priority_flag_summary",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+             AS finished_value,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority ASC
+    """,
+)
+def priority_flag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates in one pass: count_if /
+    filtered sum / bool_and / bool_or per priority — the idiom that
+    replaces N separate filtered scans with ONE hash agg (every branch
+    is a map-side expression; the reference computes such summaries as
+    separate eager passes, ``amazon1.py:62-98``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias("finished_value"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
