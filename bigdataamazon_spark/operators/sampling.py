@@ -153,3 +153,31 @@ def decontaminate(
     return docs.join(
         contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    weight_col: str,
+    *,
+    seed: str = "w42",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, size ``n``
+    (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006 — public): each row draws u = hash(key) in
+    (0,1) and scores u^(1/w); the top-n scores ARE a weighted sample
+    without replacement. Entirely expression-level — the 'reservoir'
+    becomes a TakeOrdered top-n, no state, no sequential pass, and the
+    same keys win on any cluster size or retry (unlike rand()-based
+    sampling). u is clamped away from 0 so zero/negative draws cannot
+    produce NaN scores.
+    """
+    u = F.greatest(hash_fraction(F.col(key_col), seed), F.lit(1e-18))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("_ws", score)
+        .orderBy(F.desc("_ws"), F.asc(key_col))
+        .limit(n)
+        .drop("_ws")
+    )

@@ -4645,3 +4645,31 @@ def priority_flag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("o_orderpriority"))
     )
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             pow(greatest(('0x' || substr(md5('w42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          / 1152921504606846976.0, 1e-18),
+                 1.0 / n_chars) AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM scored ORDER BY ws DESC, doc_id ASC LIMIT 50
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement (Efraimidis-Spirakis
+    u^(1/w) keys over the deterministic md5 draw): longer documents win
+    proportionally more often, the selection is identical on every
+    engine, retry, and cluster size, and the 'reservoir' compiles to a
+    TakeOrdered top-n — no state, no sequential scan. The token-budget
+    sampler a curation pipeline uses when docs, not rows, carry
+    weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, 50, "doc_id", "n_chars").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

@@ -514,3 +514,22 @@ def test_prefix_filter_candidates_lossless(spark, sf_dir):
         for r in dedup.exact_jaccard_pairs(sids, 0.5, candidates=cands).collect()
     }
     assert direct == filtered and direct
+
+
+def test_weighted_sample_biased_toward_heavy_and_deterministic(spark, sf_dir):
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = [r.doc_id for r in weighted_sample(docs, 50, "doc_id", "n_chars").collect()]
+    s2 = [r.doc_id for r in weighted_sample(docs, 50, "doc_id", "n_chars").collect()]
+    assert sorted(s1) == sorted(s2)  # retry-deterministic
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = (
+        docs.join(spark.createDataFrame([(d,) for d in s1], ["doc_id"]), "doc_id")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    # length-weighting must over-represent long documents
+    assert sample_mean > corpus_mean

@@ -365,3 +365,12 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
     # lag, row_number, and lead all partition by user_id: one hash
     # exchange feeds every window (plus the presentation sort)
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "docs_weighted_sample", sf_dir)
+    # the Efraimidis-Spirakis 'reservoir' must compile to top-n, not a
+    # global sort; the score is a scan-stage projection (no shuffle
+    # before the TakeOrdered)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
