@@ -318,3 +318,37 @@ def asof_join(
         F.col(f"_m.{f.name}").alias(f"{right_prefix}{f.name}") for f in payload_fields
     ]
     return matched.select(*out_cols)
+
+
+def snapshot_diff(
+    before: DataFrame, after: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two table snapshots: (keys..., change) with
+    change in {added, removed, updated, unchanged} — the audit that
+    turns 'the pipeline ran' into 'here is exactly what it did'.
+
+    Payloads compare by md5 over a null-safe '|'-joined column concat,
+    so only (key, 16-byte hash) crosses the wire — never row payloads.
+    The full-outer join hashes on the key; at 100 TB co-locate both
+    snapshots with write_bucketed on the key and the exchange
+    disappears entirely.
+    """
+    payload = [c for c in before.columns if c not in key_cols]
+
+    def _h(df: DataFrame):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in payload],
+            )
+        )
+
+    b = before.select(*key_cols, _h(before).alias("_bh"))
+    a = after.select(*key_cols, _h(after).alias("_ah"))
+    cls = (
+        F.when(F.col("_bh").isNull(), "added")
+        .when(F.col("_ah").isNull(), "removed")
+        .when(F.col("_bh") != F.col("_ah"), "updated")
+        .otherwise("unchanged")
+    )
+    return b.join(a, key_cols, "full_outer").select(*key_cols, cls.alias("change"))

@@ -4673,3 +4673,135 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(docs, 50, "doc_id", "n_chars").select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+      UNION ALL SELECT * FROM chg
+    ),
+    after AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 1),
+    b AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+                                coalesce(CAST(o_totalprice AS VARCHAR), '<null>'))) AS bh
+      FROM snap
+    ),
+    a AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+                                coalesce(CAST(o_totalprice AS VARCHAR), '<null>'))) AS ah
+      FROM after
+    )
+    SELECT CASE WHEN bh IS NULL THEN 'added'
+                WHEN ah IS NULL THEN 'removed'
+                WHEN bh <> ah THEN 'updated'
+                ELSE 'unchanged' END AS change,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM b FULL OUTER JOIN a USING (o_orderkey)
+    GROUP BY change ORDER BY change ASC
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (relational.snapshot_diff): the upsert
+    query's before/after snapshots diffed into added / removed /
+    updated / unchanged counts — only (key, md5) pairs cross the
+    wire. The synthetic change+delete pattern exercises all four
+    classes deterministically.
+
+    Float-to-string parity note: the payload hash concatenates the
+    DOUBLE as text, and both engines print shortest-roundtrip doubles
+    identically for these values (x.0 and x+10.0 forms) — verified by
+    the hash-match itself."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = o.filter(F.col("o_orderkey") % 3 != 0)
+    chg = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    after = relational.merge_upsert(snap, chg, ["o_orderkey"]).filter(
+        F.col("o_orderkey") % 7 != 1
+    )
+    return (
+        relational.snapshot_diff(snap, after, ["o_orderkey"])
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy(F.asc("change"))
+    )
+
+
+_PROFILE_NUM = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_PROFILE_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+_PROFILE_COLS = _PROFILE_NUM + _PROFILE_OTHER
+
+_TABLE_PROFILE_ORACLE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {f"round(min({c}) * 1.0, 4)" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"} AS min_num,
+               {f"round(max({c}) * 1.0, 4)" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"} AS max_num
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    )
+    + ") ORDER BY column_name ASC"
+)
+
+
+@register("table_profile_lineitem", _TABLE_PROFILE_ORACLE)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiler: per-column null count, exact distinct
+    count, and numeric min/max for the whole lineitem schema, emitted
+    long-format — the ANALYZE/profile report every ingestion gate runs
+    first. All 11 columns profile in a SINGLE aggregate (the multi-
+    distinct compiles to one Expand; at 100 TB swap countDistinct for
+    approx_count_distinct and the Expand disappears), then one
+    generator flips the wide row long. The oracle recomputes each
+    column independently — 11 scans there vs one here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.round(F.min(c) * 1.0, 4).alias(f"min_{c}"))
+        aggs.append(F.round(F.max(c) * 1.0, 4).alias(f"max_{c}"))
+    wide = li.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"min_{c}") if c in _PROFILE_NUM else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"max_{c}") if c in _PROFILE_NUM else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.column_name", "p.n_null", "p.n_distinct", "p.min_num", "p.max_num")
+        .orderBy(F.asc("column_name"))
+    )

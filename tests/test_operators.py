@@ -533,3 +533,22 @@ def test_weighted_sample_biased_toward_heavy_and_deterministic(spark, sf_dir):
     )
     # length-weighting must over-represent long documents
     assert sample_mean > corpus_mean
+
+
+def test_snapshot_diff_classes_on_tiny_fixture(spark):
+    from bigdataamazon_spark.operators.relational import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k bigint, v string"
+    )
+    after = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, None), (5, "new")], "k bigint, v string"
+    )
+    got = {r.k: r.change for r in snapshot_diff(before, after, ["k"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "updated",
+        4: "unchanged",  # null payloads hash equal, not 'updated'
+        5: "added",
+    }
