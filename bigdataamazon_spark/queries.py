@@ -4805,3 +4805,60 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.column_name", "p.n_null", "p.n_distinct", "p.min_num", "p.max_num")
         .orderBy(F.asc("column_name"))
     )
+
+
+@register(
+    "bigram_lm_pmi",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM toks, unnest(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cf AS (SELECT w1, count(*) AS cf FROM bg GROUP BY 1),
+    cs AS (SELECT w2, count(*) AS cs FROM bg GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM bg)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           round(c * 1.0 / cf, 6) AS p_cond,
+           round(ln(c * 1.0 * n / (cf * cs)), 6) AS pmi
+    FROM c12 JOIN cf USING (w1) JOIN cs USING (w2) CROSS JOIN n
+    ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 100
+    """,
+)
+def bigram_lm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model artifact as a TABLE: top bigrams with
+    conditional probability P(w2|w1) and pointwise mutual information
+    over bigram-position marginals — the train side of the perplexity
+    scorer and the collocation detector in one pass. The corpus
+    explodes once into bigrams; the three marginal aggs are dim-sized
+    and broadcast back; top-100 is TakeOrdered. (The n-gram LM tables
+    KenLM-style pipelines build, minus backoff smoothing.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bg = (
+        docs.select(F.explode(text.word_ngrams(toks, 2)).alias("b"))
+        .select(
+            F.split(F.col("b"), " ").getItem(0).alias("w1"),
+            F.split(F.col("b"), " ").getItem(1).alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cf"))
+    cs = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cs"))
+    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c12.join(F.broadcast(cf), "w1")
+        .join(F.broadcast(cs), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c",
+            F.round(F.col("c") * 1.0 / F.col("cf"), 6).alias("p_cond"),
+            F.round(
+                F.log(F.col("c") * 1.0 * F.col("n") / (F.col("cf") * F.col("cs"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )

@@ -298,3 +298,20 @@ def test_zorder_compact_clusters_both_dims(spark, tmp_path):
     assert sum(q_fracs) / len(q_fracs) < 0.7
     # rows conserved
     assert spark.read.parquet(dest).count() == spark.read.parquet(src).count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Long-lived lakes accumulate files written under different schema
+    versions; mergeSchema reads must unify them (new column null-filled
+    for old files) without rewriting history."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score", "batch"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
