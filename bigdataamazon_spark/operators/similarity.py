@@ -607,3 +607,52 @@ def similarity_topk_auto(
     if n <= EXACT_PAIRS_MAX_ROWS:
         return cosine_topk(df, id_col, vec_col, k)
     return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
+
+
+def ml_minhash_neardup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-set near-dup pairs via Spark ML's built-in MinHashLSH
+    ``approxSimilarityJoin`` — the library-idiomatic twin of the
+    hand-rolled banded pipeline in ``operators/dedup.py`` (SURVEY.md
+    §1.5 names this as the canonical Spark similarity-join primitive).
+
+    Tokenize -> binary CountVectorizer (token SETS, so Jaccard is
+    set-Jaccard over the vocabulary) -> MinHashLSH with a fixed seed ->
+    approxSimilarityJoin at distance 1 - threshold. Distances on
+    emitted pairs are exact; which candidate pairs emit depends on the
+    LSH tables, so the result is deterministic-given-seed but not
+    SQL-replayable — registry exposure is rows-only, with recall vs the
+    exact unigram-shingle join pinned in pytest instead. Keep the
+    hand-rolled ladder for oracle-checked paths; use this when the ML
+    pipeline ecosystem (persistable models, Params) matters more.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_toks")
+    toked = tok.transform(docs.select(id_col, text_col))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_vec", binary=True)
+    vecs = cv.fit(toked).transform(toked).select(id_col, "_vec")
+    lsh = MinHashLSH(
+        inputCol="_vec", outputCol="_hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold, distCol="_dist"
+    )
+    a, b = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        pairs.filter(a < b)
+        .select(
+            a.alias("src"),
+            b.alias("dst"),
+            F.round(1.0 - F.col("_dist"), 6).alias("jaccard"),
+        )
+    )

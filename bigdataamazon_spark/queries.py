@@ -4862,3 +4862,14 @@ def bigram_lm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(100)
     )
+
+
+@register("ml_minhash_neardup_pairs", None)  # LSH candidate set: rows-only
+def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Spark ML MinHashLSH approxSimilarityJoin over token
+    sets (similarity.ml_minhash_neardup) — the library-idiomatic
+    near-dup path next to the hand-rolled oracle-checked ladder.
+    Deterministic given the fixed seed; recall vs the exact
+    unigram-shingle Jaccard join is pinned in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.ml_minhash_neardup(docs, 0.5)

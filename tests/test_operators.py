@@ -552,3 +552,25 @@ def test_snapshot_diff_classes_on_tiny_fixture(spark):
         4: "unchanged",  # null payloads hash equal, not 'updated'
         5: "added",
     }
+
+
+def test_ml_minhash_recall_vs_exact_token_jaccard(spark, sf_dir):
+    """The built-in MinHashLSH path must recover most pairs the exact
+    unigram-shingle Jaccard join finds at the same threshold (both are
+    token-SET Jaccard), and must never report a pair below threshold."""
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import dedup, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, n=1, distinct=False), distinct=False)
+    exact = {
+        (r.src, r.dst) for r in dedup.exact_jaccard_pairs(sids, 0.5).collect()
+    }
+    got = {
+        (r.src, r.dst): r.jaccard
+        for r in similarity.ml_minhash_neardup(docs, 0.5).collect()
+    }
+    assert all(j >= 0.5 - 1e-6 for j in got.values())
+    if exact:
+        recall = len(exact & set(got)) / len(exact)
+        assert recall >= 0.7, f"ML MinHashLSH recall too low: {recall}"
