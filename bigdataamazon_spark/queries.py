@@ -11,6 +11,14 @@ Conventions for oracle parity (SURVEY.md §5, §7 "hard parts"):
 - deterministic tie-breaks in every top-k (key asc);
 - cast DuckDB's widened types (HUGEINT sums, BIGINT row_number) back
   to the Spark result type.
+
+Reference-parity citations: every entry traces to a SURVEY.md §2 row
+(the §2.12 table maps query -> row -> `/root/reference/amazon1.py`
+line). Queries whose docstring carries no file:line delegate the
+citation to that table and to the operator module they call
+(operators/*.py docstrings cite the motivating reference block);
+"beyond ref" entries are generalizations SURVEY §2 derives from a
+cited reference op plus BASELINE.json's pipeline mandate.
 """
 
 from __future__ import annotations
