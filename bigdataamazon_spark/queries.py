@@ -4332,10 +4332,13 @@ def doc_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg share the doc_id-keyed exchange. Extends quality_scores /
     repetition_scores with distributional signals."""
     docs = load_table(spark, sf_dir, "documents")
+    # three consumers (window, vocab rollup, corpus rollup) — persist or
+    # the tokenize+explode+agg chain materializes once per consumer
     tf = (
         docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     vocab = tf.groupBy("term").agg(F.sum("c").alias("vc"))
     corpus = tf.agg(F.sum("c").alias("ct"))
@@ -4852,10 +4855,13 @@ def bigram_lm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("b"), " ").getItem(1).alias("w2"),
         )
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    cf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cf"))
-    cs = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cs"))
-    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    # marginals roll up from the (w1, w2) aggregate — the corpus
+    # explodes and shuffles ONCE; cf/cs/n are cube rollups of c12,
+    # each orders-of-magnitude smaller than re-scanning bigrams
+    cf = c12.groupBy("w1").agg(F.sum("c").alias("cf"))
+    cs = c12.groupBy("w2").agg(F.sum("c").alias("cs"))
+    n = c12.agg(F.sum("c").alias("n"))
     return (
         c12.join(F.broadcast(cf), "w1")
         .join(F.broadcast(cs), "w2")
