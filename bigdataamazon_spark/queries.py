@@ -3367,6 +3367,7 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("value").alias("value"))
     )
+    byp = byp.persist()  # consumed by the threshold agg AND the filter
     total = byp.agg((F.sum("value") * F.lit(0.002)).alias("threshold"))
     return (
         byp.crossJoin(F.broadcast(total))
@@ -3935,6 +3936,7 @@ def custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    c = c.persist()  # consumed by the totals agg AND the report join
     t = c.agg(F.avg("cnt").alias("avg_cnt"), F.sum("cnt").alias("total"))
     return (
         c.crossJoin(F.broadcast(t))
@@ -4112,6 +4114,7 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    tf = tf.persist()  # two consumers: the idf rollup and the probe sliver
     idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
