@@ -4890,3 +4890,88 @@ def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram-shingle Jaccard join is pinned in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     return similarity.ml_minhash_neardup(docs, 0.5)
+
+
+_BM25_TERMS = ("vector", "hash", "dup", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+    q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    df AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranked retrieval (Robertson-Sparck Jones idf, k1=1.2,
+    b=0.75) for a fixed multi-term query — the text-search serving path
+    the reference's name-probe recommender implies (``amazon1.py:
+    179-202``) done as a real relevance ranking. Corpus statistics
+    (doc lengths, avgdl, per-term df) are aggregates of the SAME tf
+    relation (persisted, one tokenize pass); the query terms are a
+    4-row broadcast; scoring touches only postings of query terms; the
+    top-20 is TakeOrdered. Swap the VALUES row for a tokenized user
+    string and this is the online search endpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("nd"))
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], ["term"])
+    dfreq = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (
+        F.col("tf") * (_BM25_K1 + 1.0)
+        / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    # TakeOrdered the top-20 FIRST; the rank window then runs over 20
+    # rows, not the whole scored set (which grows with the corpus)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
