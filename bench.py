@@ -62,6 +62,9 @@ HEADLINE = [
     "doc_perplexity_scores",
     "copurchase_part_lift",
     "nation_trade_pagerank",
+    "bm25_search",
+    "bigram_lm_pmi",
+    "table_profile_lineitem",
 ]
 
 
