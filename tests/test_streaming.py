@@ -385,3 +385,63 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_guarantee_no_reemission_after_eviction(spark):
+    """Append-mode late-data GUARANTEE (the one Spark actually makes —
+    probed empirically on this build): a late row arriving while its
+    window's state is still live MAY still aggregate, but once the
+    watermark has closed and emitted a window, later rows for it are
+    dropped — the window emits exactly once, never a corrected
+    duplicate. That single-emission property is what makes append-mode
+    sinks safe to bill on."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA, windowed_counts
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    try:
+        def write(rows, mode):
+            spark.createDataFrame(
+                [(i, dt.datetime(2024, 1, 1, h, m, 0), 1, "click", 1.0, "{}")
+                 for i, h, m in rows],
+                EVENT_SCHEMA,
+            ).coalesce(1).write.mode(mode).parquet(d)
+            time.sleep(1.1)  # file source orders micro-batches by mod time
+
+        write([(1, 10, 0), (2, 11, 0)], "overwrite")  # wm -> 10:50 after b0
+        write([(3, 11, 5)], "append")   # b1: evicts+emits window 10:00 (n=1)
+        write([(4, 10, 2)], "append")   # b2: LATE, state gone -> must drop
+        write([(5, 11, 30)], "append")  # b3: pushes wm past 11:10
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            windowed_counts(stream.withWatermark("ts", "10 minutes"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = [
+                (r.window_start, r.n)
+                for r in spark.sql("SELECT * FROM late_stream").collect()
+            ]
+        finally:
+            q.stop()
+        emitted_10 = [x for x in rows if x[0] == "2024-01-01 10:00:00"]
+        # exactly one emission, with the on-time count only: the late
+        # event-4 neither re-opened the window nor produced a duplicate
+        assert emitted_10 == [("2024-01-01 10:00:00", 1)], rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
