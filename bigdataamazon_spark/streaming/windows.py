@@ -5,6 +5,14 @@ both the batch query (``queries.event_window_counts``, oracle-checked)
 and the stream (smoke-tested with a file source + memory sink). At
 scale this runs over Kafka with the same code: watermark bounds state,
 window+key grouping shuffles once per trigger.
+
+Watermark semantics as probed on this build (pinned in
+tests/test_streaming.py::test_watermark_guarantee_no_reemission_after_eviction):
+the watermark is a STATE-CLEANUP bound, not an input filter — a late
+row arriving while its window's state is still live is still
+aggregated; the guarantee is single emission per window in append mode
+(late rows after eviction are dropped, never re-emitted). Consumers
+billing on append output rely on exactly that one-shot property.
 """
 
 from __future__ import annotations
