@@ -574,3 +574,19 @@ def test_ml_minhash_recall_vs_exact_token_jaccard(spark, sf_dir):
     if exact:
         recall = len(exact & set(got)) / len(exact)
         assert recall >= 0.7, f"ML MinHashLSH recall too low: {recall}"
+
+
+def test_similarity_auto_switches_to_lsh_at_scale(spark, sf_dir, monkeypatch):
+    """The one owned planner heuristic must actually flip: above the
+    exact-pairs row bound the auto path must plan LSH (bucketed
+    candidates), not the O(n^2) GEMM."""
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 10)
+    out = similarity.similarity_topk_auto(emb, k=2)
+    # LSH output contract: <= k neighbors per src (bucket misses allowed),
+    # never the exact path's guaranteed-k-for-all
+    counts = [r["count"] for r in out.groupBy("src").count().collect()]
+    assert counts and max(counts) <= 2
