@@ -4975,3 +4975,57 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+@register(
+    "user_value_twap",
+    """
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id % 13 = 0
+    ),
+    weighted AS (
+      SELECT user_id, value,
+             date_diff('second', ts, nxt) AS held_s
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(value * held_s) / sum(held_s), 6) AS twap,
+           round(avg(value), 6) AS plain_avg,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM weighted
+    GROUP BY user_id HAVING sum(held_s) > 0
+    ORDER BY user_id ASC
+    """,
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how
+    long it was the user's current value (lead-ts delta), next to the
+    naive mean it corrects — the difference is the irregular-sampling
+    bias every telemetry/financial pipeline has to remove. One
+    user-keyed window feeds the weighting and the final agg reuses the
+    same partitioning; the user sliver bounds checked output, the plan
+    is the full-table plan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("nxt", F.lead("ts").over(w)).filter(F.col("nxt").isNotNull())
+    # NTZ has no direct long cast; via TIMESTAMP (session is UTC, so the
+    # epoch-second delta equals DuckDB's date_diff on the naive values)
+    held = (
+        F.col("nxt").cast("timestamp").cast("long")
+        - F.col("ts").cast("timestamp").cast("long")
+    )
+    weighted = seq.select("user_id", "value", held.alias("held_s"))
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("held_s").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)  # HAVING sum(held_s) > 0
+        .drop("_tot")
+        .orderBy(F.asc("user_id"))
+    )

@@ -185,3 +185,41 @@ def test_merge_upsert_matches_dict_update(spark, snap, changes):
     expect = dict(snap)
     expect.update(changes)  # MERGE == dict update
     assert got == expect
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    from bigdataamazon_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    got = {r.node: r.label for r in connected_components(df).collect()}
+
+    parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+    # min-label propagation labels every component by its min node id,
+    # exactly what path-compressed union-by-min computes
+    expect = {n: find(n) for n in parent}  # second pass: full compression
+    assert got == expect
