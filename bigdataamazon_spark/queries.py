@@ -5029,3 +5029,55 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_tot")
         .orderBy(F.asc("user_id"))
     )
+
+
+@register(
+    "rolling_wau_7d",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT days.day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau,
+           CAST(count(DISTINCT CASE WHEN du.day = days.day THEN du.user_id END)
+                AS BIGINT) AS dau
+    FROM days JOIN du
+      ON du.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    GROUP BY days.day ORDER BY days.day ASC
+    """,
+)
+def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) with same-day DAU — THE
+    engagement metric, and the one rolling aggregate a RANGE frame
+    cannot express (distinct doesn't decompose over frames). The raw
+    stream collapses to distinct (day, user) FIRST, so the 7-way
+    day-grid join multiplies the small pre-agg, never events; the
+    distinct-agg shuffles (day, user) pairs once more. At 100 TB the
+    same shape holds because |days| x |users| bounds the joined size
+    regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct().select(F.col("day").alias("anchor"))
+    return (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+            ).alias("dau"),
+        )
+        .select(F.col("anchor").alias("day"), "wau", "dau")
+        .orderBy(F.asc("day"))
+    )

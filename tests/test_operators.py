@@ -590,3 +590,16 @@ def test_similarity_auto_switches_to_lsh_at_scale(spark, sf_dir, monkeypatch):
     # never the exact path's guaranteed-k-for-all
     counts = [r["count"] for r in out.groupBy("src").count().collect()]
     assert counts and max(counts) <= 2
+
+
+def test_rolling_wau_bounds(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["rolling_wau_7d"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau  # today's actives are a subset of the week's
+    # wau is monotone-ish vs dau but must never exceed total users
+    from bigdataamazon_spark.catalog import load_table
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert max(r.wau for r in rows) <= total
