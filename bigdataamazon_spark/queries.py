@@ -5081,3 +5081,129 @@ def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("anchor").alias("day"), "wau", "dau")
         .orderBy(F.asc("day"))
     )
+
+
+@register(
+    "quantity_discount_heatmap",
+    """
+    SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS qty_bin,
+           CAST(floor(l_discount / 0.02) AS INTEGER) AS disc_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    GROUP BY qty_bin, disc_bin
+    ORDER BY qty_bin ASC, disc_bin ASC
+    """,
+)
+def quantity_discount_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap binning): (quantity x discount) cells with
+    counts and mean price — the bivariate generalization of the
+    reference's 1-D histograms (``amazon1.py:68,92``, A4) and the
+    binned form of its scatter projections (A7) that still works when
+    n is too large to plot points. One grouped agg; bin ids are
+    scan-stage arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10.0).cast("int").alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02).cast("int").alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy(F.asc("qty_bin"), F.asc("disc_bin"))
+    )
+
+
+@register(
+    "orders_content_checksum",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), o_orderstatus,
+               CAST(o_totalprice AS VARCHAR), o_orderpriority)), 1, 15))::BIGINT
+             % 1000000007 AS hv
+      FROM orders
+    )
+    SELECT CAST(sum(hv) % 1000000007 AS BIGINT) AS checksum,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM h
+    """,
+)
+def orders_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: per-row content hash folded
+    with modular addition — two tables are byte-equal iff (checksum,
+    n_rows) match, computable on each engine/replica independently
+    with NO data movement beyond one 2-value agg. The cheap
+    cross-engine consistency check snapshot_diff's full classification
+    doesn't need when the answer is just 'same or not'. Commutative
+    fold => partitioning/order/retry invariant."""
+    o = load_table(spark, sf_dir, "orders")
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000000007
+    )
+    return o.select(hv.alias("hv")).agg(
+        (F.sum("hv") % 1000000007).cast("bigint").alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "returnflag_price_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - med.med) AS adev, med.med
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    )
+    SELECT l_returnflag,
+           round(any_value(med), 4) AS median_price,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 4) AS mad,
+           round(stddev_samp(adev), 4) AS dev_stddev
+    FROM dev GROUP BY l_returnflag ORDER BY l_returnflag ASC
+    """,
+)
+def returnflag_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure outlier-heavy price data needs where stddev lies
+    (complements winsorized_price_stats). Two passes by construction
+    (MAD is a nested median): grouped exact median, broadcast back,
+    grouped median of deviations. Exact ``percentile`` both times so
+    DuckDB verifies bit-for-bit (SURVEY §2.4 A2 parity note)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+            F.round(F.stddev_samp("adev"), 4).alias("dev_stddev"),
+        )
+        .orderBy(F.asc("l_returnflag"))
+    )
