@@ -5207,3 +5207,97 @@ def returnflag_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("l_returnflag"))
     )
+
+
+@register(
+    "benford_price_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    t AS (SELECT count(*) AS n FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / t.n, 6) AS share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(count(*) * 1.0 / t.n - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM d CROSS JOIN t
+    GROUP BY digit, t.n ORDER BY digit ASC
+    """,
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: observed leading-digit shares of order
+    totals vs the log10(1+1/d) expectation — the classic fabricated-
+    numbers screen in financial data quality. Leading digit comes from
+    integer truncation + string head (identical semantics both
+    engines, no float-format dependence); one grouped agg plus a 1-row
+    total broadcast back."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+        # Spark's truncates — a x999.5 price would flip leading digit
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "digit",
+            F.col("cnt").alias("n"),
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.col("cnt") * 1.0 / F.col("n") - benford, 6).alias("deviation"),
+        )
+        .orderBy(F.asc("digit"))
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i
+      FROM rev
+    )
+    SELECT round((2.0 * sum(i * rev)) / (count(*) * sum(rev))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS total_revenue
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the one-number inequality/concentration-risk measure (0 = uniform,
+    1 = winner-take-all). Exact rank formula G = 2*Σ(i·x_i)/(n·Σx) -
+    (n+1)/n over ascending revenue. The global rank runs over the
+    per-customer PRE-AGG (|customers| rows, not orders); at larger
+    scale substitute percent_rank on quantile buckets — here the exact
+    form is what DuckDB verifies."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = rev.select("rev", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("rev"))) / (n * F.sum("rev"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        n.alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+    )
