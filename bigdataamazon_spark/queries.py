@@ -5301,3 +5301,112 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_customers"),
         F.round(F.sum("rev"), 2).alias("total_revenue"),
     )
+
+
+@register(
+    "revenue_lorenz_deciles",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev ASC, o_custkey ASC) AS decile
+      FROM rev
+    ),
+    t AS (SELECT sum(rev) AS total, count(*) AS n FROM ranked)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS decile_revenue,
+           round(sum(sum(rev)) OVER (ORDER BY decile) / t.total, 6)
+             AS cum_revenue_share
+    FROM ranked CROSS JOIN t
+    GROUP BY decile, t.total
+    ORDER BY decile ASC
+    """,
+)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at deciles — the plottable companion of
+    customer_revenue_gini: cumulative revenue share held by the bottom
+    k/10 of customers. The ntile and the cumulative window both run
+    over the per-customer PRE-AGG; the cumulative share is a window
+    over ten grouped rows. cum_revenue_share[10] == 1 by construction
+    (pinned in tests)."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = rev.select("rev", F.ntile(10).over(w).alias("decile"))
+    t = ranked.agg(F.sum("rev").alias("total"))
+    dec = (
+        ranked.crossJoin(F.broadcast(t))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("dec_rev"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.select(
+            "decile",
+            "n_customers",
+            F.round("dec_rev", 2).alias("decile_revenue"),
+            F.round(F.sum("dec_rev").over(wc) / F.col("total"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy(F.asc("decile"))
+    )
+
+
+@register(
+    "imputed_event_values",
+    """
+    WITH holed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    means AS (
+      SELECT event_type, avg(value) AS type_mean FROM holed GROUP BY 1
+    )
+    SELECT holed.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(value) AS BIGINT) AS n_imputed,
+           round(avg(value), 6) AS mean_observed,
+           round(avg(coalesce(value, type_mean)), 6) AS mean_after_impute
+    FROM holed JOIN means USING (event_type)
+    GROUP BY holed.event_type
+    ORDER BY holed.event_type ASC
+    """,
+)
+def imputed_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-statistic imputation: nulls filled with their group's mean —
+    the learned-statistic generalization of the reference's constant
+    ``fillna(0)`` (``amazon1.py:89``, P5). Holes are injected
+    deterministically (event_id % 11) so the check is non-trivial on
+    clean testdata. The per-type means broadcast back; mean_after ==
+    mean_observed per group is the textbook mean-imputation invariant
+    the oracle verifies to 6 decimals."""
+    holed = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    means = holed.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    return (
+        holed.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_imputed"),
+            F.round(F.avg("value"), 6).alias("mean_observed"),
+            F.round(
+                F.avg(F.coalesce(F.col("value"), F.col("type_mean"))), 6
+            ).alias("mean_after_impute"),
+        )
+        .orderBy(F.asc("event_type"))
+    )

@@ -603,3 +603,26 @@ def test_rolling_wau_bounds(spark, sf_dir):
     from bigdataamazon_spark.catalog import load_table
     total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert max(r.wau for r in rows) <= total
+
+
+def test_lorenz_monotone_convex_and_complete(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["revenue_lorenz_deciles"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_revenue_share for r in rows]
+    assert abs(shares[-1] - 1.0) < 1e-6  # the top decile closes the curve
+    assert all(b >= a for a, b in zip(shares, shares[1:]))  # monotone
+    # convexity: ascending-revenue deciles contribute increasing increments
+    incr = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
+    assert all(b >= a - 1e-9 for a, b in zip(incr, incr[1:]))
+
+
+def test_mean_imputation_preserves_group_mean(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["imputed_event_values"](spark, sf_dir).collect()
+    assert rows and any(r.n_imputed > 0 for r in rows)
+    for r in rows:
+        # textbook invariant: filling with the group mean leaves it fixed
+        assert abs(r.mean_after_impute - r.mean_observed) < 2e-6
