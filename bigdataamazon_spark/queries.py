@@ -5410,3 +5410,62 @@ def imputed_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@register(
+    "order_total_reconciliation",
+    """
+    WITH comp AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+               AS computed
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o_totalprice, computed,
+             abs(o_totalprice - computed) AS diff
+      FROM orders LEFT JOIN comp ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count_if(computed IS NULL) AS BIGINT) AS n_no_lineitems,
+           CAST(count_if(diff > 0.01) AS BIGINT) AS n_mismatched,
+           round(max(diff), 2) AS max_abs_diff,
+           round(avg(diff), 4) AS avg_abs_diff
+    FROM j
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: recompute each order's total
+    from its line items (TPC-H invariant: Σ extprice·(1-disc)·(1+tax))
+    and measure header-vs-detail drift — the balances-must-balance
+    check every finance pipeline runs nightly. The detail side
+    pre-aggregates to one row per order BEFORE the join, so the join
+    is key-to-key; headerless/detail-less rows surface as their own
+    counters instead of silently vanishing."""
+    comp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ),
+                2,
+            ).alias("computed")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    diff = F.abs(F.col("o_totalprice") - F.col("computed"))
+    return (
+        o.join(comp, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(F.col("computed"), diff.alias("diff"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("computed").isNull()).alias("n_no_lineitems"),
+            F.count_if(F.col("diff") > 0.01).alias("n_mismatched"),
+            F.round(F.max("diff"), 2).alias("max_abs_diff"),
+            F.round(F.avg("diff"), 4).alias("avg_abs_diff"),
+        )
+    )
