@@ -5469,3 +5469,42 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("diff"), 4).alias("avg_abs_diff"),
         )
     )
+
+
+@register(
+    "docs_stratified_fixed_n",
+    """
+    WITH drawn AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('strat1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM drawn WHERE rnk <= 20
+    ORDER BY lang ASC, doc_id ASC
+    """,
+)
+def docs_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EQUAL-allocation sample: exactly 20 docs per language
+    regardless of stratum size — the design that guarantees minority-
+    language coverage where proportional sampling (docs_mixture_sample)
+    starves the tail. Ranking by the deterministic md5 draw inside each
+    stratum makes the winners identical on every engine/retry; the
+    per-stratum top-20 rides WindowGroupLimit, so each partition ships
+    only its candidates, never the stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat1:"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(draw.asc(), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy(F.asc("lang"), F.asc("doc_id"))
+    )
