@@ -149,7 +149,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 generalized to the star schema: revenue per region."""
+    """J2 generalized to the star schema (``amazon1.py:200`` positional
+    gather restated as key joins): revenue per region."""
     joined = relational.star_join(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
@@ -177,7 +178,8 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: selective filter + single agg — the pushdown
-    showcase (predicates reach the parquet scan)."""
+    showcase (predicates reach the parquet scan). Grouped-agg surface
+    mandated by ``amazon1.py:62`` (SURVEY §2.4)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -1040,7 +1042,8 @@ cand AS (
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: banded bucket join for candidates, exact
-    Jaccard verification only on candidates — the 100 TB dedup plan."""
+    Jaccard verification only on candidates — the 100 TB dedup plan
+    (scales ``amazon1.py:119-122`` exact dedup per BASELINE.json)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, 0.5)
 
@@ -1107,7 +1110,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def content_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 at scale: exact dedup via content hash groupBy."""
+    """D2 at scale (``amazon1.py:121-122``): exact dedup via content
+    hash groupBy."""
     return dedup.content_key_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -1346,7 +1350,9 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features")  # no SQL oracle: Arrow mapInPandas stage
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature stage over binary blobs (stubbed
-    deterministic kernel; rows-only driver check + exact-value pytest)."""
+    deterministic kernel; rows-only driver check + exact-value pytest).
+    BASELINE.json multimodal surface; same vectorize-the-kernel policy
+    as the reference's sklearn stages (``amazon1.py:133-138``)."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
     return multimodal.decode_blobs(blobs, decode_mode="fake")
@@ -2774,7 +2780,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: (doc, shard, pos) read-order
     manifest — hash-mod sharding + per-shard rank, no global sort, no
-    rand() (sampling.shard_assignments)."""
+    rand() (sampling.shard_assignments). The distributed answer to the
+    reference's stable-row-order assumption (``amazon1.py:199-200``,
+    SURVEY §1.1)."""
     return sampling.shard_assignments(
         load_table(spark, sf_dir, "documents"), "doc_id", n_shards=8
     )
