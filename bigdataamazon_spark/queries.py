@@ -5516,3 +5516,36 @@ def docs_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
         .orderBy(F.asc("lang"), F.asc("doc_id"))
     )
+
+
+@register(
+    "events_dow_hour_profile",
+    """
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY dow, hr
+    ORDER BY dow ASC, hr ASC
+    """,
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour seasonality profile — the load-shape matrix every
+    capacity planner draws first. ISO weekday parity: Spark's
+    ``weekday`` is 0=Monday where DuckDB's ``isodow`` is 1=Monday, so
+    the Spark side adds one; both engines then agree on every cell.
+    One grouped agg over calendar projections computed in the scan
+    stage."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday(F.col("ts")) + 1).cast("int").alias("dow"),
+            F.hour(F.col("ts")).cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy(F.asc("dow"), F.asc("hr"))
+    )
