@@ -5549,3 +5549,60 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("dow"), F.asc("hr"))
     )
+
+
+@register(
+    "revenue_pareto_ratio",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC) AS cum_rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS i
+      FROM rev
+    ),
+    t AS (SELECT sum(rev) AS total, count(*) AS n FROM ranked)
+    SELECT CAST(min(i) AS BIGINT) AS n_top_customers,
+           round(min(i) * 1.0 / t.n, 6) AS top_customer_frac,
+           CAST(t.n AS BIGINT) AS n_customers
+    FROM ranked CROSS JOIN t
+    WHERE cum_rev >= 0.8 * t.total
+    GROUP BY t.n
+    """,
+)
+def revenue_pareto_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration scalar: the smallest top-customer fraction
+    holding 80% of revenue (the '80/20' number executives actually
+    ask for, derived from the same ranked pre-agg as the Lorenz/Gini
+    pair). Descending cumulative window over |customers| rows; the
+    answer is the first rank crossing the threshold."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wr = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.row_number().over(wr).alias("i"),
+    )
+    t = ranked.agg(F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .filter(F.col("cum_rev") >= 0.8 * F.col("total"))
+        .groupBy("n")
+        .agg(F.min("i").alias("n_top_customers"))
+        .select(
+            F.col("n_top_customers").cast("bigint"),
+            F.round(F.col("n_top_customers") * 1.0 / F.col("n"), 6).alias(
+                "top_customer_frac"
+            ),
+            F.col("n").cast("bigint").alias("n_customers"),
+        )
+    )
