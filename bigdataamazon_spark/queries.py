@@ -5606,3 +5606,49 @@ def revenue_pareto_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_customers"),
         )
     )
+
+
+@register(
+    "priority_price_iqr_outliers",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           round(any_value(q1), 4) AS q1, round(any_value(q3), 4) AS q3,
+           CAST(count_if(o_totalprice < q1 - 1.5 * (q3 - q1)) AS BIGINT) AS n_low,
+           CAST(count_if(o_totalprice > q3 + 1.5 * (q3 - q1)) AS BIGINT) AS n_high,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority ASC
+    """,
+)
+def priority_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot outlier fences per group: exact quartiles, 1.5-IQR
+    Tukey fences, and counts beyond each fence — the third robust-
+    dispersion tool next to MAD and winsorization (all three
+    generalize the reference's constant clip, ``amazon1.py:89``).
+    Two passes by construction (fences are data-derived): grouped
+    exact percentiles broadcast back into a counting agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.first("q1"), 4).alias("q1"),
+            F.round(F.first("q3"), 4).alias("q3"),
+            F.count_if(F.col("o_totalprice") < F.col("q1") - 1.5 * iqr).alias("n_low"),
+            F.count_if(F.col("o_totalprice") > F.col("q3") + 1.5 * iqr).alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
