@@ -490,6 +490,50 @@ def _batch_dot(a, b):
     )
 
 
+def _per_cluster_topk_fn(k: int):
+    """Factory for the cogroup kernel shared by the transient IVF path
+    and the materialized-index serve path: one GEMM per cluster, each
+    query's LOCAL top-k within the cluster, self-match excluded,
+    dst-asc tiebreak. Vectors shuffle once into their cluster group and
+    never ride an edge row."""
+
+    def per_cluster_topk(left, right):
+        """One GEMM per cluster; emits each query's LOCAL top-k within
+        the cluster. Vectors shuffle once into their cluster group and
+        never ride an edge row — the edge table that leaves this kernel
+        is (id, id, double) × k·nprobe per query, nothing more."""
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"src": [], "dst": [], "score": []})
+        q = np.array(left["_va"].tolist(), dtype=np.float64)
+        c = np.array(right["_vb"].tolist(), dtype=np.float64)
+        scores = q @ c.T
+        src_ids = left["src"].to_numpy()
+        dst_ids = right["dst"].to_numpy()
+        dorder = np.argsort(dst_ids, kind="stable")  # dst-asc tiebreak
+        scores = scores[:, dorder]
+        dst_sorted = dst_ids[dorder]
+        pos = {v: i for i, v in enumerate(dst_sorted.tolist())}
+        out_src, out_dst, out_score = [], [], []
+        for i, s in enumerate(src_ids):
+            row = scores[i]
+            if s in pos:
+                row = row.copy()
+                row[pos[s]] = -np.inf  # exclude self
+            kk = min(k, len(row))
+            cand = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            cand = np.sort(cand)  # dst-sorted positions => stable tiebreak
+            order = cand[np.argsort(-row[cand], kind="stable")][:kk]
+            keep = row[order] > -np.inf
+            out_src.extend([s] * int(keep.sum()))
+            out_dst.extend(dst_sorted[order[keep]].tolist())
+            out_score.extend(row[order[keep]].tolist())
+        return pd.DataFrame({"src": out_src, "dst": out_dst, "score": out_score})
+
+    return per_cluster_topk
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -545,39 +589,7 @@ def ivf_topk(
 
     id_type = df.schema[id_col].dataType.simpleString()
 
-    def per_cluster_topk(left, right):
-        """One GEMM per cluster; emits each query's LOCAL top-k within
-        the cluster. Vectors shuffle once into their cluster group and
-        never ride an edge row — the edge table that leaves this kernel
-        is (id, id, double) × k·nprobe per query, nothing more."""
-        import pandas as pd
-
-        if left.empty or right.empty:
-            return pd.DataFrame({"src": [], "dst": [], "score": []})
-        q = np.array(left["_va"].tolist(), dtype=np.float64)
-        c = np.array(right["_vb"].tolist(), dtype=np.float64)
-        scores = q @ c.T
-        src_ids = left["src"].to_numpy()
-        dst_ids = right["dst"].to_numpy()
-        dorder = np.argsort(dst_ids, kind="stable")  # dst-asc tiebreak
-        scores = scores[:, dorder]
-        dst_sorted = dst_ids[dorder]
-        pos = {v: i for i, v in enumerate(dst_sorted.tolist())}
-        out_src, out_dst, out_score = [], [], []
-        for i, s in enumerate(src_ids):
-            row = scores[i]
-            if s in pos:
-                row = row.copy()
-                row[pos[s]] = -np.inf  # exclude self
-            kk = min(k, len(row))
-            cand = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-            cand = np.sort(cand)  # dst-sorted positions => stable tiebreak
-            order = cand[np.argsort(-row[cand], kind="stable")][:kk]
-            keep = row[order] > -np.inf
-            out_src.extend([s] * int(keep.sum()))
-            out_dst.extend(dst_sorted[order[keep]].tolist())
-            out_score.extend(row[order[keep]].tolist())
-        return pd.DataFrame({"src": out_src, "dst": out_dst, "score": out_score})
+    per_cluster_topk = _per_cluster_topk_fn(k)
 
     local = (
         query_side.groupBy("cluster")
@@ -656,3 +668,116 @@ def ml_minhash_neardup(
             F.round(1.0 - F.col("_dist"), 6).alias("jaccard"),
         )
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index as TABLES: ``centroids.parquet``
+    (cluster_id, centroid) and ``assignments.parquet`` (vec_id,
+    L2-normalized embedding) PARTITIONED BY home cluster — the offline
+    half of the reference's build/serve split (``amazon1.py:113-176``
+    builds driver arrays; SURVEY §3 maps model artifacts to tables).
+    Partitioning postings by cluster makes partition pruning the index
+    lookup: a query probing nprobe clusters reads nprobe/n_clusters of
+    the index, whatever the corpus size."""
+    cents = ivf_fit_centroids(df, vec_col, n_clusters=n_clusters, seed=seed)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids.parquet")
+    base = df.select(
+        F.col(id_col).alias("_rid"), as_double_array(vec_col).alias(vec_col)
+    )
+    assign_schema = (
+        f"_rid {df.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} array<double>, clusters array<int>"
+    )
+    assigned = base.mapInPandas(
+        _nearest_clusters_gen(cents, vec_col, 1), assign_schema
+    )
+    (
+        assigned.select(
+            F.col("_rid").alias(id_col),
+            F.col(vec_col),
+            F.col("clusters")[0].alias("cluster_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{out_dir}/assignments.parquet")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Serve top-k from a MATERIALIZED IVF index (the online half of
+    E2/E3, ``amazon1.py:191-202`` generalized): load the broadcast-
+    sized centroid table, route each query to its nprobe nearest
+    clusters, scan ONLY those posting partitions (the cluster_id filter
+    prunes at the parquet partition level), and exact-rescore inside
+    probed clusters with the same cogrouped GEMM as the transient IVF
+    path. Index vectors are stored pre-normalized, so serving never
+    recomputes corpus norms."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids.parquet").collect(),
+        key=lambda r: r.cluster_id,
+    )
+    cents = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    base = queries.select(
+        F.col(id_col).alias("_rid"), as_double_array(vec_col).alias(vec_col)
+    )
+    assign_schema = (
+        f"_rid {queries.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} array<double>, clusters array<int>"
+    )
+    probed = base.mapInPandas(
+        _nearest_clusters_gen(cents, vec_col, nprobe), assign_schema
+    )
+    from pyspark import StorageLevel
+
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    wanted = [
+        r.c for r in probed.select(F.explode("clusters").alias("c")).distinct().collect()
+    ]
+    query_side = probed.select(
+        F.explode("clusters").alias("cluster"),
+        F.col("_rid").alias("src"),
+        F.col(vec_col).alias("_va"),
+    )
+    corpus_side = (
+        spark.read.parquet(f"{index_dir}/assignments.parquet")
+        .filter(F.col("cluster_id").isin(wanted))
+        .select(
+            F.col("cluster_id").alias("cluster"),
+            F.col(id_col).alias("dst"),
+            F.col(vec_col).alias("_vb"),
+        )
+    )
+    id_type = queries.schema[id_col].dataType.simpleString()
+    local = (
+        query_side.groupBy("cluster")
+        .cogroup(corpus_side.groupBy("cluster"))
+        .applyInPandas(
+            _per_cluster_topk_fn(k), f"src {id_type}, dst {id_type}, score double"
+        )
+    )
+    out = topk_per_src(local, k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out

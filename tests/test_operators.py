@@ -626,3 +626,28 @@ def test_mean_imputation_preserves_group_mean(spark, sf_dir):
     for r in rows:
         # textbook invariant: filling with the group mean leaves it fixed
         assert abs(r.mean_after_impute - r.mean_observed) < 2e-6
+
+
+def test_ivf_index_build_serve_roundtrip(spark, sf_correctness, tmp_path):
+    """E2/E3 split: building the IVF index as partitioned tables and
+    serving from it must agree with the transient IVF path (same
+    quantizer seed, same kernel) and recover most exact top-1
+    neighbors; the postings layout must be partitioned by cluster so
+    probing prunes at the directory level."""
+    import os
+
+    from bigdataamazon_spark.catalog import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, idx, n_clusters=16, seed=42)
+    assert any(
+        p.startswith("cluster_id=")
+        for p in os.listdir(os.path.join(idx, "assignments.parquet"))
+    )
+    served = similarity.ivf_index_topk(spark, idx, emb, k=1, nprobe=4)
+    exact = similarity.cosine_topk(emb, k=1)
+    e = {(r.src, r.dst) for r in exact.collect()}
+    s = {(r.src, r.dst) for r in served.collect()}
+    recall = len(e & s) / len(e)
+    assert recall >= 0.6, f"index-served recall too low: {recall}"
