@@ -5652,3 +5652,52 @@ def priority_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("o_orderpriority"))
     )
+
+
+@register(
+    "nation_ship_lead_time",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_days,
+           CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days,
+           round(percentile_cont(0.9) WITHIN GROUP (
+             ORDER BY date_diff('day', o_orderdate, l_shipdate)), 1) AS p90_days
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name ORDER BY n_name ASC
+    """,
+)
+def nation_ship_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier nation: the fulfillment SLA
+    report (avg/min/max/p90 days between order date and line ship
+    date). The date delta is computed once in the join projection; the
+    supplier/nation decode joins broadcast; exact p90 keeps the oracle
+    bit-checkable per the A2 percentile rule."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", days.alias("days"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg("days"), 4).alias("avg_days"),
+            F.min("days").cast("int").alias("min_days"),
+            F.max("days").cast("int").alias("max_days"),
+            F.round(F.expr("percentile(days, 0.9)"), 1).alias("p90_days"),
+        )
+        .orderBy(F.asc("n_name"))
+    )
