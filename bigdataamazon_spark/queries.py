@@ -5701,3 +5701,56 @@ def nation_ship_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("n_name"))
     )
+
+
+@register(
+    "priority_price_moments",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             avg(o_totalprice) AS mu,
+             avg(o_totalprice * o_totalprice) AS m2r,
+             avg(o_totalprice * o_totalprice * o_totalprice) AS m3r,
+             avg(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS m4r,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           round(mu, 2) AS mean_price,
+           round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                 / pow(m2r - mu * mu, 1.5), 6) AS skewness,
+           round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4))
+                 / pow(m2r - mu * mu, 2) - 3.0, 6) AS excess_kurtosis
+    FROM s ORDER BY o_orderpriority ASC
+    """,
+)
+def priority_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape report: population skewness and excess
+    kurtosis per priority, computed from raw power sums expanded to
+    central moments — deliberately NOT the builtin ``skewness``/
+    ``kurtosis`` aggregates, whose bias-correction conventions differ
+    between engines and would never oracle-match. One hash agg (four
+    power averages), shape math in the projection. Completes the
+    moment ladder the reference's describe() starts (``amazon1.py:62``,
+    A2)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.avg(x).alias("mu"),
+        F.avg(x * x).alias("m2r"),
+        F.avg(x * x * x).alias("m3r"),
+        F.avg(x * x * x * x).alias("m4r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu, m2r, m3r, m4r = F.col("mu"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    var = m2r - mu * mu
+    skew = (m3r - 3 * mu * m2r + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    kurt = (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * F.pow(mu, 4)) / F.pow(var, 2) - 3.0
+    return s.select(
+        "o_orderpriority",
+        F.col("n"),
+        F.round(mu, 2).alias("mean_price"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy(F.asc("o_orderpriority"))
