@@ -5754,3 +5754,22 @@ def priority_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy(F.asc("o_orderpriority"))
+
+
+@register(
+    "ngram_jaccard_pairs_prefix",
+    _SHINGLE_CTE + ", " + _JACCARD_TAIL + " WHERE c * 1.0 / (x.sz + y.sz - c) >= 0.5",
+)
+def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact trigram-Jaccard pair set as ``ngram_jaccard_pairs``
+    — same oracle, verbatim — produced through AllPairs prefix-filtered
+    candidate generation + exact verification instead of the direct
+    co-shingle join (dedup.prefix_filter_candidates; Bayardo et al.
+    WWW'07). Registered so the losslessness claim is oracle-checked by
+    the driver, not just by pytest; see the operator docstring for the
+    measured df-distribution tradeoff that keeps the direct join the
+    default here."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False), distinct=False)
+    cands = dedup.prefix_filter_candidates(sids, 0.5)
+    return dedup.exact_jaccard_pairs(sids, 0.5, candidates=cands)
