@@ -5773,3 +5773,84 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False), distinct=False)
     cands = dedup.prefix_filter_candidates(sids, 0.5)
     return dedup.exact_jaccard_pairs(sids, 0.5, candidates=cands)
+
+
+_DQ_DASHBOARD_ORACLE = (
+    "WITH ra AS (" + _ORACLES["referential_audit"] + "),\n"
+    "rec AS (" + _ORACLES["order_total_reconciliation"] + "),\n"
+    "cs AS (" + _ORACLES["orders_content_checksum"] + ")\n"
+    """
+    SELECT 'referential:' || fk AS check_name, 'orphans' AS metric,
+           CAST(orphans AS DOUBLE) AS value
+    FROM ra
+    UNION ALL SELECT 'reconciliation', 'n_mismatched',
+           CAST(n_mismatched AS DOUBLE) FROM rec
+    UNION ALL SELECT 'reconciliation', 'n_no_lineitems',
+           CAST(n_no_lineitems AS DOUBLE) FROM rec
+    UNION ALL SELECT 'reconciliation', 'max_abs_diff', max_abs_diff FROM rec
+    UNION ALL SELECT 'checksum:orders', 'checksum',
+           CAST(checksum AS DOUBLE) FROM cs
+    UNION ALL SELECT 'checksum:orders', 'n_rows', CAST(n_rows AS DOUBLE) FROM cs
+    ORDER BY check_name ASC, metric ASC
+    """
+)
+
+
+@register("data_quality_dashboard", _DQ_DASHBOARD_ORACLE)
+def data_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly data-quality dashboard as ONE query: every FK edge's
+    orphan count, the header-vs-detail reconciliation counters, and the
+    table checksum, reshaped to a tall (check, metric, value) report —
+    the composition proof for the audit family, exactly as
+    pretraining_manifest is for the curation family. Each sub-audit
+    keeps its own optimal plan; the union is plan-level concatenation,
+    not a join. Oracle composed verbatim from the sub-audits' oracles."""
+    ra = referential_audit(spark, sf_dir).select(
+        F.concat(F.lit("referential:"), F.col("fk")).alias("check_name"),
+        F.lit("orphans").alias("metric"),
+        F.col("orphans").cast("double").alias("value"),
+    )
+    rec = order_total_reconciliation(spark, sf_dir)
+    rec_long = rec.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("reconciliation").alias("check_name"),
+                    F.lit("n_mismatched").alias("metric"),
+                    F.col("n_mismatched").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("reconciliation").alias("check_name"),
+                    F.lit("n_no_lineitems").alias("metric"),
+                    F.col("n_no_lineitems").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("reconciliation").alias("check_name"),
+                    F.lit("max_abs_diff").alias("metric"),
+                    F.col("max_abs_diff").alias("value"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.check_name", "e.metric", "e.value")
+    cs = orders_content_checksum(spark, sf_dir)
+    cs_long = cs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("checksum:orders").alias("check_name"),
+                    F.lit("checksum").alias("metric"),
+                    F.col("checksum").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("checksum:orders").alias("check_name"),
+                    F.lit("n_rows").alias("metric"),
+                    F.col("n_rows").cast("double").alias("value"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.check_name", "e.metric", "e.value")
+    return (
+        ra.unionByName(rec_long)
+        .unionByName(cs_long)
+        .orderBy(F.asc("check_name"), F.asc("metric"))
+    )
