@@ -5854,3 +5854,49 @@ def data_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cs_long)
         .orderBy(F.asc("check_name"), F.asc("metric"))
     )
+
+
+@register(
+    "priority_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT o_orderpriority AS p,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    )
+    SELECT prev AS from_priority, p AS to_priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev), 6)
+             AS prob
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, p
+    ORDER BY prev ASC, p ASC
+    """,
+)
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimation over per-customer order
+    sequences: P(next priority | current priority) — the sequence-
+    mining primitive behind next-state prediction and journey models.
+    The lag window rides one customer-keyed exchange; the row-
+    normalization is a window over the |states|² count matrix (25
+    rows), free. Probabilities per from-state sum to 1 (pinned in
+    tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("p"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    counts = seq.groupBy("prev", "p").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("prev")
+    return (
+        counts.select(
+            F.col("prev").alias("from_priority"),
+            F.col("p").alias("to_priority"),
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias("prob"),
+        )
+        .orderBy(F.asc("from_priority"), F.asc("to_priority"))
+    )

@@ -651,3 +651,16 @@ def test_ivf_index_build_serve_roundtrip(spark, sf_correctness, tmp_path):
     s = {(r.src, r.dst) for r in served.collect()}
     recall = len(e & s) / len(e)
     assert recall >= 0.6, f"index-served recall too low: {recall}"
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    from bigdataamazon_spark.queries import queries
+
+    rows = queries()["priority_transition_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_priority, 0.0)
+        by_from[r.from_priority] += r.prob
+    for f, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (f, total)  # each row is a distribution
