@@ -5906,16 +5906,18 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_churn_survival",
     """
     WITH span AS (
-      SELECT user_id, min(ts) AS fs, max(ts) AS ls FROM events GROUP BY 1
+      SELECT user_id, min(ts) AS fs, max(ts) AS ls,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS fe
+      FROM events GROUP BY 1
     ),
-    g AS (SELECT max(ts) AS mx FROM events),
     u AS (
-      SELECT date_diff('day', fs, ls) AS dur,
-             CASE WHEN ls < mx - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churned
-      FROM span CROSS JOIN g
+      SELECT CASE WHEN fe IS NOT NULL THEN date_diff('day', fs, fe)
+                  ELSE date_diff('day', fs, ls) END AS dur,
+             CASE WHEN fe IS NOT NULL THEN 1 ELSE 0 END AS failed
+      FROM span
     ),
     ev AS (
-      SELECT dur AS t, sum(churned) AS d, count(*) AS ending_here
+      SELECT dur AS t, sum(failed) AS d, count(*) AS ending_here
       FROM u GROUP BY 1
     ),
     risk AS (
@@ -5923,7 +5925,7 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(t AS INTEGER) AS t_days,
            CAST(n_risk AS BIGINT) AS n_at_risk,
-           CAST(d AS BIGINT) AS n_churned,
+           CAST(d AS BIGINT) AS n_failed,
            round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_risk, 1e-12)))
                      OVER (ORDER BY t ASC)), 6) AS survival
     FROM risk WHERE d > 0
@@ -5931,32 +5933,35 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for user lifetime: users whose last
-    event predates the observation horizon by >7 days count as churned
-    at their active-span length; later users are right-censored — the
-    estimator that handles censoring correctly where naive churn rates
-    lie. The cumulative product compiles to exp-sum-ln over an ordered
-    window (guarded at 1e-12: Spark's log(0) is NULL while DuckDB's is
-    -inf, the one cross-engine law the formula must dodge); at-risk
-    counts are a DESCENDING cumulative sum, so the whole curve is two
-    windows over |distinct durations| rows, with the only wide shuffle
-    the per-user span agg."""
+    """Kaplan-Meier time-to-event curve: days from a user's first event
+    to their first 'error', right-censored at last activity for users
+    who never fail — the estimator that handles censoring correctly
+    where a naive failure rate lies. The cumulative product compiles
+    to exp-sum-ln over an ordered window (guarded at 1e-12: Spark's
+    log(0) is NULL while DuckDB's is -inf, the one cross-engine law the
+    formula must dodge); at-risk counts are a DESCENDING cumulative
+    sum — the whole curve is two windows over |distinct durations|
+    rows, and the only wide shuffle is the per-user span agg."""
     e = load_table(spark, sf_dir, "events")
-    span = e.groupBy("user_id").agg(F.min("ts").alias("fs"), F.max("ts").alias("ls"))
-    g = e.agg(F.max("ts").alias("mx"))
-    u = span.crossJoin(F.broadcast(g)).select(
-        F.datediff(F.col("ls").cast("date"), F.col("fs").cast("date")).alias("dur"),
+    span = e.groupBy("user_id").agg(
+        F.min("ts").alias("fs"),
+        F.max("ts").alias("ls"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("fe"),
+    )
+    u = span.select(
         F.when(
-            F.col("ls") < F.col("mx") - F.expr("INTERVAL 7 DAY"), 1
-        ).otherwise(0).alias("churned"),
+            F.col("fe").isNotNull(),
+            F.datediff(F.col("fe").cast("date"), F.col("fs").cast("date")),
+        )
+        .otherwise(F.datediff(F.col("ls").cast("date"), F.col("fs").cast("date")))
+        .alias("dur"),
+        F.when(F.col("fe").isNotNull(), 1).otherwise(0).alias("failed"),
     )
     ev = u.groupBy(F.col("dur").alias("t")).agg(
-        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("ending_here")
+        F.sum("failed").alias("d"), F.count(F.lit(1)).alias("ending_here")
     )
     w_desc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-    risk = ev.select(
-        "t", "d", F.sum("ending_here").over(w_desc).alias("n_risk")
-    )
+    risk = ev.select("t", "d", F.sum("ending_here").over(w_desc).alias("n_risk"))
     w_asc = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
     factor = F.greatest(1.0 - F.col("d") * 1.0 / F.col("n_risk"), F.lit(1e-12))
     return (
@@ -5966,7 +5971,7 @@ def user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("t").cast("int").alias("t_days"),
             F.col("n_risk").cast("bigint").alias("n_at_risk"),
-            F.col("d").cast("bigint").alias("n_churned"),
+            F.col("d").cast("bigint").alias("n_failed"),
             "survival",
         )
         .orderBy(F.asc("t_days"))

@@ -666,16 +666,18 @@ def test_transition_matrix_rows_are_distributions(spark, sf_dir):
         assert abs(total - 1.0) < 1e-4, (f, total)  # each row is a distribution
 
 
-def test_survival_curve_monotone_and_bounded(spark, sf_dir):
+def test_survival_curve_monotone_and_bounded(spark, sf_correctness):
     from bigdataamazon_spark.queries import queries
 
-    rows = queries()["user_churn_survival"](spark, sf_dir).collect()
+    # sf0.001's 1000 events are too sparse for per-user error curves;
+    # sf0.01 yields a real multi-step curve
+    rows = queries()["user_churn_survival"](spark, sf_correctness).collect()
     assert rows
     surv = [r.survival for r in rows]
     assert all(0.0 <= s <= 1.0 for s in surv)
     assert all(b <= a + 1e-9 for a, b in zip(surv, surv[1:]))  # non-increasing
     for r in rows:
-        assert r.n_churned <= r.n_at_risk  # deaths bounded by the risk set
+        assert r.n_failed <= r.n_at_risk  # deaths bounded by the risk set
     # at-risk counts shrink as duration grows
     risks = [r.n_at_risk for r in rows]
     assert all(b <= a for a, b in zip(risks, risks[1:]))
