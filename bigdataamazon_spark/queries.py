@@ -3148,20 +3148,26 @@ def brand_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_nationkey FROM (
       SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
-      WHERE c_mktsegment = 'BUILDING'
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
       INTERSECT
-      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      SELECT DISTINCT c_nationkey FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000
       EXCEPT
-      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+      SELECT DISTINCT c_nationkey FROM customer
+      WHERE c_mktsegment = 'FURNITURE' AND c_acctbal > 9000
     )
     """,
 )
 def segment_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY §2.11 beyond unionByName): nations with
-    customers in BOTH building and machinery segments but NONE in
-    furniture — INTERSECT then EXCEPT, each planned as a distinct-ing
-    join (left-semi / left-anti under the hood), never a collect."""
-    c = load_table(spark, sf_dir, "customer")
+    high-balance customers in BOTH building and machinery segments but
+    none in furniture — INTERSECT then EXCEPT, each planned as a
+    distinct-ing join (left-semi / left-anti under the hood), never a
+    collect. The balance threshold keeps all three sets proper subsets
+    of the nations (unfiltered, every nation has every segment and the
+    result is vacuously empty — caught by the sweep's non-empty
+    guard)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     seg = lambda s: (  # noqa: E731
         c.filter(F.col("c_mktsegment") == s)
         .select(F.col("c_nationkey").alias("n_nationkey"))

@@ -17,3 +17,9 @@ def _names():
 def test_parity(spark, sf_correctness, name):
     problems = compare(spark, name, sf_correctness)
     assert not problems, "\n".join(problems)
+    # an empty result hash-matches an empty oracle VACUOUSLY — a broken
+    # predicate on both sides reads as green (caught once: a churn
+    # definition no testdata user could ever satisfy). Every registered
+    # query must produce rows at sf0.01.
+    n = registry.queries()[name](spark, sf_correctness).count()
+    assert n > 0, f"{name}: empty result at sf0.01 (vacuous parity)"
