@@ -5982,3 +5982,68 @@ def user_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("t_days"))
     )
+
+
+@register(
+    "segment_balance_ks",
+    """
+    WITH v AS (
+      SELECT c_acctbal AS x,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS b
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    t AS (SELECT sum(a) AS na, sum(b) AS nb FROM v),
+    g AS (SELECT x, sum(a) AS ca, sum(b) AS cb FROM v GROUP BY x),
+    e AS (
+      SELECT sum(ca) OVER (ORDER BY x) * 1.0 / t.na
+           - sum(cb) OVER (ORDER BY x) * 1.0 / t.nb AS d
+      FROM g CROSS JOIN t
+    )
+    SELECT round(max(abs(d)), 6) AS ks_stat,
+           CAST(any_value(t.na) AS BIGINT) AS n_a,
+           CAST(any_value(t.nb) AS BIGINT) AS n_b,
+           round(1.358 * sqrt((any_value(t.na) + any_value(t.nb)) * 1.0
+                              / (any_value(t.na) * any_value(t.nb))), 6)
+             AS crit_05
+    FROM e CROSS JOIN t
+    """,
+)
+def segment_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between segments' balance
+    distributions, with the 5% critical value — the drift test a
+    pipeline runs between yesterday's and today's feature
+    distributions. ECDF differences are evaluated at DISTINCT values
+    (ties aggregated first, so the cumulative sums are order-
+    deterministic); the whole statistic is one grouped agg + one
+    ordered window over |distinct values| + a max."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = c.select(
+        F.col("c_acctbal").alias("x"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("a"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("b"),
+    )
+    t = v.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    g = v.groupBy("x").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    e = g.crossJoin(F.broadcast(t)).select(
+        (
+            F.sum("ca").over(w) * 1.0 / F.col("na")
+            - F.sum("cb").over(w) * 1.0 / F.col("nb")
+        ).alias("d"),
+        "na", "nb",
+    )
+    return e.agg(
+        F.round(F.max(F.abs(F.col("d"))), 6).alias("ks_stat"),
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.round(
+            1.358
+            * F.sqrt(
+                (F.first("na") + F.first("nb")) * 1.0 / (F.first("na") * F.first("nb"))
+            ),
+            6,
+        ).alias("crit_05"),
+    )
