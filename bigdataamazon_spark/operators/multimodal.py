@@ -7,14 +7,20 @@ per-item decode/feature work happens in Arrow-batched pandas stages
 bytes never leave the executor, Python sees them as zero-copy Arrow
 buffers, and the decode stage parallelizes per partition.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode_mode="fake"`` derives deterministic pseudo-features
-from the bytes so the full pipeline — schema, batching, partitioning,
-output shape — is real and tested; ``decode_mode="real"`` raises
-``NotImplementedError`` at the exact seam where PIL/libav would slot in.
+Decode kernels: ``decode_mode="fake"`` derives deterministic
+pseudo-features from the bytes so the full pipeline — schema, batching,
+partitioning, output shape — is real and tested (and SQL-replayable by
+the DuckDB oracle, since every fake value is a pure function of the md5
+hex digest). ``decode_mode="real"`` uses PIL (images) / PyAV (video)
+when importable — probed once at import time — and raises
+``NotImplementedError`` at the exact seam otherwise, so this container
+(no media libs) exercises the fake path while an image with PIL runs
+the real kernels unchanged.
 """
 
 from __future__ import annotations
+
+import importlib.util
 
 from collections.abc import Iterator
 
@@ -24,10 +30,61 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
 
+# Probe optional media libraries once; executors re-probe on first use
+# (module import happens per python worker), so the flags are cheap and
+# consistent across driver and executors for a homogeneous image.
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+HAS_AV = importlib.util.find_spec("av") is not None
+
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, n_channels int, "
     f"feature array<float>"
 )
+
+
+def _require_pil():
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real image decode needs PIL (pillow); not importable in this "
+            "environment — the fake path exercises the same plumbing"
+        )
+    from PIL import Image  # noqa: PLC0415
+
+    return Image
+
+
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """PIL-backed decode: blob -> dims/channels + an 8-dim feature
+    (per-channel pixel means, zero-padded). Runs only when pillow is
+    importable; unit-tested under a skipif gate."""
+    Image = _require_pil()
+    import io  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    n_bytes, widths, heights, chans, feats = [], [], [], [], []
+    for blob in pdf["blob"]:
+        raw = bytes(blob)
+        img = Image.open(io.BytesIO(raw))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        n_bytes.append(len(raw))
+        widths.append(img.width)
+        heights.append(img.height)
+        chans.append(arr.shape[2])
+        means = (arr.reshape(-1, arr.shape[2]).mean(axis=0) / 255.0).tolist()
+        feats.append([float(x) for x in (means + [0.0] * FEATURE_DIM)[:FEATURE_DIM]])
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": pd.Series(n_bytes, dtype="int32"),
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "n_channels": pd.Series(chans, dtype="int32"),
+            "feature": feats,
+        }
+    )
 
 
 def with_synthetic_blob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -61,10 +118,8 @@ def decode_blobs(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real decode needs an image/audio library (PIL/torchaudio); "
-                    "not available in this environment — plug it in here"
-                )
+                yield _real_decode_batch(pdf)
+                continue
             blobs = pdf["blob"]
             out = pd.DataFrame(
                 {
@@ -96,20 +151,33 @@ def resize_images(
     Python objects row by row.
 
     fake mode emits a deterministic stand-in payload (digest of the
-    input bytes + target dims) with the requested dims; real mode is
-    the PIL/libvips seam.
+    input bytes + target dims) with the requested dims; real mode
+    decodes with PIL, resizes, and re-encodes PNG (NotImplementedError
+    when pillow is absent).
     """
     if decode_mode not in ("fake", "real"):
         raise ValueError(f"decode_mode must be 'fake' or 'real', got {decode_mode!r}")
     import hashlib
 
+    def _real_resize(pdf: pd.DataFrame) -> pd.DataFrame:
+        Image = _require_pil()
+        import io  # noqa: PLC0415
+
+        out = []
+        for blob in pdf["blob"]:
+            img = Image.open(io.BytesIO(bytes(blob))).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "width": width, "height": height, "blob": out}
+        )
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real resize needs an image library (PIL/libvips); "
-                    "not available in this environment — plug it in here"
-                )
+                yield _real_resize(pdf)
+                continue
             tag = f":{width}x{height}".encode()
             yield pd.DataFrame(
                 {
@@ -137,26 +205,46 @@ def sample_frames(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
     full frame list in memory at once).
 
     fake mode derives a deterministic frame count (1 + b[3] % 4) and
-    per-frame payloads from the digest; real mode is the libav seam.
+    per-frame payloads ``md5(hex(blob) + ":" + idx)`` — hex-string
+    derived so a SQL oracle can replay them exactly
+    (``md5(md5(text) || ':' || idx)``); real mode demuxes with PyAV
+    when importable (NotImplementedError otherwise).
     """
     if decode_mode not in ("fake", "real"):
         raise ValueError(f"decode_mode must be 'fake' or 'real', got {decode_mode!r}")
     import hashlib
 
+    def _real_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not HAS_AV:
+            raise NotImplementedError(
+                "real frame sampling needs PyAV/ffmpeg; not importable in "
+                "this environment — the fake path exercises the same plumbing"
+            )
+        import io  # noqa: PLC0415
+
+        import av  # noqa: PLC0415
+
+        ids, idxs, frames = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            with av.open(io.BytesIO(bytes(blob))) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame.to_image().tobytes())
+        return pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real frame sampling needs a video library (PyAV/ffmpeg); "
-                    "not available in this environment — plug it in here"
-                )
+                yield _real_sample(pdf)
+                continue
             ids, idxs, frames = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
                 for i in range(1 + b[3] % 4):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(hashlib.md5(b + bytes([i])).digest())
+                    frames.append(hashlib.md5(f"{b.hex()}:{i}".encode()).digest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(sample, schema=FRAMES_SCHEMA)

@@ -31,6 +31,28 @@ from ..functions.vector import as_double_array, dot, l2_norm
 EXACT_PAIRS_MAX_ROWS = 20_000
 
 
+def _guard_exact_corpus(df: DataFrame, max_rows: int | None, op: str) -> None:
+    """Scale guard for the broadcast-GEMM operators: they collect the
+    corpus to the driver, which is only a sane plan while n is small.
+    Enforced INSIDE the operator (not just the auto wrapper) so no
+    registered entry can ship an unbounded corpus to the driver — at
+    100× data the guard trips instead of the driver OOMing. The count
+    is one cheap column-pruned job against the (already-defined) input.
+    """
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: corpus has {n} rows > max_rows={max_rows}; the exact "
+            "broadcast-GEMM plan collects the corpus to the driver and is "
+            "not the right physical plan at this size. Use "
+            "similarity_topk_auto (routes to LSH), cosine_topk_approx, or "
+            "ivf_index_topk; pass max_rows=None only if the driver is "
+            "provisioned for it."
+        )
+
+
 def _sides(df: DataFrame, id_col: str, vec_col: str) -> tuple[DataFrame, DataFrame]:
     base = df.select(
         F.col(id_col),
@@ -175,13 +197,15 @@ def cosine_topk(
     k: int = 5,
     *,
     round_to: int | None = 6,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Flagship M7 spine: exact cosine top-k per vector, computed as a
     broadcast GEMM instead of an n² edge shuffle.
 
     Physical plan: the (n × d) L2-normalized corpus matrix is broadcast
-    to every executor (n is bounded by ``EXACT_PAIRS_MAX_ROWS`` — above
-    that ``similarity_topk_auto`` routes to LSH); each Arrow batch of
+    to every executor (n is bounded by ``max_rows`` — the in-operator
+    guard raises above it; ``similarity_topk_auto`` routes to LSH
+    instead of raising); each Arrow batch of
     query rows computes ``Q @ Cᵀ`` with BLAS and selects its own top-k
     locally. No pair ever hits a shuffle, no window over n² rows — the
     only distributed movement is the corpus broadcast (n·d·8 bytes) and
@@ -201,6 +225,7 @@ def cosine_topk(
     """
     import pandas as pd
 
+    _guard_exact_corpus(df, max_rows, "cosine_topk")
     id_type = df.schema[id_col].dataType.simpleString()
     rows = df.select(id_col, vec_col).collect()
     # corpus sorted by id => stable argsort on -score == dst-asc tiebreak
@@ -253,6 +278,7 @@ def cosine_threshold_pairs(
     threshold: float = 0.4,
     *,
     round_to: int | None = 6,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact undirected pairs (src < dst) with cosine >= threshold,
     computed as a broadcast GEMM: each Arrow batch scores its rows
@@ -264,6 +290,7 @@ def cosine_threshold_pairs(
     the per-edge higher-order-function dot is interpreted."""
     import pandas as pd
 
+    _guard_exact_corpus(df, max_rows, "cosine_threshold_pairs")
     id_type = df.schema[id_col].dataType.simpleString()
     rows = df.select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
@@ -617,7 +644,8 @@ def similarity_topk_auto(
     below EXACT_PAIRS_MAX_ROWS, LSH above."""
     n = df.count()
     if n <= EXACT_PAIRS_MAX_ROWS:
-        return cosine_topk(df, id_col, vec_col, k)
+        # max_rows=None: already counted here, skip the duplicate guard job
+        return cosine_topk(df, id_col, vec_col, k, max_rows=None)
     return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
 
 

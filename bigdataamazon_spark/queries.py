@@ -1347,25 +1347,86 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blob_metadata(multimodal.with_synthetic_blob(docs, "doc_id", "text"))
 
 
-@register("multimodal_features")  # no SQL oracle: Arrow mapInPandas stage
+# The fake decode kernel is a pure function of the md5 digest bytes, so
+# the oracle recovers each byte from the hex digest ('0x'||pair cast).
+_MM_DIGEST_BYTES = ", ".join(
+    f"('0x' || substr(hx, {2 * i + 1}, 2))::INT AS b{i}" for i in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id, {_MM_DIGEST_BYTES} FROM h)
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS n_bytes,
+           CAST(16 + b0 % 64 AS INTEGER) AS width,
+           CAST(16 + b1 % 64 AS INTEGER) AS height,
+           CAST(1 + b2 % 4 AS INTEGER) AS n_channels,
+           concat_ws(',', b0, b1, b2, b3, b4, b5, b6, b7) AS feature_csv
+    FROM b
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature stage over binary blobs (stubbed
-    deterministic kernel; rows-only driver check + exact-value pytest).
-    BASELINE.json multimodal surface; same vectorize-the-kernel policy
-    as the reference's sklearn stages (``amazon1.py:133-138``)."""
+    """Arrow-batched decode/feature stage over binary blobs
+    (deterministic fake kernel — see ``operators/multimodal.py``).
+    The registered output serializes the ``array<float>`` feature back
+    to its source byte CSV so the driver canonicalizer (pandas sort +
+    hash) handles every column, and the DuckDB oracle replays the
+    kernel from the hex digest. BASELINE.json multimodal surface; same
+    vectorize-the-kernel policy as the reference's sklearn stages
+    (``amazon1.py:133-138``)."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
-    return multimodal.decode_blobs(blobs, decode_mode="fake")
+    feats = multimodal.decode_blobs(blobs, decode_mode="fake")
+    # feature[i] == byte[i]/255 as float32; round(x*255) recovers the
+    # exact byte, so the serialized form is float-jitter-proof.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_channels",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+        ).alias("feature_csv"),
+    )
 
 
-@register("video_frame_samples")  # no SQL oracle: Arrow mapInPandas 1->N stage
+@register(
+    "video_frame_samples",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx,
+             1 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS n_frames
+      FROM documents
+    )
+    SELECT h.doc_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS n_bytes,
+           md5(hx || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_hex
+    FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_idx) f
+    WHERE f.frame_idx < h.n_frames
+    """,
+)
 def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: each synthetic 'video' blob fans out to
-    its deterministic frame rows (binary payloads end to end, Arrow
-    batches, no materialized frame arrays)."""
+    its deterministic frame rows (binary payloads through the Arrow
+    stage; the registered output projects scalar columns — byte length
+    + payload hex — so the driver hash check covers the full fan-out).
+    The fake frame payload is ``md5(hex(blob) + ':' + idx)``, which the
+    oracle replays as ``md5(md5(text) || ':' || idx)``."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
-    return multimodal.sample_frames(blobs, decode_mode="fake")
+    frames = multimodal.sample_frames(blobs, decode_mode="fake")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("n_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
 @register(
@@ -2289,7 +2350,8 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(v, x -> CAST(round(x * 127.0 / ma) AS TINYINT)) AS q8
       FROM s
     )
-    SELECT vec_id, round(ma, 6) AS max_abs, q8,
+    SELECT vec_id, round(ma, 6) AS max_abs,
+           array_to_string(q8, ',') AS q8_csv,
            CAST(list_aggregate(list_transform(q8, x -> abs(x)), 'sum') AS BIGINT)
              AS q8_l1
     FROM q
@@ -2298,8 +2360,9 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (per-vector max-abs scale):
     4× smaller payloads at rest and on the shuffle wire. One narrow
-    projection; the q8_l1 checksum pins every component cross-engine
-    without shipping doubles through the hash compare."""
+    projection; the q8_l1 checksum plus the exact-int CSV rendering of
+    the codes pins every component cross-engine (scalar columns only —
+    the driver canonicalizer can't sort array cells)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = vector.as_double_array("embedding")
     ma = vector.max_abs(v)
@@ -2313,7 +2376,10 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return df.select("vec_id", "max_abs", "q8", l1.alias("q8_l1"))
+    q8_csv = F.concat_ws(",", F.transform(F.col("q8"), lambda x: x.cast("string")))
+    return df.select(
+        "vec_id", "max_abs", q8_csv.alias("q8_csv"), l1.alias("q8_l1")
+    )
 
 
 @register("approx_order_stats")  # no SQL oracle: sketch results are
@@ -2327,12 +2393,22 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an exact countDistinct shuffles every key; this shuffles a few KB
     per group."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
         F.percentile_approx(
             "o_totalprice", [0.5, 0.9, 0.99], 10000
         ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    # Scalar columns only (driver canonicalizer contract): project the
+    # quantile sketch array to named percentile columns.
+    return agg.select(
+        "o_orderpriority",
+        "approx_customers",
+        F.col("price_quantiles")[0].alias("price_p50"),
+        F.col("price_quantiles")[1].alias("price_p90"),
+        F.col("price_quantiles")[2].alias("price_p99"),
+        "n_orders",
     )
 
 
@@ -3223,10 +3299,15 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_DIM = 64
+# Centroid components ship as an exact-int CSV (x10^4 scaling) so the
+# column is a scalar string — float rendering never diverges between
+# engines and the driver canonicalizer can sort it.
 _CENTROID_ORACLE = (
-    "SELECT label, CAST(count(*) AS BIGINT) AS n, ["
-    + ", ".join(f"round(avg(embedding[{i + 1}]), 4)" for i in range(_EMB_DIM))
-    + "] AS centroid FROM embeddings GROUP BY label"
+    "SELECT label, CAST(count(*) AS BIGINT) AS n, array_to_string(["
+    + ", ".join(
+        f"CAST(round(avg(embedding[{i + 1}]) * 10000) AS BIGINT)" for i in range(_EMB_DIM)
+    )
+    + "], ',') AS centroid_e4_csv FROM embeddings GROUP BY label"
 )
 
 
@@ -3238,10 +3319,17 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle by the dimension; this one keeps one row per vector,
     partial-aggregates map-side, and shuffles only |labels| rows."""
     e = load_table(spark, sf_dir, "embeddings")
-    return e.groupBy("label").agg(
+    agg = e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         vector.centroid_agg("embedding", _EMB_DIM).alias("centroid"),
     )
+    csv = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("centroid"), lambda x: F.round(x * 10000).cast("bigint").cast("string")
+        ),
+    )
+    return agg.select("label", "n", csv.alias("centroid_e4_csv"))
 
 
 @register(

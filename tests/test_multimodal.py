@@ -25,6 +25,9 @@ def test_fake_decode_deterministic(spark, sf_dir):
         assert abs(r.feature[0] - digest[0] / 255.0) < 1e-6
 
 
+@pytest.mark.skipif(
+    multimodal.HAS_PIL, reason="pillow present: real path decodes instead of raising"
+)
 def test_real_decode_is_explicit_seam(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
@@ -34,6 +37,29 @@ def test_real_decode_is_explicit_seam(spark, sf_dir):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="pillow not importable")
+def test_real_decode_with_pil(spark):
+    """Real kernel path: decode an actual PNG, check dims/channels and
+    the per-channel mean feature."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 6), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    rows = multimodal.decode_blobs(df, decode_mode="real").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.n_channels) == (10, 6, 3)
+    assert abs(r.feature[0] - 1.0) < 1e-6 and abs(r.feature[1]) < 1e-6
+
+    resized = multimodal.resize_images(df, 4, 3, decode_mode="real").collect()
+    assert (resized[0].width, resized[0].height) == (4, 3)
+    out = Image.open(io.BytesIO(bytes(resized[0].blob)))
+    assert out.size == (4, 3)
 
 
 def test_bad_mode_rejected(spark, sf_dir):
@@ -55,8 +81,9 @@ def test_resize_keeps_binary_payload(spark, sf_dir):
         expect = hashlib.md5(src[doc_id] + b":32x24").digest()
         assert bytes(r.blob) == expect
 
-    with pytest.raises(Exception):
-        multimodal.resize_images(blobs, 32, 24, decode_mode="real").collect()
+    if not multimodal.HAS_PIL:
+        with pytest.raises(Exception):
+            multimodal.resize_images(blobs, 32, 24, decode_mode="real").collect()
 
 
 def test_frame_sampling_fans_out(spark, sf_dir):
@@ -76,4 +103,5 @@ def test_frame_sampling_fans_out(spark, sf_dir):
         idxs = sorted(f.frame_idx for f in frames)
         assert idxs == list(range(len(frames)))
         for f in frames:
-            assert bytes(f.frame) == hashlib.md5(b + bytes([f.frame_idx])).digest()
+            expect = hashlib.md5(f"{b.hex()}:{f.frame_idx}".encode()).digest()
+            assert bytes(f.frame) == expect

@@ -222,7 +222,7 @@ def test_sketch_aggregates_near_exact(spark, sf_dir):
     for k, e in exact.items():
         g = got[k]
         assert abs(g.approx_customers - e.d) <= max(3, 0.05 * e.d)
-        for a, b in zip(g.price_quantiles, e.q):
+        for a, b in zip((g.price_p50, g.price_p90, g.price_p99), e.q):
             assert abs(a - b) <= 0.05 * b
 
 
