@@ -172,6 +172,86 @@ def posting_cosine_topk(
     return out
 
 
+# Above this vocabulary size the dense literal-array plan stops being a
+# plan at all: it compiles |V| expressions per row (plan-size explosion
+# before any task runs). The posting-list join takes over there.
+DENSE_VOCAB_MAX = 2048
+
+
+def bow_topk_auto(
+    cnt: DataFrame,
+    k: int = 5,
+    *,
+    tfidf: bool = False,
+    dense_vocab_max: int = DENSE_VOCAB_MAX,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Vocabulary-driven physical routing for bag-of-words cosine top-k
+    over a (doc_id, word, c) counts table — one entry point, two plans:
+
+    - |V| <= dense_vocab_max AND n_docs <= EXACT_PAIRS_MAX_ROWS: build
+      dense |V|-dim vectors (literal-keyed map probes, one narrow agg)
+      and run the broadcast GEMM — n·|V| memory, no pair shuffle.
+    - otherwise: the posting-list (inverted-index) join — the plan that
+      survives a real 10^5-10^6 vocabulary, where the literal plan
+      explodes at compile time and the GEMM's driver collect explodes
+      at runtime.
+
+    Both paths compute the SAME exact cosine (no df pruning here — see
+    ``posting_cosine_topk(max_df_frac=...)`` for the capped variant),
+    so routing never changes results, only the physical plan.
+    ``tfidf=True`` weights counts by smoothed idf ln((N+1)/(df+1))+1 —
+    driver literals on the dense path (bounded by dense_vocab_max), a
+    distributed word join on the posting path.
+    """
+    from pyspark import StorageLevel
+
+    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = cnt.select("doc_id").distinct().count()
+    n_vocab = cnt.select("word").distinct().count()
+
+    if n_vocab <= dense_vocab_max and n_docs <= EXACT_PAIRS_MAX_ROWS:
+        import math
+
+        if tfidf:
+            stats = (
+                cnt.groupBy("word").agg(F.count_distinct("doc_id").alias("df")).collect()
+            )
+            weight = {
+                r["word"]: math.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0
+                for r in stats
+            }
+        else:
+            weight = None
+        words = sorted(r[0] for r in cnt.select("word").distinct().collect())
+        m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
+        comps = [
+            F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
+            * (F.lit(weight[w]) if weight is not None else F.lit(1.0))
+            for w in words
+        ]
+        vecs = (
+            cnt.groupBy("doc_id")
+            .agg(m.alias("m"))
+            .select("doc_id", F.array(*comps).alias("vec"))
+            # cosine_topk reads vecs twice (corpus broadcast + query stream)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # max_rows=None: n_docs already checked against EXACT_PAIRS_MAX_ROWS
+        return cosine_topk(vecs, "doc_id", "vec", k, round_to=round_to, max_rows=None)
+
+    if tfidf:
+        idf = cnt.groupBy("word").agg(
+            (
+                F.log((F.lit(n_docs) + 1.0) / (F.count_distinct("doc_id") + 1.0)) + 1.0
+            ).alias("_idf")
+        )
+        cnt = cnt.join(idf, "word").select(
+            "doc_id", "word", (F.col("c") * F.col("_idf")).alias("c")
+        )
+    return posting_cosine_topk(cnt, k=k, round_to=round_to)
+
+
 def cosine_topk_expr(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -711,52 +711,26 @@ def bow_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``amazon1.py:128-155``): tokenize -> stopword-filter -> bag-of-words
     counts -> cosine -> per-doc top-5.
 
-    Physical strategy is vocabulary-driven. This corpus has a TINY
-    dense vocabulary (~31 words, ~78% document frequency), so a
-    posting-list join — the classic sparse-text plan — degenerates to
-    sum(df²) ≈ n² edge rows (it OOM'd a 128 GiB driver at sf0.1 before
-    this rewrite). Instead: build dense |V|-dim count vectors (one
-    narrow agg) and run the broadcast-GEMM cosine top-k, which costs
-    n·|V| memory and never shuffles a pair. The posting formulation
-    remains the right plan for large sparse vocabularies — that variant
-    lives in the oracle SQL, where DuckDB runs it at verification scale;
-    hand off to the MinHash/LSH rung (operators/dedup.py) when BOTH n
-    and |V| are large. CountVectorizer equivalence is pytest-pinned
+    Physical strategy is vocabulary-driven, decided INSIDE
+    ``similarity.bow_topk_auto``: this corpus has a TINY dense
+    vocabulary (~31 words, ~78% document frequency), so the router
+    picks dense |V|-dim count vectors (one narrow agg) + the
+    broadcast-GEMM cosine top-k — n·|V| memory, no pair shuffle (the
+    posting join degenerates to sum(df²) ≈ n² edge rows here and OOM'd
+    a 128 GiB driver at sf0.1). Above DENSE_VOCAB_MAX words the same
+    call routes to the posting-list join instead — identical exact
+    semantics, so the flip never changes results (pytest-pinned). Hand
+    off to the MinHash/LSH rung (operators/dedup.py) when BOTH n and
+    |V| are large. CountVectorizer equivalence is pytest-pinned
     (tests/test_operators.py)."""
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
     toks = text.remove_stopwords(text.tokens(F.col("text")))
     cnt = (
         docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        # three consumers: vocabulary collect + vector build (and the
-        # bench's warm run) — persist before the eager collect below
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the dense path is vocabulary-driven: |V| is tiny by construction,
-    # so the word list collects to the driver and each vector component
-    # is a literal-key map lookup — no global row_number window (a
-    # single-partition sort) and no per-row join against a word index
-    words = sorted(r[0] for r in cnt.select("word").distinct().collect())
-    m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
-    vecs = (
-        cnt.groupBy("doc_id")
-        .agg(m.alias("m"))
-        .select(
-            "doc_id",
-            F.array(
-                *[
-                    F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
-                    for w in words
-                ]
-            ).alias("bow"),
-        )
-        # cosine_topk reads vecs twice (corpus broadcast + query stream)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    return similarity.cosine_topk(vecs, "doc_id", "bow", k=5)
+    return similarity.bow_topk_auto(cnt, k=5)
 
 
 @register(
@@ -3147,47 +3121,21 @@ def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-weighted cosine top-5: the bow_cosine_topk plan with
-    smoothed-idf term weights (ln((N+1)/(df+1))+1). Same dense-GEMM
-    physical strategy — the vocabulary is tiny by construction, so the
-    (word, df) stats collect to the driver and each vector component
-    is a literal-keyed map probe times an idf literal; no word join,
-    no n-squared posting blow-up. Large sparse vocabularies take the
-    df-capped posting-list plan instead (bow_cosine_topk_sparse)."""
-    import math
-
-    from pyspark import StorageLevel
-
+    smoothed-idf term weights (ln((N+1)/(df+1))+1), routed by the same
+    ``similarity.bow_topk_auto`` vocabulary heuristic: tiny |V| -> the
+    (word, df) stats collect to the driver and each dense vector
+    component is a literal-keyed map probe times an idf literal (no
+    word join, no n² posting blow-up); large |V| -> the posting-list
+    join with idf applied as a distributed word join. Identical exact
+    semantics on both paths."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.remove_stopwords(text.tokens(F.col("text")))
     cnt = (
         docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_docs = cnt.select("doc_id").distinct().count()
-    stats = cnt.groupBy("word").agg(F.countDistinct("doc_id").alias("df")).collect()
-    idf = {
-        r["word"]: math.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0 for r in stats
-    }
-    words = sorted(idf)
-    m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
-    vecs = (
-        cnt.groupBy("doc_id")
-        .agg(m.alias("m"))
-        .select(
-            "doc_id",
-            F.array(
-                *[
-                    F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
-                    * F.lit(idf[w])
-                    for w in words
-                ]
-            ).alias("tfidf"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    return similarity.cosine_topk(vecs, "doc_id", "tfidf", k=5)
+    return similarity.bow_topk_auto(cnt, k=5, tfidf=True)
 
 
 @register(

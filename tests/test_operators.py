@@ -592,6 +592,54 @@ def test_similarity_auto_switches_to_lsh_at_scale(spark, sf_dir, monkeypatch):
     assert counts and max(counts) <= 2
 
 
+def test_bow_auto_routing_flips_without_changing_results(spark, sf_dir):
+    """The dense-vs-sparse vocabulary router: below DENSE_VOCAB_MAX the
+    plan is the broadcast GEMM (MapInPandas stage); forcing the
+    threshold to 0 flips to the posting-list join (no Python stage) —
+    and the results are identical either way (same exact cosine)."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.functions import text
+    from bigdataamazon_spark.operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    for tfidf in (False, True):
+        dense = similarity.bow_topk_auto(cnt, k=3, tfidf=tfidf)
+        sparse = similarity.bow_topk_auto(cnt, k=3, tfidf=tfidf, dense_vocab_max=0)
+        dense_plan = dense._jdf.queryExecution().executedPlan().toString()
+        sparse_plan = sparse._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in dense_plan
+        assert "MapInPandas" not in sparse_plan
+        d = {(r.src, r.dst): (r.score, r.rank) for r in dense.collect()}
+        s = {(r.src, r.dst): (r.score, r.rank) for r in sparse.collect()}
+        assert d == s, f"tfidf={tfidf}: routing changed results"
+
+
+def test_exact_gemm_guard_trips_above_max_rows(spark, sf_dir):
+    """Scale guard lives INSIDE the exact operators: above max_rows the
+    broadcast-GEMM path must refuse to collect the corpus to the driver
+    (not just when called through the auto wrapper)."""
+    import pytest as _pytest
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="similarity_topk_auto"):
+        similarity.cosine_topk(emb, k=2, max_rows=10)
+    with _pytest.raises(ValueError, match="not the right physical plan"):
+        similarity.cosine_threshold_pairs(emb, threshold=0.4, max_rows=10)
+    # explicit escape hatch still works
+    assert similarity.cosine_topk(emb.limit(12), k=1, max_rows=None).count() > 0
+
+
 def test_rolling_wau_bounds(spark, sf_dir):
     from bigdataamazon_spark.queries import queries
 
