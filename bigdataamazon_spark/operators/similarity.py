@@ -447,6 +447,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# Buckets wider than this stop doing all-pairs candidate generation.
+# A bucket this wide is a degenerate hash — near-identical replicas
+# collapsing into one bucket made candidate pairs grow quadratically in
+# dup multiplicity (measured 29x wall-clock at 10x dup-heavy data,
+# BASELINE.md scaling table). Oversized buckets fall back to a
+# sorted-id chain: O(size) pairs that keep every member connected (a
+# duplicate CLUSTER still closes transitively) at the cost of top-k
+# recall inside the degenerate bucket only.
+LSH_MAX_BUCKET_SIZE = 1024
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -456,6 +467,7 @@ def lsh_candidate_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate (src, dst) pairs sharing >=1 LSH band bucket.
 
@@ -463,6 +475,11 @@ def lsh_candidate_pairs(
     n_planes/bands consecutive bits into an int. The join is an
     equi-join on (band, key) — shuffles only ids+signatures, so it
     scales to corpus sizes where all-pairs cannot run.
+
+    ``max_bucket_size`` bounds the densification blow-up: buckets up
+    to the cap join all-pairs (the normal LSH shape); wider buckets
+    emit only adjacent pairs of the id-sorted membership — linear, not
+    quadratic, in bucket width. ``None`` disables the cap.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
@@ -482,14 +499,36 @@ def lsh_candidate_pairs(
         sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bk"))
         .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    left = keyed.select(F.col(id_col).alias("src"), "band", "key")
-    right = keyed.select(F.col(id_col).alias("dst"), "band", "key")
-    return (
+    if max_bucket_size is None:
+        left = keyed.select(F.col(id_col).alias("src"), "band", "key")
+        right = keyed.select(F.col(id_col).alias("dst"), "band", "key")
+        return (
+            left.join(right, ["band", "key"])
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+    # one shuffle on (band, key) sizes every bucket; the same key then
+    # drives the small-bucket self-join, so AQE reuses the partitioning
+    w = Window.partitionBy("band", "key")
+    sized = keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    left = small.select(F.col(id_col).alias("src"), "band", "key")
+    right = small.select(F.col(id_col).alias("dst"), "band", "key")
+    pairs_small = (
         left.join(right, ["band", "key"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .distinct()
     )
+    big = sized.filter(F.col("_bsz") > max_bucket_size)
+    chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+    pairs_big = (
+        big.withColumn("_prev", F.lag(id_col).over(chain_w))
+        .filter(F.col("_prev").isNotNull())
+        # ids sorted ascending => _prev < id, matching the src < dst form
+        .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def cosine_topk_approx(

@@ -592,6 +592,40 @@ def test_similarity_auto_switches_to_lsh_at_scale(spark, sf_dir, monkeypatch):
     assert counts and max(counts) <= 2
 
 
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Degenerate-bucket fallback: identical vectors all collapse into
+    one bucket per band; with the cap the candidate set is the linear
+    id-chain (still fully connected for dedup closure), not the
+    quadratic all-pairs blow-up."""
+    from bigdataamazon_spark.operators.similarity import lsh_candidate_pairs
+
+    n = 40
+    vec = [1.0] * 8
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    uncapped = lsh_candidate_pairs(
+        df, dim=8, n_planes=8, bands=2, max_bucket_size=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = lsh_candidate_pairs(df, dim=8, n_planes=8, bands=2, max_bucket_size=10)
+    rows = capped.collect()
+    # chain within each band's single bucket: n-1 distinct adjacent pairs
+    assert len(rows) == n - 1
+    # transitively connected: union-find over the chain reaches everyone
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(r.src)] = find(r.dst)
+    assert len({find(i) for i in range(n)}) == 1
+
+
 def test_bow_auto_routing_flips_without_changing_results(spark, sf_dir):
     """The dense-vs-sparse vocabulary router: below DENSE_VOCAB_MAX the
     plan is the broadcast GEMM (MapInPandas stage); forcing the
