@@ -65,6 +65,13 @@ HEADLINE = [
     "bm25_search",
     "bigram_lm_pmi",
     "table_profile_lineitem",
+    # heavier tail: iterative closure, full curation manifest, sparse
+    # posting cosine, snapshot audit — previously untimed, so perf
+    # regressions there were invisible to the per-round bench
+    "neardup_clusters",
+    "pretraining_manifest",
+    "bow_cosine_topk_sparse",
+    "orders_snapshot_diff",
 ]
 
 

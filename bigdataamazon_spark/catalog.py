@@ -78,6 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an intermediate consumed by MULTIPLE
+    downstream branches, without leaking cache.
+
+    ``persist()`` would also avoid recomputation, but a registry query
+    returns a lazy plan and never sees the caller's action — there is no
+    point at which it could ``unpersist()``, so repeated invocations in a
+    long-lived session accumulate cached partitions forever.
+    ``localCheckpoint(eager=True)`` materializes once, cuts lineage, and
+    its blocks are released by the ContextCleaner as soon as the
+    DataFrame is garbage-collected — no manual bookkeeping. On a real
+    cluster with executor churn, swap for a reliable ``checkpoint()``
+    (localCheckpoint blocks are not recomputable if an executor dies).
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guarantee at least ``min_parts`` partitions before a CPU-heavy
     expansion (shingle explode, pair generation, GEMM).

@@ -149,7 +149,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    # NOTE: norm/nodes stay persisted until the caller's action consumes
-    # the returned lazy plan; unpersisting here would evict them before
-    # the (single) job that needs them 2·iters times runs.
+    # Materialize the final ranks eagerly, then release the per-call
+    # caches: a lazy return would need norm/nodes alive until the
+    # caller's action, and repeated registry invocations in a long-lived
+    # session would accumulate persisted partitions forever.
+    ranks = ranks.localCheckpoint(eager=True)
+    norm.unpersist()
+    nodes.unpersist()
     return ranks

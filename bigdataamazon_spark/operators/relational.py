@@ -327,20 +327,19 @@ def snapshot_diff(
     change in {added, removed, updated, unchanged} — the audit that
     turns 'the pipeline ran' into 'here is exactly what it did'.
 
-    Payloads compare by md5 over a null-safe '|'-joined column concat,
-    so only (key, 16-byte hash) crosses the wire — never row payloads.
-    The full-outer join hashes on the key; at 100 TB co-locate both
-    snapshots with write_bucketed on the key and the exchange
-    disappears entirely.
+    Payloads compare by md5 over ``to_json(struct(...))``, so only
+    (key, 16-byte hash) crosses the wire — never row payloads. JSON
+    structs keep field boundaries and nulls distinct (a value equal to
+    a sentinel, or containing a delimiter, cannot collide the way a
+    joined concat can). The full-outer join hashes on the key; at
+    100 TB co-locate both snapshots with write_bucketed on the key and
+    the exchange disappears entirely.
     """
     payload = [c for c in before.columns if c not in key_cols]
 
     def _h(df: DataFrame):
         return F.md5(
-            F.concat_ws(
-                "|",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in payload],
-            )
+            F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in payload]))
         )
 
     b = before.select(*key_cols, _h(before).alias("_bh"))

@@ -171,12 +171,15 @@ def weighted_sample(
     becomes a TakeOrdered top-n, no state, no sequential pass, and the
     same keys win on any cluster size or retry (unlike rand()-based
     sampling). u is clamped away from 0 so zero/negative draws cannot
-    produce NaN scores.
+    produce NaN scores, and rows with non-positive weight are DROPPED
+    before scoring (w <= 0 would otherwise invert the score — 1/0 -> inf
+    and negative w would make the lowest-weight rows win).
     """
     u = F.greatest(hash_fraction(F.col(key_col), seed), F.lit(1e-18))
     score = F.pow(u, F.lit(1.0) / F.col(weight_col))
     return (
-        df.withColumn("_ws", score)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ws", score)
         .orderBy(F.desc("_ws"), F.asc(key_col))
         .limit(n)
         .drop("_ws")

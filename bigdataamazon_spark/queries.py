@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, materialize_shared
 from .functions import cleaning, text, vector
 from .operators import relational, similarity
 
@@ -3417,7 +3417,7 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("value").alias("value"))
     )
-    byp = byp.persist()  # consumed by the threshold agg AND the filter
+    byp = materialize_shared(byp)  # consumed by the threshold agg AND the filter
     total = byp.agg((F.sum("value") * F.lit(0.002)).alias("threshold"))
     return (
         byp.crossJoin(F.broadcast(total))
@@ -3986,7 +3986,7 @@ def custkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    c = c.persist()  # consumed by the totals agg AND the report join
+    c = materialize_shared(c)  # consumed by the totals agg AND the report join
     t = c.agg(F.avg("cnt").alias("avg_cnt"), F.sum("cnt").alias("total"))
     return (
         c.crossJoin(F.broadcast(t))
@@ -4164,7 +4164,7 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = tf.persist()  # two consumers: the idf rollup and the probe sliver
+    tf = materialize_shared(tf)  # two consumers: the idf rollup and the probe sliver
     idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -4385,13 +4385,12 @@ def doc_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg share the doc_id-keyed exchange. Extends quality_scores /
     repetition_scores with distributional signals."""
     docs = load_table(spark, sf_dir, "documents")
-    # three consumers (window, vocab rollup, corpus rollup) — persist or
-    # the tokenize+explode+agg chain materializes once per consumer
-    tf = (
+    # three consumers (window, vocab rollup, corpus rollup) — materialize
+    # or the tokenize+explode+agg chain recomputes once per consumer
+    tf = materialize_shared(
         docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     vocab = tf.groupBy("term").agg(F.sum("c").alias("vc"))
     corpus = tf.agg(F.sum("c").alias("ct"))
@@ -4874,7 +4873,10 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_lm_pmi",
     """
-    WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
     bg AS (
       SELECT l[i] AS w1, l[i + 1] AS w2
       FROM toks, unnest(range(1, len(l))) AS t(i)
@@ -4908,7 +4910,9 @@ def bigram_lm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("b"), " ").getItem(1).alias("w2"),
         )
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    c12 = materialize_shared(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
     # marginals roll up from the (w1, w2) aggregate — the corpus
     # explodes and shuffles ONCE; cf/cs/n are cube rollups of c12,
     # each orders-of-magnitude smaller than re-scanning bigrams
@@ -4988,11 +4992,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is TakeOrdered. Swap the VALUES row for a tokenized user
     string and this is the online search endpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
+    tf = materialize_shared(
         docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("nd"))

@@ -374,3 +374,51 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     # before the TakeOrdered)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_transition_matrix_pruned_and_bounded_exchanges(spark, sf_dir):
+    plan = _executed_plan(spark, "priority_transition_matrix", sf_dir)
+    # orders scan pruned to the 4 columns the lag window + agg need
+    assert _scan_schemas(plan) == [
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ]
+    # custkey window + (prev,p) agg + prev-normalization window + final
+    # sort — anything beyond 4 exchanges means a recompute crept in
+    assert plan.count("Exchange") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_curve_one_wide_shuffle(spark, sf_dir):
+    plan = _executed_plan(spark, "user_churn_survival", sf_dir)
+    assert _scan_schemas(plan) == [["ts", "user_id", "event_type"]]
+    # the user_id span agg is the only data-sized exchange; both KM
+    # windows ride |distinct durations| rows (single-partition sorts)
+    assert plan.count("Exchange") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_filter_pushed_and_totals_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "segment_balance_ks", sf_dir)
+    # segment predicate reaches every customer scan
+    assert plan.count("In(c_mktsegment, [BUILDING,MACHINERY]") >= 2
+    # per-scan pruning: ECDF branch reads (x, segment), totals read segment only
+    assert sorted(map(tuple, _scan_schemas(plan))) == [
+        ("c_acctbal", "c_mktsegment"),
+        ("c_mktsegment",),
+    ]
+    # the 1-row totals frame joins broadcast-side, never a shuffle
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_dashboard_is_broadcast_union_of_pruned_audits(spark, sf_dir):
+    plan = _executed_plan(spark, "data_quality_dashboard", sf_dir)
+    # plan-level concatenation of the sub-audits, not a join of reports
+    assert "Union" in plan
+    # every FK orphan check joins its dim broadcast: no sort-merge join
+    # anywhere in the nightly audit
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 8
+    # each sub-audit scan reads only its key/measure columns — the widest
+    # is the 4-column reconciliation slice of lineitem/orders
+    assert all(len(s) <= 4 for s in _scan_schemas(plan))

@@ -91,3 +91,12 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_correctness):
     # the benchmark gram set must join broadcast-side: the corpus grams
     # are never shuffled for candidate detection
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    """w <= 0 must be excluded, not silently inverted: pow(u, 1/0)=inf
+    and a negative w would make the LOWEST-weight rows win."""
+    rows = [(i, float(w)) for i, w in enumerate([5.0, 0.0, -3.0, 2.0, 1.0, 4.0])]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = {r["k"] for r in sampling.weighted_sample(df, 4, "k", "w").collect()}
+    assert got == {0, 3, 4, 5}  # every positive-weight row, no w<=0 row

@@ -396,7 +396,8 @@ def test_watermark_guarantee_no_reemission_after_eviction(spark):
     duplicate. That single-emission property is what makes append-mode
     sinks safe to bill on."""
     import datetime as dt
-    import time
+    import glob
+    import os
 
     from pyspark.sql import functions as F
 
@@ -404,18 +405,32 @@ def test_watermark_guarantee_no_reemission_after_eviction(spark):
 
     d = tempfile.mkdtemp(prefix="late_events_")
     try:
-        def write(rows, mode):
-            spark.createDataFrame(
-                [(i, dt.datetime(2024, 1, 1, h, m, 0), 1, "click", 1.0, "{}")
-                 for i, h, m in rows],
-                EVENT_SCHEMA,
-            ).coalesce(1).write.mode(mode).parquet(d)
-            time.sleep(1.1)  # file source orders micro-batches by mod time
+        # Each micro-batch is one explicitly-named parquet file with an
+        # explicitly-set, strictly-increasing mtime: the file source
+        # orders batches by (mod time, path), and coarse-granularity
+        # filesystems / CI stalls must not be able to collapse two
+        # batches into one ordering slot (no sleep-based ordering).
+        mtime0 = 1_700_000_000
 
-        write([(1, 10, 0), (2, 11, 0)], "overwrite")  # wm -> 10:50 after b0
-        write([(3, 11, 5)], "append")   # b1: evicts+emits window 10:00 (n=1)
-        write([(4, 10, 2)], "append")   # b2: LATE, state gone -> must drop
-        write([(5, 11, 30)], "append")  # b3: pushes wm past 11:10
+        def write(rows, batch_no):
+            stage = tempfile.mkdtemp(prefix="late_stage_")
+            try:
+                spark.createDataFrame(
+                    [(i, dt.datetime(2024, 1, 1, h, m, 0), 1, "click", 1.0, "{}")
+                     for i, h, m in rows],
+                    EVENT_SCHEMA,
+                ).coalesce(1).write.mode("overwrite").parquet(stage)
+                part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+                dst = os.path.join(d, f"batch-{batch_no:04d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (mtime0 + batch_no, mtime0 + batch_no))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+
+        write([(1, 10, 0), (2, 11, 0)], 0)  # wm -> 10:50 after b0
+        write([(3, 11, 5)], 1)   # b1: evicts+emits window 10:00 (n=1)
+        write([(4, 10, 2)], 2)   # b2: LATE, state gone -> must drop
+        write([(5, 11, 30)], 3)  # b3: pushes wm past 11:10
 
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)
