@@ -109,6 +109,7 @@ def posting_cosine_topk(
     k: int = 5,
     *,
     max_df_frac: float | None = None,
+    max_df: int | None = None,
     round_to: int | None = 6,
 ) -> DataFrame:
     """Sparse BOW cosine top-k via an inverted-index (posting-list) join
@@ -125,20 +126,32 @@ def posting_cosine_topk(
     is tiny by construction (few words can exceed a df fraction), hence
     a broadcast anti-join, never a shuffle.
 
+    ``max_df`` is the ABSOLUTE-count twin, and it is the one that
+    matters under domain skew: in a multi-domain corpus a word can be
+    universal inside its domain (df² quadratic there) while staying
+    under any corpus-wide FRACTION — measured on the 100× stress corpus,
+    the fraction cap prunes nothing and the join explodes ~10^10 edges,
+    while ``max_df=10_000`` bounds per-word edge volume at df² ≤ 10^8
+    regardless of corpus size. Production setting: always set ``max_df``
+    (edge volume per word is then corpus-size-independent); add
+    ``max_df_frac`` when reduced-space semantics should also track
+    corpus growth.
+
     Physical shape: one groupBy for norms, one word-equi-join with
     map-side partial-summed dot products, two norm joins left to AQE
     (norms is one slim row per doc — broadcast when it fits), window
     top-k. No driver collect anywhere.
     """
-    if max_df_frac is not None:
-        total = cnt.agg(F.count_distinct("doc_id").alias("n"))
-        hot = (
-            cnt.groupBy("word")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .crossJoin(F.broadcast(total))
-            .filter(F.col("df") > F.lit(max_df_frac) * F.col("n"))
-            .select("word")
-        )
+    if max_df_frac is not None or max_df is not None:
+        dfreq = cnt.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        cond = F.lit(False)
+        if max_df_frac is not None:
+            total = cnt.agg(F.count_distinct("doc_id").alias("n"))
+            dfreq = dfreq.crossJoin(F.broadcast(total))
+            cond = cond | (F.col("df") > F.lit(max_df_frac) * F.col("n"))
+        if max_df is not None:
+            cond = cond | (F.col("df") > F.lit(max_df))
+        hot = dfreq.filter(cond).select("word")
         cnt = cnt.join(F.broadcast(hot), "word", "left_anti")
     # three consumers (norms + both posting join sides): materialize or
     # the tokenize/count DAG upstream re-runs per consumer

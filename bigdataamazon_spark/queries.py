@@ -6086,3 +6086,203 @@ def segment_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("crit_05"),
     )
+
+
+from .operators import linkage  # noqa: E402
+
+
+@register(
+    "part_fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (
+      SELECT p_name,
+             lower(list_extract(regexp_split_to_array(trim(p_name), '\\s+'), -1)) AS bk
+      FROM n
+    ),
+    p AS (
+      SELECT a.p_name AS src, c.p_name AS dst,
+             levenshtein(a.p_name, c.p_name) AS dist
+      FROM b a JOIN b c ON a.bk = c.bk AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) <= 2
+    )
+    SELECT src, dst, CAST(dist AS INTEGER) AS dist
+    FROM p ORDER BY src ASC, dst ASC
+    """,
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (operators/linkage.blocked_fuzzy_pairs): near-
+    identical part names within edit distance 2, candidates generated
+    per last-token block so the all-pairs comparison never exists — the
+    record-linkage primitive the reference's exact-token recommender
+    (amazon1.py:132-137) cannot express. Spark verifies with the
+    BOUNDED levenshtein(l, r, threshold) (O(d·n) early exit); the
+    oracle replays the identical blocking + unbounded levenshtein."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    return (
+        linkage.blocked_fuzzy_pairs(names, "p_name", "p_name", max_dist=2)
+        .select("src", "dst", "dist")
+        .orderBy(F.asc("src"), F.asc("dst"))
+    )
+
+
+@register(
+    "part_entity_resolution",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+    b AS (
+      SELECT p_name,
+             lower(list_extract(regexp_split_to_array(trim(p_name), '\\s+'), -1)) AS bk
+      FROM n
+    ),
+    p AS (
+      SELECT a.p_name AS src, c.p_name AS dst
+      FROM b a JOIN b c ON a.bk = c.bk AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) <= 2
+    ),
+    und AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (SELECT a AS p_name, least(a, min(b)) AS canonical_name
+            FROM reach GROUP BY a)
+    SELECT n.p_name AS p_name,
+           coalesce(lab.canonical_name, n.p_name) AS canonical_name
+    FROM n LEFT JOIN lab USING (p_name)
+    ORDER BY p_name ASC
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/linkage.resolve_entities):
+    fuzzy-pair graph -> transitive closure (iterative min-label on the
+    Spark side, recursive CTE in the oracle) -> deterministic canonical
+    representative per cluster; singleton names canonicalize to
+    themselves. 'cold anvil', 'old anvil' and friends collapse into one
+    entity — the catalog-cleanup operator every marketplace ingest
+    needs."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(F.col("p_name").alias("name_id"), "p_name")
+    )
+    return (
+        linkage.resolve_entities(names, "name_id", "p_name", max_dist=2)
+        .select("p_name", "canonical_name")
+        .orderBy(F.asc("p_name"))
+    )
+
+
+@register(
+    "bow_cosine_topk_dfcap",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    filt AS (
+      SELECT doc_id, word FROM toks
+      WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+    ),
+    cnt AS (SELECT doc_id, word, count(*) AS c FROM filt GROUP BY 1, 2),
+    hot AS (SELECT word FROM cnt GROUP BY word HAVING count(*) > 390),
+    cap AS (SELECT * FROM cnt WHERE word NOT IN (SELECT word FROM hot)),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM cap GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, sum(a.c * b.c) AS dotp
+      FROM cap a JOIN cap b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, dotp / (x.nrm * y.nrm) AS score
+      FROM shared JOIN nrm x ON x.doc_id = src JOIN nrm y ON y.doc_id = dst
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def bow_cosine_topk_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABSOLUTE document-frequency cap on the posting cosine plan
+    (similarity.posting_cosine_topk(max_df=...)): words in more than 390
+    documents leave the vector space before the join. This is the knob
+    that survives domain skew, where a word is universal inside its
+    domain but a sliver of the corpus and any FRACTIONAL cap keeps it —
+    measured on the 100x multi-domain stress corpus the fractional plan
+    explodes ~10^10 edge rows while max_df bounds per-word edges at df²
+    regardless of corpus size (BASELINE.md round-2 scaling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return similarity.posting_cosine_topk(cnt, k=5, max_df=390)
+
+
+@register(
+    "monthly_revenue_ewma",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             avg(o_totalprice) / 1000.0 AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT month, x,
+             CAST(row_number() OVER (ORDER BY month ASC) AS DOUBLE) AS t
+      FROM m
+    ),
+    acc AS (
+      SELECT month, x, t,
+             sum(x * power(0.7, -t)) OVER
+               (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS s,
+             sum(power(0.7, -t)) OVER
+               (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS w
+      FROM idx
+    )
+    SELECT CAST(month AS VARCHAR) AS month, round(x, 6) AS avg_price_k,
+           round(s / w, 6) AS ewma_k
+    FROM acc ORDER BY month ASC
+    """,
+)
+def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly mean order value
+    (alpha=0.3, adjust=True normalization) — the trend smoother every
+    ops dashboard runs, expressed WITHOUT recursion: ewma_t =
+    sum(x_i*d^(t-i))/sum(d^(t-i)) factors through two cumulative sums of
+    d^(-i)-scaled terms over one ordered window. d^(-t) grows as the
+    series lengthens — fine through ~2000 points of double range at
+    d=0.7 (documented bound); beyond that, chunk the series or fall
+    back to the sessionized recursive form. The oracle runs the SAME
+    power-sum formulation so both engines share one arithmetic shape
+    (a recursive-CTE twin would accumulate float error in a different
+    order and flake the hash at the rounding boundary). Values scale to
+    thousands so round(6) sits ~8 orders above double noise."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month")).agg(
+        (F.avg("o_totalprice") / 1000.0).alias("x")
+    )
+    w_ord = Window.orderBy(F.asc("month"))
+    idx = m.withColumn("t", F.row_number().over(w_ord).cast("double"))
+    w_cum = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    d = F.lit(0.7)
+    acc = idx.select(
+        "month",
+        "x",
+        F.sum(F.col("x") * F.pow(d, -F.col("t"))).over(w_cum).alias("s"),
+        F.sum(F.pow(d, -F.col("t"))).over(w_cum).alias("w"),
+    )
+    return acc.select(
+        F.col("month").cast("string").alias("month"),
+        F.round("x", 6).alias("avg_price_k"),
+        F.round(F.col("s") / F.col("w"), 6).alias("ewma_k"),
+    ).orderBy(F.asc("month"))

@@ -169,6 +169,22 @@ def test_posting_cosine_matches_dense_and_caps_hot_words(spark):
     }
     assert got_cap == expected(lambda w: w != "hot")
 
+    # ABSOLUTE cap (the domain-skew knob): df > 3 prunes hot (df=4)
+    # even when a fractional cap would keep it — identical reduced space
+    got_abs = {
+        (r["src"], r["dst"]): r["score"]
+        for r in similarity.posting_cosine_topk(cnt, k=3, max_df=3).collect()
+    }
+    assert got_abs == expected(lambda w: w != "hot")
+    # both caps compose as a UNION of pruned sets: frac=0.9 alone prunes
+    # hot (4/4), max_df=2 alone prunes everything (min df is 3) — so the
+    # combination empties the space even though neither filter targets
+    # x/y via the fraction
+    got_both = similarity.posting_cosine_topk(
+        cnt, k=3, max_df_frac=0.9, max_df=2
+    ).count()
+    assert got_both == 0
+
 
 def test_int8_quantization_roundtrip(spark, sf_dir):
     """Quantize -> dequantize must reconstruct within the quantization
@@ -763,3 +779,62 @@ def test_survival_curve_monotone_and_bounded(spark, sf_correctness):
     # at-risk counts shrink as duration grows
     risks = [r.n_at_risk for r in rows]
     assert all(b <= a for a, b in zip(risks, risks[1:]))
+
+
+def test_blocked_fuzzy_pairs_blocking_and_threshold(spark):
+    """Same-block candidates verify by bounded levenshtein; cross-block
+    near-names are (by design) not found; beyond-threshold pairs drop."""
+    from bigdataamazon_spark.operators import linkage
+
+    rows = [
+        (1, "cold anvil"),
+        (2, "old anvil"),    # dist 1, same block 'anvil'
+        (3, "bold anvil"),   # dist 1 of cold, same block
+        (4, "cold bolt"),    # other block — never compared to anvils
+        (5, "colder anvils"),  # block 'anvils' — near 'cold anvil' but unblocked
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in linkage.blocked_fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_blocked_fuzzy_pairs_degenerate_block_chains(spark):
+    """A block wider than max_block emits the id-sorted adjacent chain
+    (linear candidates), still transitively connected for closure."""
+    from bigdataamazon_spark.operators import linkage
+
+    rows = [(i, f"name{i:02d} core") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = linkage.blocked_fuzzy_pairs(
+        df, "id", "name", max_dist=9, max_block=4
+    ).collect()
+    pairs = sorted((r["src"], r["dst"]) for r in out)
+    assert pairs == [(i, i + 1) for i in range(9)]
+
+
+def test_resolve_entities_canonical_min_id(spark):
+    """Clusters elect the min-id member's name; singletons self-canon."""
+    from bigdataamazon_spark.operators import linkage
+
+    rows = [
+        (10, "cold anvil"),
+        (7, "old anvil"),
+        (3, "blue bolt"),
+        (4, "glue bolt"),
+        (99, "lonely gizmo"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        r["id"]: (r["entity_id"], r["canonical_name"])
+        for r in linkage.resolve_entities(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == {
+        10: (7, "old anvil"),
+        7: (7, "old anvil"),
+        3: (3, "blue bolt"),
+        4: (3, "blue bolt"),
+        99: (99, "lonely gizmo"),
+    }

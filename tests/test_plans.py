@@ -422,3 +422,14 @@ def test_quality_dashboard_is_broadcast_union_of_pruned_audits(spark, sf_dir):
     # each sub-audit scan reads only its key/measure columns — the widest
     # is the 4-column reconciliation slice of lineitem/orders
     assert all(len(s) <= 4 for s in _scan_schemas(plan))
+
+
+def test_fuzzy_linkage_never_cross_joins(spark, sf_dir):
+    # candidate generation must be the blocked groupBy expansion — a
+    # cartesian/BNLJ of names means blocking regressed to all-pairs
+    for name in ["part_fuzzy_name_pairs", "part_entity_resolution"]:
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # every part scan pruned to the single name column
+        assert all(s == ["p_name"] for s in _scan_schemas(plan)), name

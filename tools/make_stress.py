@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Regenerable scale-stress datasets (BASELINE.md scaling studies).
+
+Round 1 built these ad hoc and lost the generator with the box; this
+script is the committed source of truth so every round can re-measure
+on identical data.
+
+- ``sfx`` (text/embedding stress): documents x100 — each replica k
+  prefixes every word with ``r{k}`` so shingle spaces stay disjoint and
+  the duplicate RATE scales linearly (the honest model of a bigger
+  corpus, not one giant duplicate cluster); embeddings x10 — replica k
+  shifts every dim by +0.0017*k (near-duplicates with controlled
+  distance, the adversarial case for hyperplane LSH bucketing).
+- ``sfy`` (relational stress): lineitem/orders/events x10 by key-offset
+  replication (keys stay unique, FK structure preserved); dims copied.
+
+Usage: python tools/make_stress.py [--src /root/testdata/sf0.1]
+                                   [--sfx /tmp/sfx] [--sfy /tmp/sfy]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+
+def make_sfx(src: str, out: str, *, doc_reps: int = 100, emb_reps: int = 10) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT d.doc_id + 1000000 * r.k AS doc_id,
+                 CASE WHEN r.k = 0 THEN d.text
+                      ELSE 'r' || r.k || regexp_replace(d.text, ' ', ' r' || r.k, 'g')
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM '{src}/documents.parquet' d
+          CROSS JOIN (SELECT unnest(range({doc_reps})) AS k) r
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT e.vec_id + 1000000 * r.k AS vec_id,
+                 CAST(list_transform(e.embedding, x -> x + 0.0017 * r.k)
+                      AS FLOAT[]) AS embedding,
+                 e.label
+          FROM '{src}/embeddings.parquet' e
+          CROSS JOIN (SELECT unnest(range({emb_reps})) AS k) r
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    # small tables pass through so catalog loads resolve
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def make_sfy(src: str, out: str, *, reps: int = 10) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"CROSS JOIN (SELECT unnest(range({reps})) AS k) r"
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey + 10000000 * r.k AS l_orderkey, l_partkey, l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
+          FROM '{src}/lineitem.parquet' {rep}
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey + 10000000 * r.k AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{src}/orders.parquet' {rep}
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT event_id + 100000000 * r.k AS event_id, ts, user_id,
+                 event_type, value, props
+          FROM '{src}/events.parquet' {rep}
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--sfx", default="/tmp/sfx")
+    ap.add_argument("--sfy", default="/tmp/sfy")
+    args = ap.parse_args()
+    make_sfx(args.src, args.sfx)
+    make_sfy(args.src, args.sfy)
+    print("wrote", args.sfx, "and", args.sfy)
