@@ -153,3 +153,30 @@ def pagerank(
     # pile up, so repeated invocations in a long-lived session cannot
     # accumulate cache without limit.
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as ordered
+    edges (src < dst, deduplicated). Closes ordered wedges u<v<w with two
+    equi-joins, so each triangle is constructed exactly once; the three
+    rotations then fold into one hash agg. 100 TB note: the classic
+    degree-ordering refinement (orient each edge from its lower-degree
+    endpoint) bounds the wedge join on skewed graphs and drops in here
+    without changing the join shape."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -404,3 +404,121 @@ def repetition_scores(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / total, 6
         ).alias("dup_gram_frac"),
     )
+
+
+# Gopher-style quality rule pack (Rae et al. 2021, public). The testdata
+# corpus is one line of bare lowercase words, so — like pii_redact's
+# injected spans — the operator first injects deterministic structure
+# (newlines, bullet prefixes, ellipses, symbol tags) keyed on the doc id,
+# mirrored verbatim in the DuckDB oracle, so every rule has both firing
+# and non-firing documents and the cross-engine check is non-trivial.
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_structured_text(id_col: Column, text_col: Column) -> Column:
+    """Deterministic structure injection: newline before each ' the ',
+    bullet prefix (id%5), trailing ellipsis (id%7), symbol tags (id%3).
+    Order matters and is mirrored in the oracle CTE."""
+    t = F.regexp_replace(text_col, " the ", "\nthe ")
+    t = F.when(id_col % 5 == 0, F.concat(F.lit("- "), t)).otherwise(t)
+    t = F.when(id_col % 7 == 0, F.concat(t, F.lit(" see more..."))).otherwise(t)
+    return F.when(id_col % 3 == 0, F.concat(t, F.lit(" #tag #ref"))).otherwise(t)
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher rule-pack: word count, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    required-stopword hits -> per-rule flags + overall keep. Entirely
+    codegen-native (split + higher-order array functions + regexp_count),
+    zero shuffle — the 100 TB shape is a narrow projection."""
+    sid = F.col(id_col)
+    t = gopher_structured_text(sid, F.col(text_col))
+    words = tokens(t)
+    n_words = F.size(words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    mean_len = (
+        F.aggregate(F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v)
+        .cast("double")
+        / n_words
+    )
+    n_sym = F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    sym_ratio = n_sym.cast("double") / n_words
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* ")))
+        .cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double") / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n_words
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS])
+    n_req = F.size(F.filter(stops, lambda s: F.array_contains(words, s)))
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_req >= 2)
+    )
+    return df.select(
+        sid,
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_req.alias("n_required_stops"),
+        keep.alias("keep"),
+    )
+
+
+import pandas as _pd  # noqa: E402
+from pyspark.sql.types import StringType as _StringType  # noqa: E402
+
+
+# NB: DataType instance (not DDL string) so no SparkContext is needed at
+# import time — same note as operators/stemming.py. Module-level because
+# pandas_udf resolves the pd.Series string hints via the enclosing
+# module's globals.
+@F.pandas_udf(_StringType())
+def _nfc_udf(s: _pd.Series) -> _pd.Series:
+    return s.str.normalize("NFC")
+
+
+def unicode_nfc_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC canonicalization — a real LLM-corpus cleaning step
+    with no Catalyst-native equivalent, so it is the canonical
+    Arrow-batched pandas_udf shape (like stemming). The testdata corpus
+    is pure ASCII, so decomposed sequences (e + U+0301) are injected
+    deterministically on even ids, mirrored in the DuckDB oracle via
+    ``nfc_normalize`` — the UDF output is value-verified cross-engine,
+    not just smoke-tested. Zero shuffle; at 100 TB this is a narrow
+    projection whose only cost is the Arrow hop."""
+    sid = F.col(id_col)
+    raw = F.when(
+        sid % 2 == 0, F.regexp_replace(F.col(text_col), "e", "e\u0301")
+    ).otherwise(F.col(text_col))
+    nfc = _nfc_udf(raw)
+    return (
+        df.select(sid, raw.alias("raw"), nfc.alias("nfc"))
+        .select(
+            F.col(id_col),
+            F.length("raw").alias("n_chars_raw"),
+            F.length("nfc").alias("n_chars_nfc"),
+            (F.col("raw") != F.col("nfc")).alias("changed"),
+            F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
+        )
+    )

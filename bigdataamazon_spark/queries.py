@@ -6249,7 +6249,7 @@ def bow_cosine_topk_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
                (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS w
       FROM idx
     )
-    SELECT CAST(month AS VARCHAR) AS month, round(x, 6) AS avg_price_k,
+    SELECT CAST(CAST(month AS DATE) AS VARCHAR) AS month, round(x, 6) AS avg_price_k,
            round(s / w, 6) AS ewma_k
     FROM acc ORDER BY month ASC
     """,
@@ -6282,7 +6282,477 @@ def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(d, -F.col("t"))).over(w_cum).alias("w"),
     )
     return acc.select(
-        F.col("month").cast("string").alias("month"),
+        F.col("month").cast("date").cast("string").alias("month"),
         F.round("x", 6).alias("avg_price_k"),
         F.round(F.col("s") / F.col("w"), 6).alias("ewma_k"),
     ).orderBy(F.asc("month"))
+
+
+@register(
+    "gopher_quality_flags",
+    """
+    WITH s0 AS (
+      SELECT doc_id,
+             regexp_replace(text, ' the ', chr(10) || 'the ', 'g') AS t0
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '- ' || t0 ELSE t0 END AS t1
+      FROM s0
+    ), s2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN t1 || ' see more...' ELSE t1 END AS t2
+      FROM s1
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN t2 || ' #tag #ref' ELSE t2 END AS t
+      FROM s2
+    ), m AS (
+      SELECT doc_id, t,
+             list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS words,
+             string_split(t, chr(10)) AS lines
+      FROM s
+    ), f AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) AS mean_len,
+             (len(regexp_extract_all(t, '#'))
+              + len(regexp_extract_all(t, '\\.\\.\\.'))) * 1.0 / len(words) AS sym_ratio,
+             len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+               * 1.0 / len(lines) AS bullet_frac,
+             len(list_filter(lines, l -> suffix(l, '...'))) * 1.0 / len(lines) AS ellipsis_frac,
+             len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               * 1.0 / len(words) AS alpha_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             st -> list_contains(words, st))) AS n_req
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_line_frac,
+           round(ellipsis_frac, 6) AS ellipsis_line_frac,
+           round(alpha_frac, 6) AS alpha_word_frac,
+           CAST(n_req AS INTEGER) AS n_required_stops,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_len >= 3 AND mean_len <= 10
+            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+            AND n_req >= 2) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule pack (beyond ref; generalizes the
+    quality-filter mandate seeded by ``amazon1.py:119-124`` cleaning):
+    per-rule features + keep flag, zero-shuffle codegen projection."""
+    return textops.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "unicode_nfc_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(text, 'e', 'e' || chr(769))
+                  ELSE text END AS raw
+      FROM documents
+    ), n AS (
+      SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM s
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INTEGER) AS n_chars_raw,
+           CAST(length(nfc) AS INTEGER) AS n_chars_nfc,
+           (raw <> nfc) AS changed,
+           md5(nfc) AS nfc_md5
+    FROM n
+    """,
+)
+def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization via Arrow pandas_udf, value-verified
+    against DuckDB's nfc_normalize (beyond ref; the UDF-policy seam of
+    SURVEY §2.10 exercised on a second real kernel)."""
+    return textops.unicode_nfc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "supplier_cosupply_triangles",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    thr AS (SELECT quantile_cont(c, 0.95) AS p FROM pairs),
+    edges AS (SELECT u, v FROM pairs, thr WHERE c >= p),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    nodes AS (
+      SELECT a AS s FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(s AS BIGINT) AS s_suppkey, count(*) AS n_triangles
+    FROM nodes GROUP BY s
+    """,
+)
+def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-supplier graph (beyond
+    ref; graph-analytics sibling of operators/graph.py). Edges = supplier
+    pairs co-occurring in one order, thinned to the 95th-percentile
+    co-occurrence count (scale-adaptive, computed in-plan — no collect).
+    Triangles close ordered wedges (u<v<w), so each triangle is built
+    exactly once; per-node counts fold the three rotations. At 100 TB
+    the standard degree-ordering refinement applies unchanged: orienting
+    edges low-degree->high bounds the wedge join, and every join here is
+    an equi-join Catalyst can shuffle-partition on the wedge pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = pairs.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = pairs.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    return graph.triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("s_suppkey"), "n_triangles"
+    )
+
+
+@register(
+    "nation_part_jaccard",
+    """
+    WITH np AS (
+      SELECT DISTINCT n_nationkey AS nk, n_name, l_partkey AS pk
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    ),
+    sizes AS (SELECT nk, n_name, count(*) AS sz FROM np GROUP BY nk, n_name),
+    inter AS (
+      SELECT a.nk AS nk1, b.nk AS nk2, count(*) AS i
+      FROM np a JOIN np b ON a.pk = b.pk AND a.nk < b.nk
+      GROUP BY a.nk, b.nk
+    )
+    SELECT s1.n_name AS nation_a, s2.n_name AS nation_b,
+           CAST(i AS BIGINT) AS n_common_parts,
+           round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.nk = nk1
+    JOIN sizes s2 ON s2.nk = nk2
+    """,
+)
+def nation_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set similarity between groups (beyond ref; relational restatement
+    of the J4 similarity join over part-sets instead of vectors): Jaccard
+    of the part catalogs bought by each nation pair, via one co-part
+    self-join on the distinct (nation, part) table — never materializing
+    per-nation sets. Dims broadcast; the only large shuffle keys on
+    partkey, which is the high-cardinality side — the 100 TB shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    np_ = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_name"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .distinct()
+    )
+    sizes = np_.groupBy("nk", "n_name").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        np_.alias("a")
+        .join(np_.alias("b"), (F.col("a.pk") == F.col("b.pk")) & (F.col("a.nk") < F.col("b.nk")))
+        .groupBy(F.col("a.nk").alias("nk1"), F.col("b.nk").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    return (
+        inter.join(F.broadcast(s1), F.col("nk1") == F.col("s1.nk"))
+        .join(F.broadcast(s2), F.col("nk2") == F.col("s2.nk"))
+        .select(
+            F.col("s1.n_name").alias("nation_a"),
+            F.col("s2.n_name").alias("nation_b"),
+            F.col("i").alias("n_common_parts"),
+            F.round(
+                F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_seasonality",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT month, revenue,
+             CASE WHEN count(*) OVER w = 13
+                  THEN avg(revenue) OVER w END AS trend
+      FROM m
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    s AS (
+      SELECT month, revenue, trend,
+             avg(revenue - trend) OVER (PARTITION BY month(month)) AS seasonal
+      FROM t
+    )
+    SELECT CAST(CAST(month AS DATE) AS VARCHAR) AS month,
+           round(revenue, 4) AS revenue,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(revenue - trend - seasonal, 4) AS residual
+    FROM s
+    """,
+)
+def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (beyond ref; extends the EWMA /
+    rolling family): trend = centered 13-month moving average (null at
+    the edges where the frame is short), seasonal = mean detrended value
+    per calendar month, residual = remainder. All windows run over the
+    tiny monthly pre-agg — the only full-data pass is the first groupBy,
+    so the 100 TB cost is one partial-aggregated exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    t = m.select(
+        "month",
+        "revenue",
+        F.when(F.count(F.lit(1)).over(w) == 13, F.avg("revenue").over(w)).alias(
+            "trend"
+        ),
+    )
+    s = t.withColumn(
+        "seasonal",
+        F.avg(F.col("revenue") - F.col("trend")).over(
+            Window.partitionBy(F.month("month"))
+        ),
+    )
+    return s.select(
+        F.col("month").cast("date").cast("string").alias("month"),
+        F.round("revenue", 4).alias("revenue"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias(
+            "residual"
+        ),
+    )
+
+
+@register(
+    "user_grouped_split",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5('usplit1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS draw
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    a AS (
+      SELECT user_id,
+             CASE WHEN draw < 0.8 THEN 'train'
+                  WHEN draw < 0.9 THEN 'valid' ELSE 'test' END AS split
+      FROM u
+    )
+    SELECT split, event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN a ON e.user_id = a.user_id
+    GROUP BY split, event_type
+    """,
+)
+def user_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/valid/test split (beyond ref; leakage-safe
+    sibling of docs_split_assignment): the md5 draw keys on user_id, so
+    every event of a user lands in the same split — the property a
+    row-level split silently violates. The assignment table is tiny
+    (distinct users) and broadcasts; events are never shuffled for the
+    assignment, only for the audit agg."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    draw = sampling.hash_fraction(F.col("user_id"), "usplit1")
+    assign = users.select(
+        "user_id",
+        F.when(draw < 0.8, "train").when(draw < 0.9, "valid").otherwise("test").alias("split"),
+    )
+    return (
+        ev.join(F.broadcast(assign), "user_id")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_per_user_sample",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5('psamp1:' || CAST(event_id AS VARCHAR)), event_id
+             ) AS rnk
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key sample (beyond ref): 3 events per user,
+    ranked by a seeded md5 of the event id — reproducible across
+    engines/retries/partitionings, unlike rand()-ranked sampling. Plans
+    as WindowGroupLimit: the rank filter pushes into the shuffle, so
+    only ~3 rows per key survive the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat(F.lit("psamp1:"), F.col("event_id").cast("string"))),
+        F.col("event_id"),
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "embedding_dim_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    mu AS (SELECT i, avg(xi) AS m FROM x GROUP BY i),
+    prod AS (
+      SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS exy, count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(prod.i AS INTEGER) AS dim_i, CAST(prod.j AS INTEGER) AS dim_j,
+           round(exy - ma.m * mb.m, 6) + 0.0 AS cov
+    FROM prod
+    JOIN mu ma ON ma.i = prod.i
+    JOIN mu mb ON mb.i = prod.j
+    """,
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding dimensions (beyond
+    ref; the PCA-prep statistic): E[xy] - E[x]E[y] over the upper
+    triangle. Each row fans out to its d(d+1)/2 dimension pairs inside
+    codegen (no join against itself — the pair generation is a per-row
+    generator), then one hash agg; dimension means are a 64-row
+    broadcast. 100 TB shape: partial aggregation folds each partition to
+    at most 2080 cells before the single exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.size("embedding")
+    pairs = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), d - 1),
+                    lambda i: F.transform(
+                        F.sequence(i, d - 1),
+                        lambda j: F.struct(
+                            (i + 1).alias("i"),
+                            (j + 1).alias("j"),
+                            (
+                                F.col("embedding")[i].cast("double")
+                                * F.col("embedding")[j].cast("double")
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    prod = pairs.groupBy("i", "j").agg(F.avg("xy").alias("exy")).alias("prod")
+    xs = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "xi")
+    ).select((F.col("pos") + 1).alias("i"), "xi")
+    mu = xs.groupBy("i").agg(F.avg("xi").alias("m"))
+    ma, mb = mu.alias("ma"), mu.alias("mb")
+    return (
+        prod.join(F.broadcast(ma), F.col("prod.i") == F.col("ma.i"))
+        .join(F.broadcast(mb), F.col("prod.j") == F.col("mb.i"))
+        .select(
+            F.col("prod.i").cast("int").alias("dim_i"),
+            F.col("prod.j").cast("int").alias("dim_j"),
+            (F.round(F.col("exy") - F.col("ma.m") * F.col("mb.m"), 6) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+@register(
+    "lang_token_fertility",
+    """
+    WITH t AS (
+      SELECT lang,
+             octet_length(encode(text)) AS n_bytes,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text,
+                 e'\\'s|\\'t|\\'re|\\'ve|\\'m|\\'ll|\\'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\\\sa-zA-Z0-9]+|\\\\s+'))
+               AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+           round(sum(n_bytes) * 1.0 / sum(n_bpe), 6) AS bytes_per_token,
+           round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (beyond ref): bytes/chars per BPE-ish
+    token per language — the measure multilingual data budgeting runs
+    on. One codegen projection + one tiny hash agg. The ASCII-class
+    variant of the pre-tokenizer regex is used so Spark (Java regex) and
+    DuckDB (RE2) see byte-identical token boundaries on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_re = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re), 0))
+    return (
+        docs.select(
+            "lang",
+            F.octet_length("text").alias("n_bytes"),
+            F.length("text").alias("n_chars"),
+            n_bpe.alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_bytes") / F.sum("n_bpe"), 6).alias("bytes_per_token"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias("chars_per_token"),
+        )
+    )

@@ -71,3 +71,23 @@ def test_greedy_pack_chunks_are_contiguous_and_dense(spark, sf_correctness):
         # doc-id ranges of consecutive packs don't interleave
         for a, b in zip(ps, ps[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_triangle_counts_clique_and_tail(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    4-5 (no triangle through 5)."""
+    from bigdataamazon_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free(spark):
+    """A path graph has no triangles -> empty result, not zero rows per node."""
+    from bigdataamazon_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    assert triangle_counts(edges).count() == 0

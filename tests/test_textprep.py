@@ -216,3 +216,52 @@ def test_binned_range_join_matches_naive(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_gopher_rules_fire_on_edge_docs(spark):
+    """Hand-built docs exercise each rule: a long clean doc keeps, a
+    symbol-laden doc fails symbol_ratio, a short doc fails word count."""
+    from bigdataamazon_spark.operators.textops import gopher_quality
+
+    clean = "the fast " + " ".join(f"quality{i} and of the data" for i in range(12))
+    symbolic = "the of and be " + "# " * 20
+    short = "the of and be nice"
+    df = spark.createDataFrame(
+        [(1, clean), (2, symbolic), (3, short)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["symbol_ratio"] > 0.1 and rows[2]["keep"] is False
+    assert rows[3]["n_words"] < 50 and rows[3]["keep"] is False
+
+
+def test_gopher_structure_injection_line_rules(spark):
+    """doc_id 35 (div by 5 and 7): bullet prefix + trailing ellipsis both
+    injected -> the single first line starts with '- ' and some line ends
+    with '...'; fractions reflect the injected newlines at ' the '."""
+    from bigdataamazon_spark.operators.textops import gopher_quality
+
+    text = "alpha the beta the gamma"
+    df = spark.createDataFrame([(35, text)], ["doc_id", "text"])
+    r = gopher_quality(df).collect()[0]
+    # injected: '- alpha\nthe beta\nthe gamma see more...' -> 3 lines
+    assert abs(r["bullet_line_frac"] - 1 / 3) < 1e-6
+    assert abs(r["ellipsis_line_frac"] - 1 / 3) < 1e-6
+
+
+def test_unicode_nfc_composes_injected_sequences(spark):
+    """Even ids get e+U+0301 injected; NFC must compose them so the
+    normalized form is shorter and flagged changed, while odd ids pass
+    through untouched."""
+    from bigdataamazon_spark.operators.textops import unicode_nfc_stats
+
+    df = spark.createDataFrame(
+        [(2, "merge fast key"), (3, "merge fast key")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unicode_nfc_stats(df).collect()}
+    # 'merge' has 2 e's, 'key' has 1 -> 3 injected combining marks
+    assert rows[2]["n_chars_raw"] == len("merge fast key") + 3
+    assert rows[2]["n_chars_nfc"] == len("merge fast key")
+    assert rows[2]["changed"] is True
+    assert rows[3]["changed"] is False
+    assert rows[3]["n_chars_raw"] == rows[3]["n_chars_nfc"] == len("merge fast key")
