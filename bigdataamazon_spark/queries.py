@@ -6756,3 +6756,273 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias("chars_per_token"),
         )
     )
+
+
+@register(
+    "semantic_dedup_keepers",
+    """
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    dominated AS (
+      SELECT DISTINCT hi.vec_id
+      FROM b lo JOIN b hi
+        ON lo.label = hi.label AND lo.vec_id < hi.vec_id
+       AND list_dot_product(lo.v, hi.v) / (lo.nrm * hi.nrm) >= 0.35
+    )
+    SELECT b.vec_id, b.label,
+           round(b.nrm, 6) AS l2_norm
+    FROM b LEFT JOIN dominated d ON b.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (beyond ref): within each cluster
+    (the pre-assigned ``label`` stands in for the KMeans assignment so
+    the check stays SQL-exact; the rows-only KMeans path is
+    cosine_topk_ivf), drop every vector dominated by a lower-id neighbor
+    with cosine >= 0.35; keep the rest. The pairwise join is
+    cluster-local — shuffle keys on label, so candidate pairs are
+    bounded per cluster, which IS the SemDeDup scale argument."""
+    from .functions.vector import as_double_array, cosine, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    lo, hi = emb.alias("lo"), emb.alias("hi")
+    dominated = (
+        lo.join(
+            hi,
+            (F.col("lo.label") == F.col("hi.label"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .where(cosine(F.col("lo.v"), F.col("hi.v")) >= 0.35)
+        .select(F.col("hi.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "label", F.round(l2_norm(F.col("v")), 6).alias("l2_norm"))
+    )
+
+
+@register(
+    "incremental_daily_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (beyond ref): the Spark side
+    simulates a nightly pipeline — a materialized base aggregate over
+    events before a cutoff, then a delta fold of only the newer rows,
+    combined by re-aggregating the union of partial states (sum of
+    counts/sums — the classic algebraic-aggregate merge). The oracle is
+    the full recompute, so parity PROVES base+delta == full. At 100 TB
+    the delta pass touches only new partitions; the base is never
+    rescanned."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+
+    def partial(df):
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    base = partial(ev.where(F.col("ts") < cutoff))
+    delta = partial(ev.where(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "priority_segment_chisq",
+    """
+    WITH joined AS (
+      SELECT o_orderpriority AS priority, c_mktsegment AS segment
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    obs AS (SELECT priority, segment, count(*) * 1.0 AS o FROM joined GROUP BY 1, 2),
+    rowt AS (SELECT priority, sum(o) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT segment, sum(o) AS ct FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS t FROM obs)
+    SELECT priority, segment,
+           CAST(o AS BIGINT) AS observed,
+           round(rt * ct / t, 4) AS expected,
+           round((o - rt * ct / t) * (o - rt * ct / t) / (rt * ct / t), 6) AS chi2_term
+    FROM obs JOIN rowt USING (priority) JOIN colt USING (segment), tot
+    """,
+)
+def priority_segment_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis (beyond ref; extends the
+    distribution-stats family): observed vs independence-expected counts
+    per (priority x segment) cell with the chi2 contribution. One fact
+    agg; marginals are tiny broadcast re-aggs of the cell table — the
+    fact is scanned once."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        cust, F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    obs = joined.groupBy("priority", "segment").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rowt = obs.groupBy("priority").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("segment").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    exp = F.col("rt") * F.col("ct") / F.col("t")
+    return (
+        obs.join(F.broadcast(rowt), "priority")
+        .join(F.broadcast(colt), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "segment",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(exp, 4).alias("expected"),
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+@register(
+    "token_budget_allocation",
+    """
+    WITH t AS (
+      SELECT lang,
+             sum(len(regexp_extract_all(text,
+                 e'\\'s|\\'t|\\'re|\\'ve|\\'m|\\'ll|\\'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\\\sa-zA-Z0-9]+|\\\\s+')))
+               * 1.0 AS toks
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('es', 0.15),
+                            ('fr', 0.1), ('und', 0.05)) AS v(lang, wt)
+    ),
+    tot AS (SELECT 0.5 * sum(toks) AS budget FROM t)
+    SELECT t.lang,
+           CAST(toks AS BIGINT) AS available_tokens,
+           wt AS target_weight,
+           round(least(1.0, budget * wt / toks), 6) AS sample_rate,
+           CAST(round(toks * least(1.0, budget * wt / toks), 0) AS BIGINT)
+             AS expected_tokens
+    FROM t JOIN w ON t.lang = w.lang, tot
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-to-budget allocation (beyond ref; the planning step that
+    drives docs_mixture_sample): given per-language token inventories
+    and target mixture weights, derive per-language sampling rates for a
+    token budget of half the corpus, capping oversubscribed languages at
+    1.0. One corpus scan for the inventory; everything downstream is a
+    5-row plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_re = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+    toks = (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re), 0)))
+            .cast("double")
+            .alias("toks")
+        )
+    )
+    weights = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame(
+            [("en", 0.5), ("de", 0.2), ("es", 0.15), ("fr", 0.1), ("und", 0.05)],
+            ["lang", "wt"],
+        )
+    )
+    tot = toks.agg((F.lit(0.5) * F.sum("toks")).alias("budget"))
+    rate = F.least(F.lit(1.0), F.col("budget") * F.col("wt") / F.col("toks"))
+    return (
+        toks.join(weights, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("toks").cast("bigint").alias("available_tokens"),
+            F.col("wt").alias("target_weight"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(F.col("toks") * rate, 0).cast("bigint").alias("expected_tokens"),
+        )
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, count(*) * 1.0 AS n, sum(converted) * 1.0 AS conv
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, round(c0 / n0, 6) AS rate_control,
+           CAST(n1 AS BIGINT) AS n_treatment, round(c1 / n1, 6) AS rate_treatment,
+           round(c1 / n1 - c0 / n0, 6) AS lift,
+           round((c1 / n1 - c0 / n0)
+                 / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                        * (1 / n0 + 1 / n1)), 4) AS z_score
+    FROM wide
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (beyond ref; experiment-analysis member of
+    the stats family): deterministic variant assignment (user_id parity
+    stands in for the bucketing hash), user-level conversion to a high-value
+    'purchase' (value > 250), pooled-variance z. Two tiny aggs after one user-keyed
+    fold of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 250), 1)
+            .otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    lift = F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")
+    z = lift / F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n0") + 1 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(F.col("c0") / F.col("n0"), 6).alias("rate_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.round(F.col("c1") / F.col("n1"), 6).alias("rate_treatment"),
+        F.round(lift, 6).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )
