@@ -433,3 +433,75 @@ def test_fuzzy_linkage_never_cross_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
         # every part scan pruned to the single name column
         assert all(s == ["p_name"] for s in _scan_schemas(plan)), name
+
+
+# ---- round-2 batch: new operator families ----------------------------------
+
+
+def test_gopher_and_nfc_scan_minimal_columns(spark, sf_dir):
+    # both are zero-shuffle projections; the scan must read only (doc_id, text)
+    for name in ("gopher_quality_flags", "unicode_nfc_docs"):
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "Exchange" not in plan, name
+        assert _scan_schemas(plan) == [["doc_id", "text"]], name
+
+
+def test_triangle_edges_equi_join_only(spark, sf_dir):
+    plan = _executed_plan(spark, "supplier_cosupply_triangles", sf_dir)
+    # wedge closing is equi-joins; a cartesian/BNLJ means quadratic blowup
+    assert "CartesianProduct" not in plan
+    # the percentile threshold arrives via broadcast, never a shuffle of pairs
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_jaccard_co_part_join_keys_on_partkey(spark, sf_dir):
+    plan = _executed_plan(spark, "nation_part_jaccard", sf_dir)
+    # dims broadcast; no cartesian pair materialization
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_seasonality_windows_over_preagg(spark, sf_dir):
+    plan = _executed_plan(spark, "monthly_revenue_seasonality", sf_dir)
+    # one full-data exchange (the monthly groupBy); window exchanges move
+    # only the tiny monthly table. orders scan pruned to 2 columns.
+    assert [sorted(s) for s in _scan_schemas(plan)] == [["o_orderdate", "o_totalprice"]]
+
+
+def test_per_user_sample_is_window_group_limit(spark, sf_dir):
+    plan = _executed_plan(spark, "events_per_user_sample", sf_dir)
+    # rank<=3 must push into the shuffle as WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+
+
+def test_covariance_fanout_has_no_self_join(spark, sf_dir):
+    plan = _executed_plan(spark, "embedding_dim_covariance", sf_dir)
+    # pair products fan out per-row inside codegen (generator), never via
+    # a vec_id self-join; the only joins are the 64-row mean broadcasts
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Generate explode" in plan
+
+
+def test_semantic_dedup_join_is_cluster_local(spark, sf_dir):
+    plan = _executed_plan(spark, "semantic_dedup_keepers", sf_dir)
+    # the pairwise join must carry the label as an equi-key — a theta-only
+    # join (BNLJ/cartesian) would be all-pairs across clusters
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_counts_single_scan_branches(spark, sf_dir):
+    plan = _executed_plan(spark, "incremental_daily_counts", sf_dir)
+    # base and delta are disjoint filters; both partial aggs shuffle once
+    # each on (day, type) and the merge agg reuses the same keys
+    assert _scan_schemas(plan)[0] == ["ts", "event_type", "value"]
+
+
+def test_grouped_split_assignment_broadcasts(spark, sf_dir):
+    plan = _executed_plan(spark, "user_grouped_split", sf_dir)
+    # the per-user assignment table broadcasts; events are shuffled only
+    # by the audit aggregation, never for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
