@@ -72,6 +72,13 @@ HEADLINE = [
     "pretraining_manifest",
     "bow_cosine_topk_sparse",
     "orders_snapshot_diff",
+    # round-2 families: rule-pack text filter, Arrow-UDF normalization,
+    # graph triangles, cluster-local semantic dedup, covariance fan-out
+    "gopher_quality_flags",
+    "unicode_nfc_docs",
+    "supplier_cosupply_triangles",
+    "semantic_dedup_keepers",
+    "embedding_dim_covariance",
 ]
 
 

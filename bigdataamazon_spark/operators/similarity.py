@@ -940,3 +940,58 @@ def ivf_index_topk(
     if round_to is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_to))
     return out
+
+
+def cluster_threshold_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.35,
+    *,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Cluster-local exact threshold pairs (src < dst, same cluster) —
+    the SemDeDup pairwise stage. One shuffle keys on the cluster id,
+    then each cluster's pairs come from a single BLAS GEMM inside
+    ``applyInPandas`` (raw-dot-then-divide, the arithmetic the green
+    threshold-GEMM entries already bit-match against DuckDB). Unlike
+    the broadcast GEMM, nothing is collected to the driver and the
+    per-task memory is bounded by the largest cluster — that bound is
+    the SemDeDup scale contract (clusters are sized by the upstream
+    KMeans, ~corpus/n_clusters)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cl_type = df.schema[cluster_col].dataType.simpleString()
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"cluster": [], "src": [], "dst": [], "score": []})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        scores = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = scores[iu, ju] >= threshold
+        out = scores[iu, ju][keep]
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return pd.DataFrame(
+            {
+                "cluster": pdf[cluster_col].iloc[0],
+                "src": ids[iu[keep]],
+                "dst": ids[ju[keep]],
+                "score": out,
+            }
+        )
+
+    return (
+        df.select(id_col, vec_col, cluster_col)
+        .groupBy(cluster_col)
+        .applyInPandas(
+            per_cluster,
+            f"cluster {cl_type}, src {id_type}, dst {id_type}, score double",
+        )
+    )

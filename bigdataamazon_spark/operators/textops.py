@@ -522,3 +522,31 @@ def unicode_nfc_stats(
             F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
         )
     )
+
+
+def intra_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 5,
+) -> DataFrame:
+    """Within-document repetition removal (beyond ref; the intra-doc
+    sibling of segment_dedup's cross-doc boilerplate pass): split each
+    document into non-overlapping ``seg_words`` word segments, keep only
+    the FIRST occurrence of each repeated segment, reassemble in order.
+    ``array_distinct`` preserves first-occurrence order, so the whole
+    operator is one codegen projection — zero shuffle, no UDF, and at
+    100 TB it runs entirely inside the scan stage."""
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(seg_words)).cast("int"))
+    segments = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    deduped = F.array_distinct(segments)
+    return df.select(
+        F.col(id_col),
+        F.size(segments).alias("n_segments"),
+        F.size(deduped).alias("n_kept"),
+        F.array_join(deduped, " ").alias("deduped_text"),
+    )

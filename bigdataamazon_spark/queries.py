@@ -6783,28 +6783,28 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pre-assigned ``label`` stands in for the KMeans assignment so
     the check stays SQL-exact; the rows-only KMeans path is
     cosine_topk_ivf), drop every vector dominated by a lower-id neighbor
-    with cosine >= 0.35; keep the rest. The pairwise join is
-    cluster-local — shuffle keys on label, so candidate pairs are
-    bounded per cluster, which IS the SemDeDup scale argument."""
-    from .functions.vector import as_double_array, cosine, l2_norm
+    with cosine >= 0.35; keep the rest. The pairwise stage is
+    cluster-local (one shuffle on label, per-cluster BLAS GEMM inside
+    applyInPandas — similarity.cluster_threshold_pairs), so candidate
+    pairs are bounded per cluster, which IS the SemDeDup scale argument.
+    The Catalyst expression-join formulation of the same pairs measured
+    ~4.9 s at sf0.1 vs the cogrouped GEMM's ~1 s — interpreted per-edge
+    dots lose to one BLAS call per cluster."""
+    from .functions.vector import as_double_array, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("v")
-    )
-    lo, hi = emb.alias("lo"), emb.alias("hi")
+    emb = load_table(spark, sf_dir, "embeddings")
     dominated = (
-        lo.join(
-            hi,
-            (F.col("lo.label") == F.col("hi.label"))
-            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
-        )
-        .where(cosine(F.col("lo.v"), F.col("hi.v")) >= 0.35)
-        .select(F.col("hi.vec_id").alias("vec_id"))
+        similarity.cluster_threshold_pairs(emb, "vec_id", "embedding", "label", 0.35)
+        .select(F.col("dst").alias("vec_id"))
         .distinct()
     )
     return (
         emb.join(dominated, "vec_id", "left_anti")
-        .select("vec_id", "label", F.round(l2_norm(F.col("v")), 6).alias("l2_norm"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(as_double_array("embedding")), 6).alias("l2_norm"),
+        )
     )
 
 
@@ -7025,4 +7025,123 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c1") / F.col("n1"), 6).alias("rate_treatment"),
         F.round(lift, 6).alias("lift"),
         F.round(z, 4).alias("z_score"),
+    )
+
+
+@register(
+    "intra_doc_dedup",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(greatest(1, ceil(len(string_split(text, ' ')) / 5.0)) AS INTEGER)),
+               i -> array_to_string(string_split(text, ' ')[i * 5 + 1 : i * 5 + 5], ' ')
+             ) AS segments
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, segments[ord] AS seg, ord
+      FROM segs, unnest(range(1, len(segments) + 1)) AS t(ord)
+    ),
+    firsts AS (
+      SELECT doc_id, seg, min(ord) AS ord FROM pos GROUP BY doc_id, seg
+    )
+    SELECT doc_id,
+           (SELECT CAST(len(segments) AS INTEGER) FROM segs s WHERE s.doc_id = f.doc_id)
+             AS n_segments,
+           CAST(count(*) AS INTEGER) AS n_kept,
+           string_agg(seg, ' ' ORDER BY ord) AS deduped_text
+    FROM firsts f
+    GROUP BY doc_id
+    """,
+)
+def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: first occurrence of each
+    5-word segment survives, order preserved — one zero-shuffle codegen
+    projection (array_distinct keeps first-occurrence order)."""
+    return textops.intra_doc_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "value_quantile_normalized",
+    """
+    WITH p AS (
+      SELECT event_id, event_type, value,
+             round(percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id), 3) AS p
+      FROM events
+    ),
+    bins AS (SELECT unnest(range(0, 1001)) AS b),
+    ordered AS (
+      SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events
+    ),
+    n AS (SELECT count(*) AS c FROM events),
+    pos AS (SELECT b, 1 + (b / 1000.0) * (c - 1) AS ps FROM bins, n),
+    qt AS (
+      SELECT b, o1.value + (ps - floor(ps)) * (o2.value - o1.value) AS qv
+      FROM pos
+      JOIN ordered o1 ON o1.rn = CAST(floor(ps) AS BIGINT)
+      JOIN ordered o2 ON o2.rn = CAST(ceil(ps) AS BIGINT)
+    )
+    SELECT event_id, event_type, value,
+           p, floor(qv * 10000) / 10000 AS norm_value
+    FROM p JOIN qt ON CAST(round(p.p * 1000, 0) AS INTEGER) = qt.b
+    """,
+)
+def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (beyond ref; ML feature preprocessing):
+    map each value to its within-type ECDF position, then to the global
+    distribution's value at that quantile via a 1001-bin lookup. The
+    bin table comes from ONE distributed percentile aggregate (not a
+    global sort) and broadcasts; the per-type ECDF is a keyed window.
+    At 100 TB the exact window becomes a per-type quantile sketch —
+    the bin-lookup shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    p = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 3).alias("p"),
+    )
+    # the bin table replays the oracle's order-statistic interpolation
+    # verbatim (shared arithmetic shape, like monthly_revenue_ewma) so the
+    # rounded lookup values agree bit-for-bit; at 100 TB the ordered CTE
+    # becomes a percentile sketch and the lookup shape is unchanged
+    ordered = ev.select(
+        "value", F.row_number().over(Window.orderBy("value")).alias("rn")
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("c"))
+    bins = spark.range(0, 1001).select(F.col("id").alias("b"))
+    pos = bins.crossJoin(F.broadcast(n)).select(
+        "b", (F.lit(1) + (F.col("b") / 1000.0) * (F.col("c") - 1)).alias("ps")
+    )
+    o1, o2 = ordered.alias("o1"), ordered.alias("o2")
+    qt = (
+        pos.join(o1, F.floor("ps").cast("bigint") == F.col("o1.rn"))
+        .join(o2, F.ceil("ps").cast("bigint") == F.col("o2.rn"))
+        .select(
+            "b",
+            (
+                F.col("o1.value")
+                + (F.col("ps") - F.floor("ps")) * (F.col("o2.value") - F.col("o1.value"))
+            ).alias("qv"),
+        )
+    )
+    return (
+        p.join(
+            F.broadcast(qt),
+            F.round(F.col("p") * 1000, 0).cast("int") == F.col("b"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "p",
+            # floor-scaling, not round(): interpolated midpoints of the
+            # 2-decimal source values land exactly on .00005 ties, where
+            # Java (shortest-repr HALF_UP) and DuckDB (binary) round()
+            # disagree; floor of the identical double is engine-invariant
+            (F.floor(F.col("qv") * 10000) / 10000).alias("norm_value"),
+        )
     )
