@@ -7145,3 +7145,276 @@ def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("qv") * 10000) / 10000).alias("norm_value"),
         )
     )
+
+
+@register(
+    "min_cost_supplier_region",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice * (1.0 - l_discount) / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT p_partkey, p_type, s_name, s_acctbal, n_name, cost
+      FROM ps
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'REGION_1' AND p_size = 15
+    ),
+    minc AS (SELECT p_partkey AS mpk, min(cost) AS mc FROM eligible GROUP BY 1)
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_type, round(cost, 4) AS supply_cost
+    FROM eligible JOIN minc ON p_partkey = mpk AND cost = mc
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
+    the in-region supplier(s) at the per-part minimum supply cost, cost
+    derived from lineitem as the min discounted unit price (testdata has
+    no partsupp; derivation identical in the oracle — and genuinely
+    supplier-dependent, unlike the retailprice proxy). The correlated
+    min subquery decorrelates to one extra agg over the eligible sliver;
+    dims broadcast, lineitem shuffles once for the (part, supplier)
+    pre-agg. Completes the TPC-H family alongside Q9/Q11/Q16/Q20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            / F.col("l_quantity")
+        ).alias("cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_type")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    eligible = (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    eligible = materialize_shared(eligible)
+    minc = eligible.groupBy(F.col("p_partkey").alias("mpk")).agg(
+        F.min("cost").alias("mc")
+    )
+    return (
+        eligible.join(
+            F.broadcast(minc),
+            (F.col("p_partkey") == F.col("mpk")) & (F.col("cost") == F.col("mc")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("cost", 4).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "orders_backlog_timeline",
+    """
+    WITH spans AS (
+      SELECT o_orderkey,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS open_day,
+             CAST(date_trunc('day', max(l_shipdate)) AS DATE) AS close_day
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    ),
+    deltas AS (
+      SELECT open_day AS day, count(*) AS d FROM spans GROUP BY 1
+      UNION ALL
+      SELECT close_day AS day, -count(*) AS d FROM spans GROUP BY 1
+    ),
+    daily AS (SELECT day, sum(d) AS net FROM deltas GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation (beyond ref): daily count of
+    orders placed but not yet fully shipped, WITHOUT an interval join —
+    each order contributes +1 at open and -1 at close, then one prefix
+    sum over the tiny daily delta table. The interval-join formulation
+    (days x open intervals) is quadratic; the sweep line is one fact agg
+    plus a window over ~2.4k days. That asymmetry is the point at
+    100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("open_day"),
+            F.date_trunc("day", "close_ts").cast("date").alias("close_day"),
+        )
+    )
+    deltas = (
+        spans.groupBy(F.col("open_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            spans.groupBy(F.col("close_day").alias("day"))
+            .agg((-F.count(F.lit(1))).alias("d"))
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+@register(
+    "multi_touch_attribution",
+    """
+    WITH touches AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.value,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value / n_touches), 4) AS attributed_value
+    FROM touches
+    GROUP BY click_id
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (beyond ref; the fractional-credit
+    sibling of click_purchase_attribution's last-touch pairs): each
+    purchase splits its value equally across the user's clicks in the
+    preceding hour. The range predicate rides the user_id equi-join, the
+    per-purchase touch count is a window over the joined pairs, and the
+    final fold keys on click_id — two keyed exchanges total."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "value",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    return touches.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+            "attributed_value"
+        ),
+    )
+
+
+@register(
+    "session_entry_exit",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_idx,
+             min_by(event_type, ts) AS entry_type,
+             max_by(event_type, ts) AS exit_type,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM sessions GROUP BY entry_type, exit_type
+    """,
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit analysis (beyond ref; completes the
+    sessionization family): first and last event type per 30-minute-gap
+    session, rolled up to an entry x exit matrix with bounce counts
+    (single-event sessions). One user-keyed window chain shared with
+    user_sessions, then a tiny matrix agg. min_by/max_by tie-break on
+    ts alone: (user_id, ts) is unique in the testdata (checked at
+    sf0.1), and neither engine supports composite min_by keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(wc).alias("session_idx"),
+    )
+    sessions = numbered.groupBy("user_id", "session_idx").agg(
+        F.min_by("event_type", "ts").alias("entry_type"),
+        F.max_by("event_type", "ts").alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
