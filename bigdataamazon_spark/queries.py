@@ -6415,7 +6415,10 @@ def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     os_ = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
     ).distinct()
-    pairs = (
+    # pairs feeds the threshold agg AND the edge filter, and edges feeds
+    # THREE self-join arms — without materialization the pair-generation
+    # subtree replays 5x (measured: 36 lineitem scans, 100 exchanges)
+    pairs = materialize_shared(
         os_.alias("a")
         .join(os_.alias("b"), "ok")
         .where(F.col("a.s") < F.col("b.s"))
@@ -6423,7 +6426,9 @@ def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     thr = pairs.agg(F.percentile("c", F.lit(0.95)).alias("p"))
-    edges = pairs.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    edges = materialize_shared(
+        pairs.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    )
     return graph.triangle_counts(edges).select(
         F.col("node").cast("bigint").alias("s_suppkey"), "n_triangles"
     )
@@ -7417,4 +7422,128 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_bounces"),
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time (beyond ref): the naive
+    per-day COUNT(DISTINCT user WHERE ts <= day) is quadratic; the
+    first-seen fold (one user-keyed agg) plus a prefix sum over the
+    daily new-user table is one pass — the standard growth-curve shape
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "revenue_autocorrelation",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS rev_l7
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(rev, rev_l7), 6) AS autocorr_lag7
+    FROM lagged WHERE rev_l7 IS NOT NULL
+    """,
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily revenue (beyond ref; completes the
+    series-similarity family): Pearson between the daily series and its
+    7-day shift — one fact pre-agg, one ordered window over ~2.4k days,
+    one corr aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    lagged = m.select("day", "rev", F.lag("rev", 7).over(w).alias("rev_l7")).where(
+        F.col("rev_l7").isNotNull()
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("rev", "rev_l7"), 6).alias("autocorr_lag7"),
+    )
+
+
+@register(
+    "revenue_cusum_changepoint",
+    """
+    WITH m AS (
+      -- rev rounded BEFORE the cusum: the raw month sums differ by
+      -- summation order across engines (~1e-2 at 5e7), and the prefix
+      -- sum amplifies; rounding first makes the accumulated inputs
+      -- bit-identical on both sides
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT avg(rev) AS mean_rev FROM m),
+    c AS (
+      SELECT month, rev,
+             sum(rev - mean_rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+               AS cusum
+      FROM m, mu
+    )
+    SELECT CAST(month AS VARCHAR) AS month,
+           round(rev, 2) AS revenue,
+           round(cusum, 2) AS cusum,
+           (abs(cusum) = (SELECT max(abs(cusum)) FROM c)) AS is_changepoint
+    FROM c
+    """,
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (beyond ref): cumulative sum of deviations
+    from the series mean over monthly revenue; the |CUSUM| argmax flags
+    the most likely level-shift month. Mean and max are 1-row broadcast
+    aggs; the prefix sum runs over the 80-row monthly pre-agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    mu = m.agg(F.avg("rev").alias("mean_rev"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    c = m.crossJoin(F.broadcast(mu)).select(
+        "month",
+        "rev",
+        F.sum(F.col("rev") - F.col("mean_rev")).over(w).alias("cusum"),
+    )
+    c = materialize_shared(c)
+    mx = c.agg(F.max(F.abs("cusum")).alias("max_abs"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        F.col("month").cast("string").alias("month"),
+        F.round("rev", 2).alias("revenue"),
+        F.round("cusum", 2).alias("cusum"),
+        (F.abs("cusum") == F.col("max_abs")).alias("is_changepoint"),
     )

@@ -223,3 +223,122 @@ def test_connected_components_matches_union_find(spark, edges):
     # exactly what path-compressed union-by-min computes
     expect = {n: find(n) for n in parent}  # second pass: full compression
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangle_counts_match_brute_force(spark, edges):
+    """triangle_counts on an arbitrary graph equals the O(n^3) driver-side
+    enumeration (edges canonicalized to u<v, deduplicated)."""
+    from itertools import combinations
+
+    from bigdataamazon_spark.operators.graph import triangle_counts
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not canon:
+        return
+    eset = set(canon)
+    nodes = sorted({x for e in canon for x in e})
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for x in (a, b, c):
+                expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(canon, ["u", "v"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    seg=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_intra_doc_dedup_matches_naive(spark, docs, seg):
+    """intra_doc_dedup == keep-first-occurrence over the naive segment
+    split, for arbitrary corpora and segment widths; idempotent."""
+    from bigdataamazon_spark.operators.textops import intra_doc_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in intra_doc_dedup(df, seg_words=seg).collect()}
+    for i, words in enumerate(docs):
+        segs = [
+            " ".join(words[j : j + seg]) for j in range(0, max(len(words), 1), seg)
+        ]
+        seen: list[str] = []
+        for s in segs:
+            if s not in seen:
+                seen.append(s)
+        assert got[i]["n_segments"] == len(segs)
+        assert got[i]["n_kept"] == len(seen)
+        assert got[i]["deduped_text"] == " ".join(seen)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # cluster
+            st.lists(
+                st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([0.0, 0.5, 0.9]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_threshold_pairs_match_naive(spark, vecs, thr):
+    """Per-cluster GEMM pairs == naive per-cluster cosine enumeration
+    (zero vectors excluded up front: cosine is undefined there)."""
+    import math
+
+    from bigdataamazon_spark.operators.similarity import cluster_threshold_pairs
+
+    rows = [
+        (i, cl, [float(x) for x in v])
+        for i, (cl, v) in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id bigint, label bigint, embedding array<double>")
+    got = {
+        (r["src"], r["dst"])
+        for r in cluster_threshold_pairs(
+            df, "vec_id", "embedding", "label", thr
+        ).collect()
+    }
+    expected = set()
+    data = {r[0]: (r[1], r[2]) for r in rows}
+    ids = sorted(data)
+    for a in ids:
+        for b in ids:
+            if a >= b or data[a][0] != data[b][0]:
+                continue
+            va, vb = data[a][1], data[b][1]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if dot / (na * nb) >= thr:
+                expected.add((a, b))
+    assert got == expected
