@@ -7547,3 +7547,79 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 2).alias("cusum"),
         (F.abs("cusum") == F.col("max_abs")).alias("is_changepoint"),
     )
+
+
+@register(
+    "user_event_history_features",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS n_prior_events,
+           round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0.0), 4) AS prior_value_sum,
+           CAST(round(coalesce(date_diff('second', lag(ts) OVER w, ts), -1), 0) AS BIGINT)
+             AS secs_since_last
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_event_history_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature engineering (beyond ref): per event, the
+    user's prior event count, prior value sum, and seconds since the
+    previous event — strictly as-of features (frame ends at 1 PRECEDING,
+    so no target leakage). One user-keyed window chain, one shuffle; the
+    leakage-safe frame is the point versus naive running aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, -1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("n_prior_events"),
+        F.round(F.coalesce(F.sum("value").over(wsum), F.lit(0.0)), 4).alias(
+            "prior_value_sum"
+        ),
+        F.coalesce(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("secs_since_last"),
+    )
+
+
+@register(
+    "segment_target_encoding",
+    """
+    SELECT o_orderkey, c_mktsegment,
+           round((sum(o_totalprice) OVER (PARTITION BY c_mktsegment) - o_totalprice)
+                 / (count(*) OVER (PARTITION BY c_mktsegment) - 1), 4)
+             AS loo_target_mean,
+           CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS segment_n
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (beyond ref; the categorical-to-
+    numeric ML-prep op): per order, the mean order total of its
+    customer's market segment EXCLUDING the row itself — (sum - x)/(n-1)
+    from one unbounded window, no second pass and no self-join. The
+    broadcast dim join plus one segment-keyed exchange is the whole
+    plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.round(
+                (F.sum("o_totalprice").over(w) - F.col("o_totalprice"))
+                / (F.count(F.lit(1)).over(w) - 1),
+                4,
+            ).alias("loo_target_mean"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("segment_n"),
+        )
+    )

@@ -460,3 +460,65 @@ def test_watermark_guarantee_no_reemission_after_eviction(spark):
         assert emitted_10 == [("2024-01-01 10:00:00", 1)], rows
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_daily_counts_match_incremental_batch(spark, sf_dir, events_dir):
+    """Streaming twin of the incremental_daily_counts registry entry:
+    a watermarked update-mode aggregation drained through the
+    snapshot-upsert sink must land exactly on the batch aggregate over
+    the same rows. Counts are monotone per key, so the count column
+    itself is the last-writer arbitration order — a replayed or
+    reordered micro-batch can only re-assert an equal-or-newer total."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.sinks import read_snapshot, stream_upsert_sink
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    snap_dir = tempfile.mkdtemp(prefix="snapdc_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ckptdc_")
+    try:
+        agg = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        )
+        q = stream_upsert_sink(
+            agg,
+            snap_dir,
+            ["day", "event_type"],
+            "n",
+            checkpoint_dir=ckpt_dir,
+            query_name="daily_counts_upsert",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (str(r["day"]), r["event_type"]): (r["n"], round(r["sv"], 2))
+            for r in read_snapshot(spark, snap_dir).collect()
+        }
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        )
+        want = {
+            (str(r["day"]), r["event_type"]): (r["n"], r["sv"]) for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
