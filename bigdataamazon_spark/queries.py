@@ -7623,3 +7623,86 @@ def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).cast("bigint").alias("segment_n"),
         )
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(CASE WHEN n_name IS NULL AND o_orderpriority IS NULL THEN 3
+                     WHEN n_name IS NULL THEN 2
+                     WHEN o_orderpriority IS NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS gid,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                            (o_orderpriority), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ref; completes the rollup/cube
+    family with an arbitrary set list): detail, both one-dimension
+    margins, and the grand total in ONE aggregation pass — Spark's
+    Expand operator replicates each input row per grouping set before a
+    single hash agg, which beats four separate scans at any scale. The
+    gid disambiguates 'ALL' coalesce collisions exactly like
+    grouping_id() (recomputed via CASE so both engines emit identical
+    values)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+    joined.createOrReplaceTempView("_gs_joined")
+    return spark.sql(
+        """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(CASE WHEN n_name IS NULL AND o_orderpriority IS NULL THEN 3
+                         WHEN n_name IS NULL THEN 2
+                         WHEN o_orderpriority IS NULL THEN 1
+                         ELSE 0 END AS INT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "revenue_yoy_growth",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS VARCHAR) AS month, revenue,
+           round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0, 6)
+             AS yoy_growth
+    FROM m
+    """,
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth (beyond ref; sibling of orders_mom_growth):
+    lag-12 ratio over the monthly pre-agg — the months are contiguous in
+    the testdata, so the fixed offset is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 6).alias(
+            "yoy_growth"
+        ),
+    )
