@@ -7167,7 +7167,7 @@ def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON n_nationkey = s_nationkey
       JOIN region   ON r_regionkey = n_regionkey
-      WHERE r_name = 'REGION_1' AND p_size = 15
+      WHERE r_name = 'EUROPE' AND p_size = 15
     ),
     minc AS (SELECT p_partkey AS mpk, min(cost) AS mc FROM eligible GROUP BY 1)
     SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
@@ -7179,7 +7179,7 @@ def value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
-    the in-region supplier(s) at the per-part minimum supply cost, cost
+    the in-region (EUROPE) supplier(s) at the per-part minimum supply cost, cost
     derived from lineitem as the min discounted unit price (testdata has
     no partsupp; derivation identical in the oracle — and genuinely
     supplier-dependent, unlike the retailprice proxy). The correlated
@@ -7204,7 +7204,7 @@ def min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
         ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
