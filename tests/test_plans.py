@@ -505,3 +505,43 @@ def test_grouped_split_assignment_broadcasts(spark, sf_dir):
     # by the audit aggregation, never for the join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q2_shape_broadcasts_all_dims(spark, sf_dir):
+    plan = _executed_plan(spark, "min_cost_supplier_region", sf_dir)
+    # four dims + the decorrelated per-part min all arrive by broadcast;
+    # the only wide exchange is the (part, supplier) pre-agg
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_backlog_sweep_line_never_interval_joins(spark, sf_dir):
+    plan = _executed_plan(spark, "orders_backlog_timeline", sf_dir)
+    # the quadratic day x open-interval formulation would appear as a
+    # range-predicate BNLJ/cartesian; the sweep line has neither
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    plan = _executed_plan(spark, "revenue_grouping_sets", sf_dir)
+    # one Expand feeding one aggregation — not four scans unioned
+    assert plan.count("Expand") == 1
+    orders_scans = [s for s in _scan_schemas(plan) if any(c.startswith("o_") for c in s)]
+    assert len(orders_scans) == 1
+
+
+def test_target_encoding_single_window_no_self_join(spark, sf_dir):
+    plan = _executed_plan(spark, "segment_target_encoding", sf_dir)
+    # LOO mean comes from one unbounded window — a naive (sum-x)/(n-1)
+    # via groupBy + join-back would show a second orders scan
+    assert "SortMergeJoin" not in plan
+    orders_scans = [s for s in _scan_schemas(plan) if "o_totalprice" in s]
+    assert len(orders_scans) == 1
+    assert "Window" in plan
+
+
+def test_history_features_one_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "user_event_history_features", sf_dir)
+    # all three features share the user-keyed sort: exactly one shuffle
+    assert plan.count("Exchange") == 1

@@ -342,3 +342,42 @@ def test_cluster_threshold_pairs_match_naive(spark, vecs, thr):
             if dot / (na * nb) >= thr:
                 expected.add((a, b))
     assert got == expected
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sweep_line_backlog_matches_interval_count(spark, spans):
+    """+1/-1 delta prefix sums == the naive 'count of spans with
+    open <= day < close' at every day in the sweep output (half-open:
+    an order closes the day its last item ships)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, min(a, b), max(a, b)) for i, (a, b) in enumerate(spans)]
+    df = spark.createDataFrame(rows, "id bigint, open_d bigint, close_d bigint")
+    deltas = (
+        df.groupBy(F.col("open_d").alias("day")).agg(F.count(F.lit(1)).alias("d"))
+        .unionByName(
+            df.groupBy(F.col("close_d").alias("day"))
+            .agg((-F.count(F.lit(1))).alias("d"))
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["day"]: r["open"]
+        for r in daily.select("day", F.sum("net").over(w).alias("open")).collect()
+    }
+    for day in got:
+        want = sum(1 for _, o, c in rows if o <= day < c)
+        assert got[day] == want, (day, got[day], want)
