@@ -79,6 +79,8 @@ HEADLINE = [
     "supplier_cosupply_triangles",
     "semantic_dedup_keepers",
     "embedding_dim_covariance",
+    "min_cost_supplier_region",
+    "orders_backlog_timeline",
 ]
 
 

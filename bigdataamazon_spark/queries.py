@@ -7706,3 +7706,100 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "null_semantics_audit",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
+      FROM orders
+    ),
+    r AS (
+      SELECT c_custkey AS ck2,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey END AS ckn
+      FROM customer
+    )
+    SELECT 'equi_join_rows' AS measure,
+           CAST((SELECT count(*) FROM l JOIN r ON l.ck = r.ckn) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'null_safe_join_rows',
+           CAST((SELECT count(*) FROM l JOIN r ON l.ck IS NOT DISTINCT FROM r.ckn)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'null_keys_left', CAST((SELECT count(*) FROM l WHERE ck IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'null_keys_right', CAST((SELECT count(*) FROM r WHERE ckn IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'distinct_treats_nulls_equal',
+           CAST((SELECT count(*) FROM (SELECT DISTINCT ck FROM l)) AS BIGINT)
+    """,
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-semantics battery (beyond ref; the correctness surface a
+    migrating user trips on): = joins drop null keys, <=> (null-safe)
+    matches them, DISTINCT collapses nulls to one group. Nulls injected
+    deterministically on both engines; each measure is one count. The
+    null-safe join plans as a real hash join on the <=> key, not a
+    filter after a cross."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    l = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+    )
+    r = cust.select(
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("ckn"),
+    )
+    l, r = materialize_shared(l), materialize_shared(r)
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("measure"), "n"
+        )
+
+    equi = l.join(r, F.col("ck") == F.col("ckn"))
+    nullsafe = l.join(r, F.col("ck").eqNullSafe(F.col("ckn")))
+    return (
+        one("equi_join_rows", equi)
+        .unionByName(one("null_safe_join_rows", nullsafe))
+        .unionByName(one("null_keys_left", l.where(F.col("ck").isNull())))
+        .unionByName(one("null_keys_right", r.where(F.col("ckn").isNull())))
+        .unionByName(one("distinct_treats_nulls_equal", l.select("ck").distinct()))
+    )
+
+
+@register(
+    "revenue_decimal_exact",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
+                AS VARCHAR) AS exact_revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact aggregation (beyond ref): double sums drift with
+    partition count and reduction order — every float-rounding dance in
+    this registry exists because of it — while DECIMAL sums are
+    associative and EXACT, so the result is bit-identical across
+    engines, partitionings, and retries with no rounding at all. The
+    string cast pins scale representation on both sides. This is the
+    money-column pattern for a 100 TB ledger."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("exact_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
