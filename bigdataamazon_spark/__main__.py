@@ -1,0 +1,59 @@
+"""Query-runner CLI: execute any registry query and print its result —
+the interactive surface replacing the reference's serve loop
+(``/root/reference/amazon1.py:191-210,332``: probe a query, print the
+result table, wait for the next one), generalized to every registered
+operator.
+
+Usage::
+
+    python -m bigdataamazon_spark <query_name> [sf_dir] [--limit N]
+    python -m bigdataamazon_spark --list
+    python -m bigdataamazon_spark <query_name> --explain   # plan census
+
+``--explain`` defers to the plan-audit CLI (python -m
+bigdataamazon_spark.plans) so both surfaces stay consistent.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str]) -> int:
+    from . import queries as registry
+
+    names = sorted(registry.queries())
+    if not argv or argv[0] in ("--help", "-h"):
+        print(__doc__)
+        return 0
+    if argv[0] == "--list":
+        print("\n".join(names))
+        return 0
+    name = argv[0]
+    if name not in names:
+        print(f"unknown query {name!r}; try --list", file=sys.stderr)
+        return 2
+    rest = argv[1:]
+    if "--explain" in rest:
+        from .plans.__main__ import main as plans_main
+
+        return plans_main([name] + [a for a in rest if a != "--explain"])
+    limit = 20
+    if "--limit" in rest:
+        i = rest.index("--limit")
+        limit = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2 :]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+
+    from .session import get_spark
+
+    spark = get_spark("query-run")
+    df = registry.queries()[name](spark, sf_dir)
+    n = df.count()
+    df.show(limit, truncate=False)
+    print(f"# {name} @ {sf_dir}: {n} rows ({min(n, limit)} shown)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -7803,3 +7803,86 @@ def revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "minhash_accuracy_audit",
+    _SHINGLE_CTE
+    + f""", params(i, a, b) AS (VALUES {_MINHASH_VALUES}),
+sig AS (
+  SELECT doc_id, i, min((a * (sid % 2147483647) + b) % {dedup.MINHASH_PRIME}) AS minv
+  FROM ds, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(minv AS VARCHAR), ':' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.src, c.dst,
+         avg(CASE WHEN s1.minv = s2.minv THEN 1.0 ELSE 0.0 END) AS est
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.src
+  JOIN sig s2 ON s2.doc_id = c.dst AND s2.i = s1.i
+  GROUP BY c.src, c.dst
+),
+sets AS (SELECT doc_id, list(DISTINCT sid) AS sl FROM ds GROUP BY 1),
+ex AS (
+  SELECT c.src, c.dst,
+         len(list_intersect(x.sl, y.sl)) * 1.0
+           / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))) AS j
+  FROM cand c
+  JOIN sets x ON x.doc_id = c.src
+  JOIN sets y ON y.doc_id = c.dst
+)
+SELECT e.src, e.dst,
+       round(j, 6) AS exact_jaccard,
+       round(est, 6) AS minhash_estimate,
+       round(abs(est - j), 6) AS abs_err
+FROM est e JOIN ex USING (src, dst)
+""",
+)
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit (beyond ref): for every LSH candidate pair,
+    the MinHash similarity estimate (matching-permutation fraction, 16
+    perms) next to the exact set Jaccard and the absolute error — the
+    in-engine validation a pipeline runs before trusting a sketch
+    threshold at 100 TB. Candidates and signatures reuse the production
+    operators; the exact side is the per-pair set-intersection
+    verification (no full co-shingle join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = materialize_shared(
+        dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False))
+    )
+    sigs = materialize_shared(dedup.minhash_signatures(sids))
+    cands = dedup.lsh_candidates(sigs)
+    s1 = sigs.select(
+        F.col("doc_id").alias("src"), "i", F.col("minv").alias("m1")
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("dst"), "i", F.col("minv").alias("m2")
+    )
+    est = (
+        cands.join(F.broadcast(s1), "src")
+        .join(F.broadcast(s2), ["dst", "i"])
+        .groupBy("src", "dst")
+        .agg(
+            F.avg(F.when(F.col("m1") == F.col("m2"), 1.0).otherwise(0.0)).alias("est")
+        )
+    )
+    exact = dedup.verify_jaccard_candidates(sids, cands, 0.0)
+    return (
+        est.join(exact, ["src", "dst"])
+        .select(
+            "src",
+            "dst",
+            F.round("jaccard", 6).alias("exact_jaccard"),
+            F.round("est", 6).alias("minhash_estimate"),
+            F.round(F.abs(F.col("est") - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
