@@ -7886,3 +7886,49 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "image_feature_topk",
+    f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id, {_MM_DIGEST_BYTES} FROM h),
+    v AS (
+      SELECT doc_id,
+             [b0, b1, b2, b3, b4, b5, b6, b7]::DOUBLE[] AS vec
+      FROM b
+    ),
+    normed AS (
+      SELECT doc_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, c.doc_id AS dst,
+             list_dot_product(a.vec, c.vec) / (a.nrm * c.nrm) AS score
+      FROM normed a JOIN normed c ON a.doc_id <> c.doc_id
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+      FROM edges
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def image_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal retrieval end-to-end (beyond ref): synthetic blob ->
+    Arrow decode/feature kernel -> per-image top-3 cosine neighbors via
+    the broadcast GEMM — the decode-then-ANN pipeline an image corpus
+    runs, with every stage the production operator. Cosine runs over
+    the recovered integer byte values (scale-invariant, and float32
+    features vs the oracle's double bytes would diverge at round 6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    feats = multimodal.decode_blobs(blobs, decode_mode="fake")
+    bytes_vec = feats.select(
+        "doc_id",
+        F.transform(
+            "feature", lambda x: F.round(x * 255).cast("double")
+        ).alias("bvec"),
+    )
+    return similarity.cosine_topk(bytes_vec, "doc_id", "bvec", k=3)
