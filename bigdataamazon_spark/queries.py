@@ -7932,3 +7932,63 @@ def image_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bvec"),
     )
     return similarity.cosine_topk(bytes_vec, "doc_id", "bvec", k=3)
+
+
+@register(
+    "ml_bow_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> x <> '' AND x NOT IN
+                              ('the','a','an','and','of','to','in')) AS l
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM t, unnest(l) AS u(w)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_active_terms,
+           CAST(sum(c) AS BIGINT) AS total_count,
+           round(sqrt(sum(c * c)), 6) AS l2_norm
+    FROM c GROUP BY doc_id
+    """,
+)
+def ml_bow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML pipeline twin of the hand-rolled bag-of-words path
+    (SURVEY §2.7 M1/M3/M4 via the library API: Tokenizer ->
+    StopWordsRemover -> CountVectorizer). The registered projection is
+    vocabulary-order INVARIANT (active terms, total count, L2 norm of
+    the count vector), so the ML pipeline is fully hash-checked against
+    DuckDB even though CountVectorizer's vocab indices are not
+    SQL-replayable — the same trick ml_minhash_neardup can't use
+    (its candidate set depends on the hash tables, hence rows-only)."""
+    from pyspark.ml.feature import CountVectorizer, StopWordsRemover, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    from .functions.text import DEFAULT_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = Tokenizer(inputCol="text", outputCol="_toks").transform(docs)
+    removed = StopWordsRemover(
+        inputCol="_toks", outputCol="_kept", stopWords=list(DEFAULT_STOPWORDS)
+    ).transform(toked)
+    cv = CountVectorizer(inputCol="_kept", outputCol="_vec")
+    vecs = cv.fit(removed).transform(removed)
+    arr = vector_to_array(F.col("_vec"))
+    counts = F.filter(arr, lambda x: x != 0)
+    return (
+        vecs.select(
+            "doc_id",
+            F.size(counts).alias("n_active_terms"),
+            F.aggregate(counts, F.lit(0.0), lambda a, v: a + v)
+            .cast("bigint")
+            .alias("total_count"),
+            F.round(
+                F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, v: a + v * v)), 6
+            ).alias("l2_norm"),
+        )
+        .where(F.col("n_active_terms") > 0)
+    )
