@@ -7992,3 +7992,59 @@ def ml_bow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_active_terms") > 0)
     )
+
+
+@register(
+    "frequent_part_itemsets_ml",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    singles AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS itemset, count(*) AS freq
+      FROM b GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    pairs AS (
+      SELECT CAST(a.l_partkey AS VARCHAR) || ',' || CAST(c.l_partkey AS VARCHAR)
+               AS itemset,
+             count(*) AS freq
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, c.l_partkey HAVING count(*) >= 3
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq,
+           CAST(1 + len(regexp_extract_all(itemset, ',')) AS INTEGER) AS n_items
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    """,
+)
+def frequent_part_itemsets_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining via Spark ML FPGrowth (beyond ref;
+    library sibling of copurchase_part_lift): order baskets of distinct
+    parts, absolute min count 3, itemsets serialized as ascending-sorted
+    CSV. FPGrowth's output is the EXACT frequent-itemset set, so it
+    hash-checks against the relational singleton+pair oracle once
+    restricted to size <= 2 — the restriction is applied identically on
+    both sides (the oracle only constructs singletons and pairs), so any
+    larger frequent sets are out of scope for the check, not silently
+    dropped from one side."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=2.5 / n, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") <= 2)
+        .select(
+            F.concat_ws(
+                ",", F.transform(F.array_sort("items"), lambda x: x.cast("string"))
+            ).alias("itemset"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.size("items").alias("n_items"),
+        )
+    )
