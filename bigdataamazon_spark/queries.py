@@ -8048,3 +8048,44 @@ def frequent_part_itemsets_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("items").alias("n_items"),
         )
     )
+
+
+@register(
+    "ml_embedding_summary",
+    """
+    WITH x AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(i AS INTEGER) AS dim,
+           round(avg(xi), 6) AS mean,
+           round(var_samp(xi), 6) AS variance
+    FROM x GROUP BY i
+    """,
+)
+def ml_embedding_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML Summarizer twin (beyond ref; library sibling of
+    embedding_dim_covariance): per-dimension mean and sample variance of
+    the embedding vectors via ``ml.stat.Summarizer`` (one pass over ML
+    vectors), exploded to scalar rows and hash-checked against the
+    relational unnest+agg oracle. Proves the ML-vector aggregation path
+    agrees with the SQL path to 6 decimals."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    s = emb.agg(
+        Summarizer.mean(F.col("v")).alias("m"),
+        Summarizer.variance(F.col("v")).alias("var"),
+    ).select(
+        vector_to_array("m").alias("m"), vector_to_array("var").alias("var")
+    )
+    return s.select(
+        F.posexplode(F.arrays_zip("m", "var")).alias("pos", "mv")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("mv.m"), 6).alias("mean"),
+        F.round(F.col("mv.var"), 6).alias("variance"),
+    )
