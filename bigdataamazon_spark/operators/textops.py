@@ -550,3 +550,70 @@ def intra_doc_dedup(
         F.size(deduped).alias("n_kept"),
         F.array_join(deduped, " ").alias("deduped_text"),
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "list[tuple[int, str, str, int]]":
+    """Distributed BPE merge learning (beyond ref; the trainer side of
+    bpe_token_stats' pre-tokenizer): the classic algorithm — count
+    adjacent symbol pairs over the frequency-weighted word vocabulary,
+    merge the argmax, repeat. Each round is one explode + one hash agg
+    over the DISTINCT-word table (tiny next to the corpus — that
+    weighting trick is what makes cluster-scale BPE training cheap),
+    and only the single winning pair rows travel to the driver, exactly
+    like the reference pattern of IVF centroid fitting. Ties break
+    (count desc, left asc, right asc) so the merge sequence is
+    deterministic and SQL-replayable. Returns
+    [(rank, left, right, count), ...]."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
+    )
+    seqs = words.select(seq.alias("seq"), "freq")
+    from ..catalog import materialize_shared
+
+    seqs = materialize_shared(seqs)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        symbols = F.filter(F.split(F.col("seq"), " "), lambda t: t != F.lit(""))
+        # sequence(0, -1) DESCENDS in Spark — single-symbol words need an
+        # explicit empty pair list
+        pair_structs = F.when(
+            F.size(symbols) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(symbols) - 2),
+                lambda i: F.struct(
+                    symbols[i].alias("a"), symbols[i + 1].alias("b")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            seqs.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((r, a, b, c))
+        seqs = materialize_shared(
+            seqs.select(
+                F.replace(
+                    F.col("seq"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                ).alias("seq"),
+                "freq",
+            )
+        )
+    return merges

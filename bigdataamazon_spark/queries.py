@@ -8089,3 +8089,67 @@ def ml_embedding_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mv.m"), 6).alias("mean"),
         F.round(F.col("mv.var"), 6).alias("variance"),
     )
+
+
+@register(
+    "bpe_learned_merges",
+    r"""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ),
+    s1 AS (
+      SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS seq, freq
+      FROM words
+    ),
+    p1 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s1),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s2 AS (
+      SELECT replace(seq, ' ' || b1.a || ' ' || b1.b || ' ',
+                     ' ' || b1.a || b1.b || ' ') AS seq, freq
+      FROM s1, b1
+    ),
+    p2 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s2),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s3 AS (
+      SELECT replace(seq, ' ' || b2.a || ' ' || b2.b || ' ',
+                     ' ' || b2.a || b2.b || ' ') AS seq, freq
+      FROM s2, b2
+    ),
+    p3 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s3),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a ASC, b ASC LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS merge_rank, a AS lhs, b AS rhs,
+           CAST(c AS BIGINT) AS pair_count FROM b1
+    UNION ALL SELECT 2, a, b, CAST(c AS BIGINT) FROM b2
+    UNION ALL SELECT 3, a, b, CAST(c AS BIGINT) FROM b3
+    """,
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, 3 merge rounds (textops.bpe_learn_merges):
+    pair counting runs over the frequency-weighted DISTINCT-word table
+    (the trick that makes cluster BPE cheap), one explode+agg per round,
+    only the argmax row reaches the driver. The oracle unrolls the same
+    3 rounds; ties break (count desc, pair asc) so the merge sequence is
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = textops.bpe_learn_merges(docs, rounds=3)
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in merges],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )

@@ -265,3 +265,16 @@ def test_unicode_nfc_composes_injected_sequences(spark):
     assert rows[2]["changed"] is True
     assert rows[3]["changed"] is False
     assert rows[3]["n_chars_raw"] == rows[3]["n_chars_nfc"] == len("merge fast key")
+
+
+def test_bpe_learn_merges_hand_corpus(spark):
+    """Classic BPE example: {low x3, lower, lowest}. Round 1 ties (l,o)
+    and (o,w) at 5 -> lexicographic tiebreak picks (l,o); then (lo,w);
+    then (low,e)."""
+    from bigdataamazon_spark.operators.textops import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    merges = bpe_learn_merges(df, rounds=3)
+    assert merges == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "low", "e", 2)]
