@@ -8153,3 +8153,36 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, a, b, c) for r, a, b, c in merges],
         "merge_rank int, lhs string, rhs string, pair_count bigint",
     )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation parity proof (beyond ref): the salted-join
+    rewrite (relational.salted_join — random salt on the big side,
+    small side replicated per bucket) must be SEMANTICS-PRESERVING, so
+    its aggregate hash-matches the plain-join oracle exactly. The salt
+    uses rand(), but the check holds because salting only re-routes
+    rows across reducers — the joined multiset is invariant. Use when a
+    single hot key defeats AQE's partition-level skew splitting."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok2"), "o_orderpriority"
+    )
+    joined = relational.salted_join(li, orders, "l_orderkey", "ok2", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
