@@ -7921,7 +7921,11 @@ def image_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast GEMM — the decode-then-ANN pipeline an image corpus
     runs, with every stage the production operator. Cosine runs over
     the recovered integer byte values (scale-invariant, and float32
-    features vs the oracle's double bytes would diverge at round 6)."""
+    features vs the oracle's double bytes would diverge at round 6).
+    The exact-GEMM guard trips past 20k rows by design (verified at the
+    100x stress); at that size swap the last stage for
+    similarity_topk_auto / ivf_index_topk — the feature plumbing is
+    unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
     feats = multimodal.decode_blobs(blobs, decode_mode="fake")
