@@ -6832,7 +6832,7 @@ def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta pass touches only new partitions; the base is never
     rescanned."""
     ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
     day = F.date_trunc("day", "ts").cast("date").alias("day")
 
     def partial(df):
@@ -8189,4 +8189,100 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "value_psi_drift",
+    """
+    WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+    cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+    ordered AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ref),
+    n AS (SELECT count(*) AS c FROM ref),
+    pos AS (SELECT b, 1 + (b / 10.0) * (c - 1) AS ps
+            FROM (SELECT unnest(range(1, 10)) AS b), n),
+    edges AS (
+      SELECT b, o1.value + (ps - floor(ps)) * (o2.value - o1.value) AS e
+      FROM pos
+      JOIN ordered o1 ON o1.rn = CAST(floor(ps) AS BIGINT)
+      JOIN ordered o2 ON o2.rn = CAST(ceil(ps) AS BIGINT)
+    ),
+    rb AS (
+      SELECT coalesce((SELECT min(b) FROM edges WHERE value <= e), 10) AS bin
+      FROM ref
+    ),
+    cb AS (
+      SELECT coalesce((SELECT min(b) FROM edges WHERE value <= e), 10) AS bin
+      FROM cur
+    ),
+    p AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM rb) AS pr FROM rb GROUP BY bin),
+    q AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM cb) AS qr FROM cb GROUP BY bin)
+    SELECT CAST(p.bin AS INTEGER) AS bin,
+           round(pr, 6) AS ref_frac, round(qr, 6) AS cur_frac,
+           round((qr - pr) * ln(qr / pr), 6) AS psi_term
+    FROM p JOIN q ON p.bin = q.bin
+    """,
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (beyond ref; the ML-monitoring drift
+    metric): decile edges from the reference period (before 2024-01-16, the testdata mid-point), both
+    periods binned against those edges, per-bin PSI contribution
+    (q-p)·ln(q/p). The edges are a 9-row broadcast; binning is a codegen
+    CASE chain, so the fact is scanned twice and shuffled only for the
+    tiny bin aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = ev.where(F.col("ts") < cutoff).select("value")
+    cur = ev.where(F.col("ts") >= cutoff).select("value")
+    ref = materialize_shared(ref)
+    # decile edges via the same order-statistic interpolation as the
+    # oracle (shared arithmetic shape — see value_quantile_normalized):
+    # F.percentile's internal arithmetic can differ by 1 ulp, and a
+    # source value sitting exactly on an edge would then flip bins
+    import math as _math
+
+    ordered = ref.select(
+        "value", F.row_number().over(Window.orderBy("value")).alias("rn")
+    )
+    nrows = ref.count()
+    positions = [1 + (b / 10.0) * (nrows - 1) for b in range(1, 10)]
+    need = sorted({int(_math.floor(p_)) for p_ in positions}
+                  | {int(_math.ceil(p_)) for p_ in positions})
+    # only the ~18 boundary order statistics leave the cluster
+    vals = {
+        r["rn"]: r["value"]
+        for r in ordered.where(F.col("rn").isin(need)).collect()
+    }
+    edges = [
+        vals[int(_math.floor(p_))]
+        + (p_ - _math.floor(p_))
+        * (vals[int(_math.ceil(p_))] - vals[int(_math.floor(p_))])
+        for p_ in positions
+    ]
+
+    def bin_col():
+        c = F.lit(10)
+        for i in range(len(edges) - 1, -1, -1):
+            c = F.when(F.col("value") <= edges[i], i + 1).otherwise(c)
+        return c
+
+    def dist(df, name):
+        tot = df.count()
+        return (
+            df.select(bin_col().alias("bin"))
+            .groupBy("bin")
+            .agg((F.count(F.lit(1)) / F.lit(float(tot))).alias(name))
+        )
+
+    p, q = dist(ref, "pr"), dist(cur, "qr")
+    return (
+        p.join(q, "bin")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.round("pr", 6).alias("ref_frac"),
+            F.round("qr", 6).alias("cur_frac"),
+            F.round(
+                (F.col("qr") - F.col("pr")) * F.log(F.col("qr") / F.col("pr")), 6
+            ).alias("psi_term"),
+        )
     )
