@@ -8286,3 +8286,51 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+@register(
+    "vocab_shift_report",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 2 AS half,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS term
+      FROM documents
+    ),
+    df AS (
+      SELECT term,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS df_a,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS df_b
+      FROM t GROUP BY term
+    )
+    SELECT term, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+           round(ln((df_b + 1.0) / (df_a + 1.0)), 6) AS log_ratio
+    FROM df
+    ORDER BY abs(ln((df_b + 1.0) / (df_a + 1.0))) DESC, term ASC
+    LIMIT 10
+    """,
+)
+def vocab_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-shift audit between corpus halves (beyond ref; the
+    train/eval distribution check an LLM pipeline runs before trusting a
+    split): per-term document frequency in each half, top-10 by absolute
+    smoothed log df ratio. One explode of per-doc DISTINCT terms, one
+    term-keyed agg, TakeOrdered top-10 — df comparison never joins the
+    halves because both counts fold in the same aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("term"),
+    )
+    df_tbl = t.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("df_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("df_b"),
+    )
+    ratio = F.log((F.col("df_b") + 1.0) / (F.col("df_a") + 1.0))
+    return (
+        df_tbl.select(
+            "term", "df_a", "df_b", F.round(ratio, 6).alias("log_ratio")
+        )
+        .orderBy(F.abs(ratio).desc(), F.asc("term"))
+        .limit(10)
+    )
