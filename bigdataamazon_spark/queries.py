@@ -8334,3 +8334,517 @@ def vocab_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(ratio).desc(), F.asc("term"))
         .limit(10)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', last_order, gmax) AS recency_days,
+             frequency, monetary
+      FROM per, g
+    ),
+    th AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.50) AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.50) AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary, 0.25) AS m25,
+             quantile_cont(monetary, 0.50) AS m50,
+             quantile_cont(monetary, 0.75) AS m75
+      FROM base
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             4 - ((CASE WHEN recency_days > r25 THEN 1 ELSE 0 END)
+                + (CASE WHEN recency_days > r50 THEN 1 ELSE 0 END)
+                + (CASE WHEN recency_days > r75 THEN 1 ELSE 0 END)) AS r_score,
+             1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+               + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+               + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+               + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+               + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END) AS m_score
+      FROM base, th
+    )
+    SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (beyond ref; the grouped-agg + quantile
+    generalization of ``amazon1.py:62``'s describe): per customer the
+    recency (days since last order vs the corpus max date), frequency
+    (order count) and monetary (total spend), each scored 1-4 against
+    the exact population quartiles, concatenated into the classic
+    three-digit segment code. Scale shape: one customer-keyed agg, a
+    1-row broadcast of the global max date, a 1-row broadcast of the
+    nine quartile thresholds — no ntile window over a single partition,
+    so the scoring is embarrassingly parallel at any customer count.
+    Threshold comparisons are strict (>), mirrored exactly in the
+    oracle, with quartiles over already-rounded monetary so both
+    engines interpolate identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    base = per.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff("gmax", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = base.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{int(p * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    gt = lambda c, t: (F.col(c) > F.col(t)).cast("int")  # noqa: E731
+    r_score = (
+        F.lit(4) - gt("recency_days", "r25") - gt("recency_days", "r50")
+        - gt("recency_days", "r75")
+    )
+    f_score = (
+        F.lit(1) + gt("frequency", "f25") + gt("frequency", "f50")
+        + gt("frequency", "f75")
+    )
+    m_score = (
+        F.lit(1) + gt("monetary", "m25") + gt("monetary", "m50")
+        + gt("monetary", "m75")
+    )
+    return base.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+        ).alias("segment"),
+    )
+
+
+@register(
+    "hll_distinct_audit",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy audit (beyond ref; same pattern as
+    minhash_accuracy_audit): per event type, the exact distinct-user
+    count next to a boolean asserting Spark's HLL++ sketch
+    (``approx_count_distinct``, rsd=0.02) lands within 5% of it. The
+    sketch is deterministic for a given input, so the boolean is a hard
+    oracle-checkable claim, not a flaky tolerance. This is the audit
+    that justifies replacing count(DISTINCT) — a full shuffle of every
+    key — with a mergeable fixed-size sketch at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type", "exact_users", (rel_err <= 0.05).alias("hll_within_5pct")
+    )
+
+
+@register(
+    "customer_order_overlaps",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                AS INTEGER) AS overlap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def customer_order_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (beyond ref; the range-join shape
+    SURVEY §2.6 J-family generalizes to): pairs of the same customer's
+    orders whose 30-day fulfillment windows [orderdate, orderdate+30)
+    overlap, with the overlap width in days. The join is keyed on
+    o_custkey first — each 100 TB shuffle partition holds one
+    customer's handful of orders and the quadratic interval check runs
+    only within that bounded per-key group (same bounded-fanout
+    argument as copurchase_part_lift), never as a global
+    interval-vs-interval cross."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                a.o_custkey == b.o_custkey,
+                F.col("orderkey_a") < F.col("orderkey_b"),
+                F.col("sa") < F.col("eb"),
+                F.col("sb") < F.col("ea"),
+            ],
+        )
+        .select(
+            a.o_custkey,
+            "orderkey_a",
+            "orderkey_b",
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            ).alias("overlap_days"),
+        )
+    )
+
+
+@register(
+    "token_zipf_fit",
+    """
+    WITH cnt AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND word NOT IN ('the','a','an','and','of','to','in')
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY n DESC, word ASC)) AS x,
+             ln(n) AS y
+      FROM cnt
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n, 6)
+             AS zipf_intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+    FROM s
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (beyond ref; corpus-statistics audit over
+    the A8 word counts): OLS of ln(count) on ln(rank) across the whole
+    stopword-filtered vocabulary — slope near -1 is the Zipf sanity
+    check a corpus-quality dashboard tracks. The global rank window runs
+    over the *vocabulary* (|V| rows, already aggregated from the corpus,
+    ~10^5-10^6 at 100 TB — one task holds it comfortably), never over
+    token instances; the regression itself is a single 6-sum agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    cnt = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = cnt.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+@register(
+    "user_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM d
+    ),
+    runs AS (SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(max(len) AS INTEGER) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (beyond ref; the consecutive-run window idiom
+    SURVEY §2.8 lacks elsewhere): per user the longest run of
+    consecutive active days, total active days, and number of distinct
+    streaks. The classic date-minus-row_number island key, computed
+    under a user-partitioned window — each 100 TB task holds one user's
+    distinct days (bounded by the calendar, not the event volume,
+    because the explode is pre-collapsed by DISTINCT before the
+    window)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = d.select(
+        "user_id", F.date_sub("d", F.row_number().over(w)).alias("grp")
+    )
+    runs = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "approx_quantile_audit",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy audit (beyond ref; completes the sketch
+    family next to hll_distinct_audit / minhash_accuracy_audit): per
+    return flag the exact p50/p90/p99 of extended price plus booleans
+    asserting ``approx_percentile`` (accuracy 10000, deterministic
+    Greenwald-Khanna-style sketch) lands within 1% of each. This is the
+    evidence for swapping the exact grouped percentile — a per-group
+    sort — for the mergeable sketch when single groups outgrow an
+    executor at 100 TB (brand_price_quartiles' documented caveat)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.50)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("e90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.50, 0.90, 0.99), 10000)"
+        ).alias("ap"),
+    )
+    ok = lambda e, i: (  # noqa: E731
+        F.abs(F.col("ap")[i] - F.col(e)) / F.col(e) <= 0.01
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("p50"),
+        F.round("e90", 4).alias("p90"),
+        F.round("e99", 4).alias("p99"),
+        ok("e50", 0).alias("p50_ok"),
+        ok("e90", 1).alias("p90_ok"),
+        ok("e99", 2).alias("p99_ok"),
+    )
+
+
+@register(
+    "events_ohlc_daily",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value, ts, event_id
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM rn GROUP BY 1, 2
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type (beyond ref; the time-bucket
+    resample every metrics pipeline needs, deterministic first/last via
+    (ts, event_id) tie-break instead of the order-dependent
+    ``first()``). One (type, day)-partitioned window pass then one agg
+    — both shuffles share the same key, and AQE coalesces them; no
+    global sort anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = e.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return rn.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "csv_roundtrip_orders_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def csv_roundtrip_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 CSV scan as a driver-checked entry (``amazon1.py:24``'s
+    read_csv): orders are written to a CSV directory (header, gzip-less,
+    one file per input partition) and read back with an EXPLICIT schema
+    — no inference pass, the S2 contract — then aggregated; the oracle
+    aggregates the original parquet, so the round-trip itself is what's
+    being value-checked. Only scalar string/double columns cross the
+    CSV boundary (timestamps stay out: text round-trip of timestamps is
+    a format contract, not a scan test). The write lands under /tmp and
+    is overwritten idempotently per call."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_csv_roundtrip_orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", True).csv(out)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "doc_url_extract",
+    """
+    WITH linked AS (
+      SELECT doc_id,
+             'https://www.amazon.in/dp/' || source || '/' || doc_id
+               || '?ref=sr_1_' || (doc_id % 10) AS link
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(link, '/dp/(.*?)\\?', 1) AS link_id,
+           regexp_replace(link, '\\?.*$', '') AS canonical_url,
+           CASE WHEN starts_with(link, 'https://www.amazon.in/')
+                THEN substr(link, 23) ELSE link END AS short_link
+    FROM linked
+    """,
+)
+def doc_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11 URL munging as a driver-checked entry
+    (``shorten_image_url`` / ``shorten_amazon_link``,
+    ``amazon1.py:163-176``): a deterministic product link is synthesized
+    from (source, doc_id) — the testdata corpus carries no raw URLs —
+    then the id is pulled out with one ``regexp_extract``
+    (cleaning.extract_between), the query string stripped with one
+    ``regexp_replace``, and the site prefix removed with the
+    null-safe ``cleaning.strip_prefix``. All four columns compile into
+    a single codegen projection on the scan — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    link = F.concat(
+        F.lit("https://www.amazon.in/dp/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=sr_1_"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    linked = docs.select("doc_id", link.alias("link"))
+    return linked.select(
+        "doc_id",
+        cleaning.extract_between("link", "/dp/", r"\?").alias("link_id"),
+        F.regexp_replace("link", r"\?.*$", "").alias("canonical_url"),
+        cleaning.strip_prefix("link", "https://www.amazon.in/").alias(
+            "short_link"
+        ),
+    )
