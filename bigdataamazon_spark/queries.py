@@ -8402,17 +8402,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, with quartiles over already-rounded monetary so both
     engines interpolate identical doubles."""
     o = load_table(spark, sf_dir, "orders")
-    per = o.groupBy("o_custkey").agg(
-        F.max(F.to_date("o_orderdate")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    per = materialize_shared(
+        o.groupBy("o_custkey").agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
     )
-    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
-    base = per.crossJoin(F.broadcast(gmax)).select(
-        "o_custkey",
-        F.datediff("gmax", "last_order").alias("recency_days"),
-        "frequency",
-        "monetary",
+    # global max date re-derived from the per-customer agg (not a second
+    # orders scan): max over customers == max over orders
+    gmax = per.agg(F.max("last_order").alias("gmax"))
+    base = materialize_shared(
+        per.crossJoin(F.broadcast(gmax)).select(
+            "o_custkey",
+            F.datediff("gmax", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
     )
     th = base.agg(
         *[

@@ -545,3 +545,60 @@ def test_history_features_one_exchange(spark, sf_dir):
     plan = _executed_plan(spark, "user_event_history_features", sf_dir)
     # all three features share the user-keyed sort: exactly one shuffle
     assert plan.count("Exchange") == 1
+
+
+def test_rfm_single_orders_scan_no_global_window(spark, sf_dir):
+    plan = _executed_plan(spark, "customer_rfm_segments", sf_dir)
+    # quartile scoring rides two 1-row broadcasts — a global ntile would
+    # print a Window with no partition keys (single-task bottleneck)
+    assert "Window" not in plan
+    # per-customer agg and the scored base are shared via bounded
+    # materialization: both threshold and final branches read the cache
+    # (the FileScan text repeats under InMemoryRelation, but executes once)
+    assert "InMemoryTableScan" in plan
+
+
+def test_overlap_join_keyed_on_customer(spark, sf_dir):
+    plan = _executed_plan(spark, "customer_order_overlaps", sf_dir)
+    # the interval check must ride the custkey equi-join; a pure range
+    # join would be BNLJ/cartesian across all order pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaks_window_partitioned_by_user(spark, sf_dir):
+    plan = _executed_plan(spark, "user_activity_streaks", sf_dir)
+    assert "Window" in plan
+    # distinct-day collapse + user window + final agg: nothing else
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_sketch_audits_single_pass(spark, sf_dir):
+    for name in ("hll_distinct_audit", "approx_quantile_audit"):
+        plan = _executed_plan(spark, name, sf_dir)
+        # exact + sketch fold in ONE grouped aggregation — no join of two
+        # aggregates, no second fact scan
+        assert "Join" not in plan, name
+        assert len(_scan_schemas(plan)) == 1, name
+
+
+def test_ohlc_windows_share_group_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "events_ohlc_daily", sf_dir)
+    # both tie-broken windows and the agg hash-partition on the same
+    # (event_type, day) key: exactly one exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_url_extract_is_zero_shuffle_projection(spark, sf_dir):
+    plan = _executed_plan(spark, "doc_url_extract", sf_dir)
+    assert "Exchange" not in plan
+    assert _scan_schemas(plan) == [["doc_id", "source"]]
+
+
+def test_zipf_window_runs_over_vocab_pre_agg(spark, sf_dir):
+    plan = _executed_plan(spark, "token_zipf_fit", sf_dir)
+    # rank window must sit ABOVE the word-count aggregate (|V| rows), not
+    # over token instances: exchanges are the count agg + the single-
+    # partition rank, and the one scan reads only text
+    assert _scan_schemas(plan) == [["text"]]
+    assert "Window" in plan
