@@ -8854,3 +8854,280 @@ def doc_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "short_link"
         ),
     )
+
+
+@register(
+    "shipment_sla_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(avg(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                         CAST(l_shipdate AS DATE)) <= 30
+                          THEN 1.0 ELSE 0.0 END), 6) AS sla_30d_rate,
+           round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE))), 4) AS avg_lead_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def shipment_sla_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA attainment per order priority (beyond ref; the
+    conditional-rate generalization of ``amazon1.py``'s grouped means):
+    fraction of lineitems shipped within 30 days of order placement,
+    plus mean lead time. One orderkey-keyed join (both sides huge at
+    100 TB → SMJ on the natural key; no broadcast pretense) feeding one
+    5-group hash agg — the rate folds as an avg of 0/1, never a
+    join-back of two counts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    lead = F.datediff("sd", "od")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(
+            F.avg(F.when(lead <= 30, 1.0).otherwise(0.0)), 6
+        ).alias("sla_30d_rate"),
+        F.round(F.avg(lead), 4).alias("avg_lead_days"),
+    )
+
+
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH srev AS (
+      SELECT s_nationkey, l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, sum(rev) AS nation_rev,
+             count(*) AS n_suppliers
+      FROM srev GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           round(sum(pow(rev / nation_rev, 2)), 6) AS hhi
+    FROM srev JOIN tot USING (s_nationkey)
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (beyond ref; the market-concentration audit next to
+    customer_revenue_gini): Σ (supplier revenue share)², 1/n for a
+    perfectly even market, 1.0 for a monopoly. The fact table shuffles
+    once on suppkey for the per-supplier agg; nation totals are a tiny
+    second agg broadcast back; supplier and nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = materialize_shared(
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = srev.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("nation_rev"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        srev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("rev") / F.col("nation_rev"), 2)), 6
+            ).alias("hhi")
+        )
+        .select("n_name", "n_suppliers", "hhi")
+    )
+
+
+@register(
+    "quantity_weighted_median_price",
+    """
+    WITH byp AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, price, qty,
+             sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cq,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS tq
+      FROM byp
+    )
+    SELECT l_returnflag,
+           round(min(price), 4) AS weighted_median_price,
+           round(max(tq), 4) AS total_quantity
+    FROM cum WHERE cq >= tq / 2
+    GROUP BY 1
+    """,
+)
+def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (beyond ref; the
+    weighted order statistic the plain percentile family lacks): the
+    smallest price whose cumulative quantity reaches half the total.
+    Ties collapse in a (flag, price) pre-agg BEFORE the cumulative
+    window, so the window runs over distinct prices (bounded) and no
+    row-order tie-break is ever needed — the determinism trick the
+    naive sort-and-scan misses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    byp = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = byp.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(wc).alias("cq"),
+        F.sum("qty").over(wt).alias("tq"),
+    )
+    return (
+        cum.filter(F.col("cq") >= F.col("tq") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 4).alias("weighted_median_price"),
+            F.round(F.max("tq"), 4).alias("total_quantity"),
+        )
+    )
+
+
+@register(
+    "daily_revenue_rolling_median",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT a.day,
+           round(quantile_cont(b.rev, 0.5), 4) AS rolling_median_7d,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily a JOIN daily b
+      ON b.day BETWEEN a.day - 6 AND a.day
+    GROUP BY a.day
+    """,
+)
+def daily_revenue_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily revenue (beyond ref; the robust
+    variant of rolling_revenue_7d — a RANGE frame cannot express an
+    exact windowed percentile in either engine, so both sides state the
+    identical bounded self-join over the daily pre-aggregate). The join
+    fans each day out to ≤7 partners and runs on the tiny daily table
+    (≤ a few thousand rows per decade even at 100 TB of facts, because
+    the pre-agg collapses first); daily sums are rounded before the
+    median so both engines interpolate identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = materialize_shared(
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    a = daily.select(F.col("day").alias("aday"))
+    b = daily.select(F.col("day").alias("bday"), "rev")
+    j = a.join(
+        F.broadcast(b),
+        on=[
+            F.col("bday") >= F.date_sub(F.col("aday"), 6),
+            F.col("bday") <= F.col("aday"),
+        ],
+    )
+    return (
+        j.groupBy(F.col("aday").alias("day"))
+        .agg(
+            F.round(F.expr("percentile(rev, 0.5)"), 4).alias(
+                "rolling_median_7d"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+@register(
+    "json_roundtrip_events_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source as a driver-checked entry (SURVEY §2.1 source
+    matrix): events are written as gzipped JSONL (scalar columns only —
+    timestamps stay out of the text contract, as in the CSV twin) and
+    read back through ``sources.json.read_jsonl`` with an EXPLICIT
+    schema (PERMISSIVE mode, no inference pass), then aggregated; the
+    oracle aggregates the original parquet so the round-trip is what's
+    value-checked."""
+    import tempfile
+
+    from .sources.json import read_jsonl, write_jsonl
+
+    out = f"{tempfile.gettempdir()}/spark_graft_json_roundtrip_events"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    write_jsonl(e, out, mode="overwrite")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def orc_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source as a driver-checked entry (SURVEY §2.1 source matrix):
+    the lineitem projection is written as ORC and read back through
+    ``sources.orc`` — a second columnar format proving the engine's
+    scan/sink surface isn't parquet-shaped — then aggregated against the
+    parquet-side oracle. Projection pruning and predicate pushdown apply
+    to the ORC scan exactly as to parquet."""
+    import tempfile
+
+    from .sources.orc import read_orc, write_orc
+
+    out = f"{tempfile.gettempdir()}/spark_graft_orc_roundtrip_lineitem"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    write_orc(li, out, mode="overwrite")
+    back = read_orc(spark, out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

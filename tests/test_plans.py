@@ -602,3 +602,46 @@ def test_zipf_window_runs_over_vocab_pre_agg(spark, sf_dir):
     # partition rank, and the one scan reads only text
     assert _scan_schemas(plan) == [["text"]]
     assert "Window" in plan
+
+
+def test_sla_join_prunes_both_scans(spark, sf_dir):
+    plan = _executed_plan(spark, "shipment_sla_by_priority", sf_dir)
+    assert "CartesianProduct" not in plan
+    scans = _scan_schemas(plan)
+    assert ["l_orderkey", "l_shipdate"] in scans  # 2 of lineitem's 11 cols
+
+
+def test_hhi_no_sort_merge_on_dims(spark, sf_dir):
+    plan = _executed_plan(spark, "nation_supplier_hhi", sf_dir)
+    # supplier + nation dims and the per-nation totals all broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_windows_share_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "quantity_weighted_median_price", sf_dir)
+    # price-collapse agg + the two flag-keyed windows: two exchanges total
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 2
+
+
+def test_rolling_median_joins_pre_agg_only(spark, sf_dir):
+    plan = _executed_plan(spark, "daily_revenue_rolling_median", sf_dir)
+    # the range join (BNLJ by nature) runs over the DAILY pre-agg — every
+    # scan is the pruned 2-column orders scan feeding an aggregate first
+    assert "CartesianProduct" not in plan
+    for s in _scan_schemas(plan):
+        assert s == ["o_totalprice", "o_orderdate"]
+
+
+@pytest.mark.parametrize(
+    "name, cols",
+    [
+        ("json_roundtrip_events_agg", ["event_type", "value"]),
+        ("orc_roundtrip_lineitem_agg", ["l_returnflag", "l_linestatus", "l_quantity"]),
+    ],
+)
+def test_roundtrip_readback_scan_pruned(spark, sf_dir, name, cols):
+    plan = _executed_plan(spark, name, sf_dir)
+    # column pruning applies to the non-parquet read-back scan too
+    assert cols in _scan_schemas(plan)
