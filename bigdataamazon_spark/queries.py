@@ -9131,3 +9131,190 @@ def orc_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "heavy_hitter_words",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    f AS (
+      SELECT item, count(*) AS freq FROM w
+      WHERE item <> '' AND item NOT IN ('the','a','an','and','of','to','in')
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(freq) AS n FROM f)
+    SELECT item, CAST(freq AS BIGINT) AS freq
+    FROM f, t WHERE freq > n / 30.0
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words via distributed Misra-Gries
+    (``operators/sketches.py``; the bounded-memory scale path for the
+    reference's value_counts shape, ``amazon1.py:104-106``): per-
+    partition k=30 counter sketches yield a candidate superset, an
+    exact recount over only the candidates filters to true frequency
+    > n/30 — so the output is EXACT heavy hitters while the shuffle is
+    bounded by k x partitions keys instead of the vocabulary. (On this
+    synthetic corpus |V| ≈ k, so the local sketch is not stressed; the
+    unit tests exercise eviction with |V| >> k.)"""
+    from .operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.remove_stopwords(text.tokens(F.col("text")))
+    words = docs.select(F.explode(toks).alias("word"))
+    return heavy_hitters(words, "word", 30).select(
+        F.col("item"), F.col("freq")
+    )
+
+
+@register(
+    "ml_linear_regression_audit",
+    """
+    WITH s AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(l_quantity) AS sq, sum(l_discount) AS sd,
+             sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sqq,
+             sum(l_discount * l_discount) AS sdd,
+             sum(l_quantity * l_discount) AS sqd,
+             sum(l_quantity * l_extendedprice) AS sqy,
+             sum(l_discount * l_extendedprice) AS sdy
+      FROM lineitem
+    ),
+    det AS (
+      SELECT *,
+             n * (sqq * sdd - sqd * sqd)
+               - sq * (sq * sdd - sqd * sd)
+               + sd * (sq * sqd - sqq * sd) AS d
+      FROM s
+    )
+    SELECT round((sy * (sqq * sdd - sqd * sqd)
+                  - sq * (sqy * sdd - sqd * sdy)
+                  + sd * (sqy * sqd - sqq * sdy)) / d, 4) AS intercept,
+           round((n * (sqy * sdd - sqd * sdy)
+                  - sy * (sq * sdd - sqd * sd)
+                  + sd * (sq * sdy - sqy * sd)) / d, 4) AS beta_quantity,
+           round((n * (sqq * sdy - sqy * sqd)
+                  - sq * (sq * sdy - sqy * sd)
+                  + sy * (sq * sqd - sqq * sd)) / d, 4) AS beta_discount,
+           TRUE AS ml_matches
+    FROM det
+    """,
+)
+def ml_linear_regression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML LinearRegression twin with a closed-form audit (SURVEY
+    ML-twins family): price ~ quantity + discount fit twice — once by
+    ``pyspark.ml`` (solver='normal', exact least squares via normal
+    equations) and once by the same Cramer's-rule closed form the
+    DuckDB oracle states. The registered coefficients come from the
+    closed form (hash-exact across engines); ``ml_matches`` asserts the
+    ML library lands within 1e-6 relative of all three — auditing the
+    library exactly like hll/minhash/approx-quantile audits treat their
+    sketches. One 9-sum aggregate; the ML fit's normal solver is a
+    single pass + driver-side 3x3 solve."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("d"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("y")).alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    c = {k: F.col(k) for k in ("n", "sq", "sd", "sy", "sqq", "sdd", "sqd", "sqy", "sdy")}
+    det = (
+        c["n"] * (c["sqq"] * c["sdd"] - c["sqd"] * c["sqd"])
+        - c["sq"] * (c["sq"] * c["sdd"] - c["sqd"] * c["sd"])
+        + c["sd"] * (c["sq"] * c["sqd"] - c["sqq"] * c["sd"])
+    )
+    b0 = (
+        c["sy"] * (c["sqq"] * c["sdd"] - c["sqd"] * c["sqd"])
+        - c["sq"] * (c["sqy"] * c["sdd"] - c["sqd"] * c["sdy"])
+        + c["sd"] * (c["sqy"] * c["sqd"] - c["sqq"] * c["sdy"])
+    ) / det
+    b1 = (
+        c["n"] * (c["sqy"] * c["sdd"] - c["sqd"] * c["sdy"])
+        - c["sy"] * (c["sq"] * c["sdd"] - c["sqd"] * c["sd"])
+        + c["sd"] * (c["sq"] * c["sdy"] - c["sqy"] * c["sd"])
+    ) / det
+    b2 = (
+        c["n"] * (c["sqq"] * c["sdy"] - c["sqy"] * c["sqd"])
+        - c["sq"] * (c["sq"] * c["sdy"] - c["sqy"] * c["sd"])
+        + c["sy"] * (c["sq"] * c["sqd"] - c["sqq"] * c["sd"])
+    ) / det
+    closed = s.select(
+        F.round(b0, 4).alias("intercept"),
+        F.round(b1, 4).alias("beta_quantity"),
+        F.round(b2, 4).alias("beta_discount"),
+        b0.alias("_b0"),
+        b1.alias("_b1"),
+        b2.alias("_b2"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["q", "d"], outputCol="features"
+    ).transform(li)
+    model = LinearRegression(
+        featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+    ).fit(assembled)
+    m0 = float(model.intercept)
+    m1, m2 = (float(v) for v in model.coefficients)
+    close = lambda ml, cf: (  # noqa: E731
+        F.abs(F.lit(ml) - cf) / (F.lit(1.0) + F.abs(cf)) <= 1e-6
+    )
+    return closed.select(
+        "intercept",
+        "beta_quantity",
+        "beta_discount",
+        (
+            close(m0, F.col("_b0"))
+            & close(m1, F.col("_b1"))
+            & close(m2, F.col("_b2"))
+        ).alias("ml_matches"),
+    )
+
+
+@register(
+    "parquet_partition_prune_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def parquet_partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back as a
+    driver-checked entry (SURVEY §2.1 sink matrix; ``sources/parquet``):
+    orders land hive-partitioned by o_orderpriority, the read-back
+    filters ONE priority — the plan must show a PartitionFilter (prune
+    to 1 of 5 directories before any IO) rather than a data filter —
+    then aggregates against the unpartitioned-parquet oracle. This is
+    the layout-level pruning story the flat testdata files can't
+    demonstrate."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_parquet_partitioned_orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -838,3 +838,52 @@ def test_resolve_entities_canonical_min_id(spark):
         4: (3, "blue bolt"),
         99: (99, "lonely gizmo"),
     }
+
+
+def test_heavy_hitters_exact_with_eviction(spark):
+    """|V| >> k forces real Misra-Gries evictions; the exact-recount
+    pass must still return precisely the true heavy hitters."""
+    from bigdataamazon_spark.operators import sketches
+
+    # 2000 rows: 'hot' 600x, 'warm' 500x, 900 singletons. n/k with k=4
+    # -> threshold 500: hot and warm qualify (warm==500 is NOT strictly
+    # above; make it 501).
+    rows = [("hot",)] * 600 + [("warm",)] * 501 + [(f"u{i}",) for i in range(899)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(8)
+    got = {r["item"]: r["freq"] for r in sketches.heavy_hitters(df, "w", 4).collect()}
+    assert got == {"hot": 600, "warm": 501}
+
+
+def test_heavy_hitters_matches_exact_counts_randomized(spark):
+    """Superset-then-recount == brute-force, on a seeded Zipfian draw."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.operators import sketches
+
+    rng = random.Random(42)
+    vals = [f"w{min(int(1 / (rng.random() + 1e-9)), 50)}" for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["w"]).repartition(16)
+    k = 10
+    got = {r["item"]: r["freq"] for r in sketches.heavy_hitters(df, "w", k).collect()}
+    exact = {
+        r["w"]: r["c"]
+        for r in df.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] > len(vals) / k
+    }
+    assert got == exact
+
+
+def test_heavy_hitters_null_and_empty(spark):
+    from pyspark.sql import types as T
+
+    from bigdataamazon_spark.operators import sketches
+
+    schema = T.StructType([T.StructField("w", T.StringType())])
+    empty = spark.createDataFrame([], schema)
+    assert sketches.heavy_hitters(empty, "w", 5).collect() == []
+    nulls = spark.createDataFrame([("a",), (None,), ("a",), (None,)], schema)
+    got = {r["item"]: r["freq"] for r in sketches.heavy_hitters(nulls, "w", 2).collect()}
+    # nulls are excluded from both the stream and the denominator
+    assert got == {"a": 2}

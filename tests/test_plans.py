@@ -645,3 +645,29 @@ def test_roundtrip_readback_scan_pruned(spark, sf_dir, name, cols):
     plan = _executed_plan(spark, name, sf_dir)
     # column pruning applies to the non-parquet read-back scan too
     assert cols in _scan_schemas(plan)
+
+
+def test_heavy_hitters_sketch_then_broadcast_recount(spark, sf_dir):
+    plan = _executed_plan(spark, "heavy_hitter_words", sf_dir)
+    # candidate pass is the Arrow-batched Misra-Gries map; the recount
+    # joins candidates by broadcast semi-join — never a key-cardinality
+    # sort-merge
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ml_lr_audit_single_pruned_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "ml_linear_regression_audit", sf_dir)
+    # the registered output is the one 9-sum aggregate (the ML fit runs
+    # eagerly at build time and is not part of the returned plan)
+    assert _scan_schemas(plan) == [["l_quantity", "l_extendedprice", "l_discount"]]
+    assert plan.count("Exchange") == 1
+
+
+def test_partitioned_readback_prunes_directories(spark, sf_dir):
+    plan = _executed_plan(spark, "parquet_partition_prune_agg", sf_dir)
+    # the priority predicate must be a PartitionFilter (directory prune),
+    # not a post-scan data filter
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    assert "(o_orderpriority" in plan.split("PartitionFilters")[1][:120]
