@@ -8160,6 +8160,91 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encoded_vocab",
+    r"""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ),
+    s1 AS (
+      SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS seq, freq
+      FROM words
+    ),
+    p1 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s1),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s2 AS (
+      SELECT replace(seq, ' ' || b1.a || ' ' || b1.b || ' ',
+                     ' ' || b1.a || b1.b || ' ') AS seq, freq
+      FROM s1, b1
+    ),
+    p2 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s2),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s3 AS (
+      SELECT replace(seq, ' ' || b2.a || ' ' || b2.b || ' ',
+                     ' ' || b2.a || b2.b || ' ') AS seq, freq
+      FROM s2, b2
+    ),
+    p3 AS (
+      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS c
+      FROM (SELECT list_filter(string_split(seq, ' '), x -> x <> '') AS l, freq FROM s3),
+           unnest(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    s4 AS (
+      SELECT replace(seq, ' ' || b3.a || ' ' || b3.b || ' ',
+                     ' ' || b3.a || b3.b || ' ') AS seq, freq
+      FROM s3, b3
+    )
+    SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(list_filter(string_split(seq, ' '), x -> x <> '')) AS sym,
+                 freq
+          FROM s4)
+    GROUP BY sym
+    """,
+)
+def bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE side completing bpe_learned_merges' train side: the
+    3 learned merges are applied back to the frequency-weighted word
+    vocabulary and the resulting symbol inventory is counted with
+    corpus weights — the (token, occurrences) table a tokenizer build
+    hands to the training pipeline. The merge application is the same
+    space-anchored replace the trainer used, on the DISTINCT-word table
+    (corpus-scale-free); only the 3 merge literals travel driver-side.
+    The oracle re-derives the merges with the trainer's unrolled CTE
+    chain and applies the identical 4th-stage replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = textops.bpe_learn_merges(docs, rounds=3)
+    words = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
+    )
+    for _, a, b, _ in merges:
+        seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    symbols = F.filter(F.split(seq, " "), lambda t: t != F.lit(""))
+    return (
+        words.select(F.explode(symbols).alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+    )
+
+
+@register(
     "salted_join_revenue",
     """
     SELECT o_orderpriority,

@@ -62,6 +62,65 @@ def click_purchase_pairs(
     )
 
 
+def click_purchase_pairs_outer(
+    clicks: DataFrame, purchases: DataFrame, *, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`click_purchase_pairs`: every click
+    appears; unconverted clicks carry null purchase columns. In
+    streaming this is the shape whose null rows can only be emitted
+    once the watermark proves no matching purchase can still arrive
+    (click_ts + horizon < watermark) — the state-store eviction
+    deadline both sides' watermarks define."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    ).select("click_id", "user_id", "click_ts", "purchase_id")
+
+
+def stream_click_purchase_pairs_outer(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming left-outer interval join: same watermarked legs as the
+    inner variant; matched rows emit as matches arrive, null-extended
+    rows only after the click's join window fully expires."""
+
+    def leg(event_type: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(source_dir)
+            .filter(F.col("event_type") == event_type)
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+
+    return click_purchase_pairs_outer(
+        leg("click"), leg("purchase"), horizon=horizon
+    )
+
+
 def stream_click_purchase_pairs(
     spark: SparkSession,
     source_dir: str,

@@ -522,3 +522,90 @@ def test_streaming_daily_counts_match_incremental_batch(spark, sf_dir, events_di
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_null_rows(spark, sf_dir):
+    """Left-outer stream-stream interval join: matched pairs == the
+    batch inner join's pairs, and once a far-future sentinel advances
+    the watermark past every click's join window, a null-extended row
+    exists for EXACTLY the unmatched clicks. (Without the sentinel the
+    youngest unmatched clicks legitimately stay in state — eviction
+    uses the previous batch's watermark.)"""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.joins import (
+        click_purchase_pairs,
+        stream_click_purchase_pairs_outer,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="events_outer_")
+    try:
+        base = load_table(spark, sf_dir, "events")
+        base.write.mode("overwrite").parquet(src_dir)
+
+        q = (
+            stream_click_purchase_pairs_outer(spark, src_dir)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cp_outer")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # sentinel: one inert far-future event pushes the watermark
+            # beyond every click's (ts + horizon) deadline
+            # Watermarks sit per-LEG after the event-type filter, and the
+            # join evicts on min(click_wm, purchase_wm) — so the sentinel
+            # must contain a far-future CLICK and PURCHASE (2h apart: the
+            # 1h horizon keeps them from joining). Two sentinel batches:
+            # the first advances the watermark, the second triggers the
+            # eviction pass that uses it (null emission runs one
+            # micro-batch behind the watermark).
+            far = base.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(days=2)
+            h = datetime.timedelta(hours=2)
+            for i in (0, 1):
+                sentinel = spark.createDataFrame(
+                    [
+                        (10**9 + 2 * i, far + 2 * i * h, 10**6, "click", 0.0, "{}"),
+                        (10**9 + 2 * i + 1, far + (2 * i + 1) * h, 10**6, "purchase", 0.0, "{}"),
+                    ],
+                    base.schema,
+                )
+                sentinel.write.mode("append").parquet(src_dir)
+                q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM cp_outer").collect()
+        finally:
+            q.stop()
+
+        got_matched = {
+            (r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None
+        }
+        # sentinel clicks (>= 10^9) may themselves expire and emit null
+        # rows — plumbing, not data; drop them from the comparison
+        got_null = {
+            r["click_id"]
+            for r in rows
+            if r["purchase_id"] is None and r["click_id"] < 10**9
+        }
+
+        # sentinels (event_id >= 10^9) are harness plumbing, not data:
+        # exclude them from the batch expectation too.
+        ev = (
+            spark.read.parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_id") < 10**9)
+        )
+        clicks = ev.filter(ev.event_type == "click")
+        purchases = ev.filter(ev.event_type == "purchase")
+        inner = click_purchase_pairs(clicks, purchases)
+        expected_matched = {(r["click_id"], r["purchase_id"]) for r in inner.collect()}
+        assert got_matched == expected_matched
+
+        matched_clicks = {c for c, _ in expected_matched}
+        all_clicks = {r["event_id"] for r in clicks.collect()}
+        assert got_null == all_clicks - matched_clicks
+        assert len(got_null) > 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
