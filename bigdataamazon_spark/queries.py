@@ -9403,3 +9403,216 @@ def parquet_partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 session 3: ML feature engineering, sketch-backed join pruning,
+# schema evolution (beyond ref — LLM-pipeline + lakehouse surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hashed_doc_features",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS u(t)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('fh1:' || term), 1, 8))::BIGINT % 256
+                  AS INTEGER) AS bucket,
+             CASE WHEN ('0x' || substr(md5('fh1:' || term), 9, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectors (beyond ref; the fixed-width
+    alternative to M4's vocabulary-keyed count-vectorize,
+    ``amazon1.py:134-137``): each token hashes to one of 256 buckets
+    with a second-hash sign, and per-(doc, bucket) signed counts form
+    the sparse feature rows — no vocabulary pass, no driver state, no
+    plan growth with |V| (the failure mode the dense bow path guards
+    against). One projection + one hash agg; at 100 TB the bucket count
+    is a constant knob and the agg stays partial-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    h = F.md5(F.concat(F.lit("fh1:"), F.col("term")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 256).cast(
+        "int"
+    )
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+    )
+
+
+@register(
+    "bloom_join_audit",
+    """
+    WITH okeys AS (SELECT DISTINCT o_custkey AS key FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('bf' || i || ':' || CAST(key AS VARCHAR)), 1, 12))::BIGINT
+          % 8192 AS pos
+      FROM okeys, unnest([1, 2, 3]) AS t(i)
+    ),
+    probe AS (
+      SELECT c_custkey AS key,
+        ('0x' || substr(md5('bf' || i || ':' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+          % 8192 AS pos
+      FROM customer, unnest([1, 2, 3]) AS t(i)
+    ),
+    per_key AS (
+      SELECT key, count(DISTINCT pos) AS npos,
+             count(DISTINCT pos) FILTER (WHERE pos IN (SELECT pos FROM bits))
+               AS nhit
+      FROM probe GROUP BY 1
+    ),
+    aud AS (
+      SELECT p.key,
+             CASE WHEN nhit = npos THEN 1 ELSE 0 END AS bpos,
+             CASE WHEN o.key IS NULL THEN 0 ELSE 1 END AS mem
+      FROM per_key p LEFT JOIN okeys o ON p.key = o.key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(mem) AS BIGINT) AS n_members,
+           CAST(sum(bpos) AS BIGINT) AS n_bloom_positive,
+           CAST(sum(CASE WHEN bpos = 1 AND mem = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive,
+           CAST(sum(CASE WHEN bpos = 0 AND mem = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negative,
+           round(sum(CASE WHEN bpos = 1 AND mem = 0 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(count(*) - sum(mem), 0), 6) AS fp_rate
+    FROM aud
+    """,
+)
+def bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (beyond ref; the sketch behind
+    broadcast join pruning and eval-set decontamination at 100 TB): an
+    m=8192 / k=3 filter is BUILT from the orders-side keys as a distinct
+    bit-position table (bounded by m — broadcastable by construction,
+    never by luck), every customer key probes it, and the audit reports
+    measured false-positive rate against exact membership. No false
+    negatives by construction — the output column proves it. At scale
+    this is exactly how a 100 TB probe side prunes before shuffling:
+    ship the m-bounded bitset, drop non-candidates at the scan."""
+    m, k = 8192, 3
+
+    def _pos(col, i: int):
+        h = F.md5(F.concat(F.lit(f"bf{i}:"), col.cast("string")))
+        return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % m).cast(
+            "bigint"
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    okeys = materialize_shared(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = (
+        okeys.select(
+            F.explode(
+                F.array(*[_pos(F.col("key"), i) for i in range(1, k + 1)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.explode(
+            F.array(*[_pos(F.col("c_custkey"), i) for i in range(1, k + 1)])
+        ).alias("pos"),
+    )
+    per_key = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("key")
+        .agg(
+            F.countDistinct("pos").alias("npos"),
+            F.countDistinct(
+                F.when(F.col("hit").isNotNull(), F.col("pos"))
+            ).alias("nhit"),
+        )
+    )
+    aud = per_key.join(
+        okeys.withColumn("mem", F.lit(1)), "key", "left"
+    ).select(
+        (F.col("nhit") == F.col("npos")).cast("int").alias("bpos"),
+        F.coalesce(F.col("mem"), F.lit(0)).alias("mem"),
+    )
+    return aud.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("mem").cast("bigint").alias("n_members"),
+        F.sum("bpos").cast("bigint").alias("n_bloom_positive"),
+        F.sum(F.when((F.col("bpos") == 1) & (F.col("mem") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(F.when((F.col("bpos") == 0) & (F.col("mem") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negative"),
+    ).select(
+        "*",
+        F.round(
+            F.col("n_false_positive")
+            / F.nullif(F.col("n_probed") - F.col("n_members"), F.lit(0)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+@register(
+    "merged_schema_orders_agg",
+    """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                ELSE o_orderpriority END AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def merged_schema_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations (beyond ref; SURVEY
+    §2.1 source matrix): generation A lands WITHOUT o_orderpriority,
+    generation B adds it; ``mergeSchema`` reconciles the footers at
+    read time and the missing column surfaces as NULL on A's rows —
+    the additive-column lakehouse contract. The agg folds the NULLs
+    into an explicit '<pre-evolution>' band so the evolution itself is
+    what the oracle value-checks. Footer merge cost is per-FILE
+    metadata, not data — at 100 TB it rides the existing listing pass."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_mergeschema_orders"
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out + "/a")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(out + "/b")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        out + "/a", out + "/b"
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
