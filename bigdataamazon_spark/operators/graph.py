@@ -180,3 +180,40 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int, src: str = "u", dst: str = "v") -> DataFrame:
+    """k-core of an undirected graph (ordered dedup'd edges): iteratively
+    peel nodes of degree < k until fixpoint; return surviving nodes with
+    their in-core degree.
+
+    Each peel round is one symmetric-edge degree agg plus two semi-joins
+    to drop edges touching peeled nodes — all equi-shuffles on the node
+    key, combiner-friendly. Rounds are bounded by the peel depth (real
+    co-occurrence graphs: single digits; the loop early-stops the first
+    round nothing peels). Per-round frames are localCheckpoint-ed so the
+    convergence-check action never replays history — same driver-loop
+    discipline as :func:`connected_components`. At 100 TB each round is
+    a fixed number of keyed exchanges over a strictly-shrinking edge
+    set; the standard refinement (batch-peel all degrees < k by bucket)
+    drops the round count further without changing any join shape.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    while True:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        n_drop = deg.count() - keep.count()
+        if n_drop == 0:
+            return deg.filter(F.col("d") >= k)
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )

@@ -9616,3 +9616,207 @@ def merged_schema_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "holt_linear_revenue",
+    """
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             avg(o_totalprice) / 1000.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT month, y, row_number() OVER (ORDER BY month ASC) AS t FROM m
+    ),
+    rec AS (
+      SELECT t, month, y, y AS lvl, CAST(0.0 AS DOUBLE) AS tr
+      FROM idx WHERE t = 1
+      UNION ALL
+      SELECT i.t, i.month, i.y,
+             0.5 * i.y + 0.5 * (r.lvl + r.tr) AS lvl,
+             0.3 * ((0.5 * i.y + 0.5 * (r.lvl + r.tr)) - r.lvl) + 0.7 * r.tr
+               AS tr
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+    )
+    SELECT CAST(CAST(month AS DATE) AS VARCHAR) AS month,
+           round(y, 6) AS avg_price_k,
+           round(lvl, 6) AS level_k,
+           round(tr, 6) AS trend_k,
+           round(lvl + tr, 6) AS forecast_next_k
+    FROM rec ORDER BY month ASC
+    """,
+)
+def holt_linear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of monthly mean
+    order value, alpha=0.5 / beta=0.3 (beyond ref; the trend-aware
+    sibling of monthly_revenue_ewma). The recursion is genuinely
+    SEQUENTIAL (level and trend are coupled), so unlike the EWMA it has
+    no window-sum closed form — the right Spark shape is a grouped
+    Arrow hop: the calendar-bounded monthly series (NOT the raw rows)
+    flows through one applyInPandas task per series. At 100 TB the
+    pre-agg does the data-sized work distributed; series length is
+    bounded by the calendar, and real deployments run thousands of
+    independent series (per key) — one task each, perfectly parallel.
+    The pandas loop uses literal 0.5/0.7 coefficients so both engines
+    execute the IDENTICAL IEEE double sequence (the oracle's recursive
+    CTE mirrors it term for term)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg((F.avg("o_totalprice") / 1000.0).alias("y"))
+
+    def _holt(pdf):
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        lvls, trs = [], []
+        l, b = None, None
+        for y in pdf["y"]:
+            if l is None:
+                l, b = float(y), 0.0
+            else:
+                lp = l
+                l = 0.5 * float(y) + 0.5 * (l + b)
+                b = 0.3 * (l - lp) + 0.7 * b
+            lvls.append(l)
+            trs.append(b)
+        pdf["lvl"] = lvls
+        pdf["tr"] = trs
+        return pdf[["month", "y", "lvl", "tr"]]
+
+    sm = m.withColumn("series", F.lit(1)).groupBy("series").applyInPandas(
+        lambda _, pdf: _holt(pdf),
+        schema="month date, y double, lvl double, tr double",
+    )
+    return sm.select(
+        F.col("month").cast("string").alias("month"),
+        F.round("y", 6).alias("avg_price_k"),
+        F.round("lvl", 6).alias("level_k"),
+        F.round("tr", 6).alias("trend_k"),
+        F.round(F.col("lvl") + F.col("tr"), 6).alias("forecast_next_k"),
+    ).orderBy(F.asc("month"))
+
+
+@register(
+    "event_sequence_conversions",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) AS INTEGER)
+             AS n_conversions,
+           CASE WHEN len(regexp_extract_all(seq, 'v[^e]*c[^e]*p')) > 0
+                THEN 1 ELSE 0 END AS converted
+    FROM seqs
+    """,
+)
+def event_sequence_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (beyond ref;
+    the CEP/funnel primitive stage-join funnels can't express): each
+    user's full event history collapses to an ordered initial-letter
+    string (deterministic (ts, event_id) order), and a regex counts
+    non-overlapping view->click->purchase runs with NO intervening
+    error event. One groupBy builds the per-user sequence; the pattern
+    scan is a codegen-native regexp over a per-user string bounded by
+    that user's event count — at 100 TB the shuffle keys on user_id
+    and skew-bounded users cap the string (chunk a pathological user by
+    session first). Leftmost greedy semantics agree between Java regex
+    and RE2 for this pattern class, so the oracle shares the count."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = F.substring("event_type", 1, 1)
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch"))
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    n_conv = F.regexp_count(F.col("seq"), F.lit(r"v[^e]*c[^e]*p"))
+    return seqs.select(
+        "user_id",
+        "n_events",
+        n_conv.cast("int").alias("n_conversions"),
+        (n_conv > 0).cast("int").alias("converted"),
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = 6  # fixpoint at sf0.01 is 2 rounds; extra rounds are idempotent
+    parts = [
+        "WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        " l_suppkey AS s FROM lineitem)",
+        "pairs AS MATERIALIZED (SELECT a.s AS u, b.s AS v, count(*) AS c"
+        " FROM os a JOIN os b USING (ok) WHERE a.s < b.s GROUP BY 1, 2)",
+        "thr AS (SELECT quantile_cont(c, 0.95) AS p FROM pairs)",
+        "e0 AS MATERIALIZED (SELECT u, v FROM pairs, thr WHERE c >= p)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS d FROM"
+            f" (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) g"
+            " GROUP BY 1)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= 3)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i}"
+            f" WHERE u IN (SELECT node FROM k{i})"
+            f" AND v IN (SELECT node FROM k{i}))"
+        )
+    parts.append(
+        f"dfin AS (SELECT node, count(*) AS d FROM"
+        f" (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}) g"
+        " GROUP BY 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(node AS BIGINT) AS s_suppkey,"
+        " CAST(d AS BIGINT) AS core_degree FROM dfin WHERE d >= 3"
+    )
+
+
+@register("supplier_kcore_members", _kcore_oracle())
+def supplier_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the thinned co-supplier graph (beyond ref; the third
+    iterative graph operator after components and PageRank): suppliers
+    surviving repeated removal of degree<3 nodes, with their in-core
+    degree — the dense-collaboration backbone community detection and
+    fraud pipelines peel for. Edge construction shares the
+    supplier_cosupply_triangles shape (co-order pairs, in-plan
+    95th-percentile thinning); the peel loop early-stops at fixpoint.
+    The oracle unrolls six peel rounds — peeling is idempotent past the
+    fixpoint, so the unroll is exact, and the local fixpoint is two
+    rounds (margin measured, not assumed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = materialize_shared(
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = pairs.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thr))
+        .where(F.col("c") >= F.col("p"))
+        .select("u", "v")
+    )
+    return graph.kcore(edges, 3).select(
+        F.col("node").cast("bigint").alias("s_suppkey"),
+        F.col("d").cast("bigint").alias("core_degree"),
+    )
