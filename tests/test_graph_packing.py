@@ -91,3 +91,25 @@ def test_triangle_counts_triangle_free(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
     assert triangle_counts(edges).count() == 0
+
+
+def test_kcore_clique_survives_pendants_peel(spark):
+    """K4 + pendant 4-5: the 3-core is exactly the K4, each at degree 3."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
+    )
+    got = {r["node"]: r["d"] for r in graph.kcore(edges, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascading_peel_empties_path(spark):
+    """2-core of a path: end removal cascades until nothing is left —
+    exercises multiple peel rounds, not just the first degree filter."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"])
+    assert graph.kcore(edges, 2).count() == 0
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    got = {r["node"]: r["d"] for r in graph.kcore(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}

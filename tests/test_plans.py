@@ -671,3 +671,43 @@ def test_partitioned_readback_prunes_directories(spark, sf_dir):
     # not a post-scan data filter
     assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
     assert "(o_orderpriority" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_feature_hashing_single_agg_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "hashed_doc_features", sf_dir)
+    # fixed-width bucketing: one hash agg, no vocabulary join, no UDF —
+    # plan width must not depend on |V|
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert _scan_schemas(plan) == [["doc_id", "text"]]
+
+
+def test_bloom_bits_broadcast_to_probe(spark, sf_dir):
+    plan = _executed_plan(spark, "bloom_join_audit", sf_dir)
+    # the m-bounded bit table must broadcast to the probe side; the
+    # probe never sort-merges on bit positions
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_is_single_grouped_arrow_hop(spark, sf_dir):
+    plan = _executed_plan(spark, "holt_linear_revenue", sf_dir)
+    # the sequential recursion runs over the monthly PRE-AGG inside one
+    # grouped pandas hop — raw orders rows never cross into Python
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert ["o_totalprice", "o_orderdate"] in _scan_schemas(plan)
+
+
+def test_sequence_pattern_single_user_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "event_sequence_conversions", sf_dir)
+    # one user-keyed exchange builds the sequences; the regex scan is
+    # codegen-native (no Python, no second shuffle)
+    assert plan.count("Exchange") == 1
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kcore_peel_equi_joins_only(spark, sf_dir):
+    plan = _executed_plan(spark, "supplier_kcore_members", sf_dir)
+    # the surviving-edge filters are semi equi-joins on the node key —
+    # never a cartesian or a broadcast of the full edge set
+    assert "CartesianProduct" not in plan
