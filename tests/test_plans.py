@@ -474,14 +474,15 @@ def test_per_user_sample_is_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_covariance_fanout_has_no_self_join(spark, sf_dir):
+def test_covariance_gram_partials_no_self_join(spark, sf_dir):
     plan = _executed_plan(spark, "embedding_dim_covariance", sf_dir)
-    # pair products fan out per-row inside codegen (generator), never via
-    # a vec_id self-join; the only joins are the 64-row mean broadcasts
+    # moments come from the per-batch BLAS Gram (one Arrow hop), never a
+    # vec_id self-join; the count/mean rows broadcast back onto the cells
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") == 2
-    assert "Generate explode" in plan
+    assert "MapInPandas" in plan
+    # one moment shuffle + the tiny broadcasts; no per-row explode
+    assert "Generate explode" not in plan
 
 
 def test_semantic_dedup_join_is_cluster_local(spark, sf_dir):
