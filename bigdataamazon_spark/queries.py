@@ -9816,3 +9816,363 @@ def supplier_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("s_suppkey"),
         F.col("d").cast("bigint").alias("core_degree"),
     )
+
+
+@register(
+    "join_size_estimate_audit",
+    """
+    WITH skeys AS (
+      SELECT o_orderkey FROM orders
+      WHERE ('0x' || substr(md5('js1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0 < 0.1
+    ),
+    ex AS (
+      SELECT count(*) AS n_exact
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sm AS (
+      SELECT count(*) AS n_sampled
+      FROM skeys s JOIN lineitem l ON s.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           n_sampled * 10.0 AS n_estimated,
+           round(abs(n_sampled * 10.0 - n_exact) / n_exact * 100, 4)
+             AS rel_error_pct
+    FROM ex, sm
+    """,
+)
+def join_size_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled join-cardinality estimation vs exact (beyond ref; the
+    optimizer statistic behind join-order and strategy choices): a 10%
+    DETERMINISTIC key-sample of the orders side joins lineitem and
+    scales by 1/p. Sampling KEYS (not rows) keeps the FK join unbiased
+    — every lineitem of a sampled order survives, so the estimator is
+    exactly p-thinned over orders. At 100 TB this is the O(p·|join|)
+    dry-run that decides shuffle-vs-broadcast BEFORE committing the
+    full shuffle; the md5 draw makes the estimate reproducible across
+    engines and retries (same property as operators/sampling.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ex = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    skeys = sampling.hash_sample(
+        orders.select("o_orderkey"), 0.1, "o_orderkey", seed="js1"
+    )
+    sm = (
+        skeys.join(li, skeys.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return ex.crossJoin(F.broadcast(sm)).select(
+        "n_exact",
+        "n_sampled",
+        (F.col("n_sampled") * 10.0).alias("n_estimated"),
+        F.round(
+            F.abs(F.col("n_sampled") * 10.0 - F.col("n_exact"))
+            / F.col("n_exact")
+            * 100,
+            4,
+        ).alias("rel_error_pct"),
+    )
+
+
+@register(
+    "priority_status_mutual_info",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    px AS (SELECT p, sum(c) AS cx FROM joint GROUP BY 1),
+    py AS (SELECT s, sum(c) AS cy FROM joint GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM joint),
+    mi AS (
+      SELECT sum(c * 1.0 / n * ln(c * 1.0 * n / (cx * 1.0 * cy))) AS mi
+      FROM joint JOIN px USING (p) JOIN py USING (s) CROSS JOIN n
+    ),
+    hx AS (SELECT sum(-(cx * 1.0 / n) * ln(cx * 1.0 / n)) AS hx
+           FROM px CROSS JOIN n),
+    hy AS (SELECT sum(-(cy * 1.0 / n) * ln(cy * 1.0 / n)) AS hy
+           FROM py CROSS JOIN n)
+    SELECT round(mi, 6) AS mi_nats,
+           round(hx, 6) AS h_priority,
+           round(hy, 6) AS h_status,
+           round(mi / sqrt(hx * hy), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information and entropies between two categorical columns
+    (beyond ref; the information-theoretic dependence audit next to the
+    chi-square test — MI catches nonlinear association and feeds
+    feature selection). One fact agg builds the joint contingency;
+    marginals and N are rollups of the joint (never a second scan);
+    every downstream term is a broadcast join over the |X|·|Y| cell
+    table. Scale: the only data-sized pass is the joint groupBy —
+    identical shape to any two-column agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    joint = materialize_shared(
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    px = joint.groupBy("p").agg(F.sum("c").alias("cx"))
+    py = joint.groupBy("s").agg(F.sum("c").alias("cy"))
+    n = joint.agg(F.sum("c").alias("n"))
+    cells = (
+        joint.join(F.broadcast(px), "p")
+        .join(F.broadcast(py), "s")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = cells.agg(
+        F.sum(
+            F.col("c") * 1.0 / F.col("n")
+            * F.log(F.col("c") * 1.0 * F.col("n") / (F.col("cx") * 1.0 * F.col("cy")))
+        ).alias("mi")
+    )
+    hx = px.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("cx") * 1.0 / F.col("n"))
+            * F.log(F.col("cx") * 1.0 / F.col("n"))
+        ).alias("hx")
+    )
+    hy = py.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            -(F.col("cy") * 1.0 / F.col("n"))
+            * F.log(F.col("cy") * 1.0 / F.col("n"))
+        ).alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("hx", 6).alias("h_priority"),
+            F.round("hy", 6).alias("h_status"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+                "nmi"
+            ),
+        )
+    )
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             avg(o_totalprice) / 1000.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT month, y,
+             CAST(row_number() OVER (ORDER BY month ASC) AS DOUBLE) AS t
+      FROM m
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.t - a.t) AS sl
+      FROM idx a JOIN idx b ON a.t < b.t
+    ),
+    med AS (SELECT quantile_cont(sl, 0.5) AS slope FROM slopes),
+    icpt AS (
+      SELECT quantile_cont(y - slope * t, 0.5) AS intercept
+      FROM idx CROSS JOIN med
+    )
+    SELECT round(slope, 6) AS slope_k_per_month,
+           round(intercept, 6) AS intercept_k
+    FROM med, icpt
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly mean order value (beyond ref;
+    the outlier-immune sibling of the OLS fit in
+    returnflag_price_regression): the median of all pairwise
+    month-to-month slopes, with the median-residual intercept. The
+    pairwise join runs over the CALENDAR-BOUNDED monthly pre-agg (80
+    rows -> 3160 pairs), never over raw orders — at 100 TB the
+    data-sized work is the monthly agg, and the pair table stays
+    months², a constant. Medians are exact interpolated percentiles on
+    both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg((F.avg("o_totalprice") / 1000.0).alias("y"))
+    idx = m.select(
+        "month",
+        "y",
+        F.row_number().over(Window.orderBy(F.asc("month"))).cast("double").alias("t"),
+    )
+    idx = materialize_shared(idx)
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "sl"
+        )
+    )
+    med = slopes.agg(F.percentile("sl", F.lit(0.5)).alias("slope"))
+    icpt = idx.crossJoin(F.broadcast(med)).agg(
+        F.percentile(F.col("y") - F.col("slope") * F.col("t"), F.lit(0.5)).alias(
+            "intercept"
+        )
+    )
+    return med.crossJoin(F.broadcast(icpt)).select(
+        F.round("slope", 6).alias("slope_k_per_month"),
+        F.round("intercept", 6).alias("intercept_k"),
+    )
+
+
+@register(
+    "user_balance_clamped",
+    """
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    nmax AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1),
+    rec AS (
+      SELECT user_id, rn,
+             greatest(CAST(0.0 AS DOUBLE),
+                      CASE WHEN event_type = 'purchase' THEN -value
+                           ELSE value / 10 END) AS bal,
+             CASE WHEN (CASE WHEN event_type = 'purchase' THEN -value
+                             ELSE value / 10 END) < 0
+                  THEN 1 ELSE 0 END AS n_cl
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT i.user_id, i.rn,
+             greatest(CAST(0.0 AS DOUBLE),
+                      r.bal + CASE WHEN i.event_type = 'purchase' THEN -i.value
+                                   ELSE i.value / 10 END),
+             r.n_cl + CASE WHEN r.bal
+                             + CASE WHEN i.event_type = 'purchase' THEN -i.value
+                                    ELSE i.value / 10 END < 0
+                           THEN 1 ELSE 0 END
+      FROM rec r JOIN e i ON i.user_id = r.user_id AND i.rn = r.rn + 1
+    )
+    SELECT rec.user_id, round(bal, 6) AS final_balance,
+           CAST(n_cl AS INTEGER) AS n_clamped,
+           CAST(n AS BIGINT) AS n_events
+    FROM rec JOIN nmax ON rec.user_id = nmax.user_id AND rec.rn = nmax.n
+    """,
+)
+def user_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running credit balance with a zero floor (beyond ref;
+    the ledger/inventory pattern): purchases spend ``value``, every
+    other event accrues ``value/10``, and the balance CLAMPS at zero —
+    max(0, bal + delta) makes the recursion genuinely sequential (the
+    clamp breaks the prefix-sum closed form, unlike plain cumsum). The
+    Spark shape is the same as Holt: one grouped Arrow hop per user —
+    the shuffle is data-sized, each task's loop is that user's event
+    count. The oracle is a per-user recursive CTE advancing all users
+    in lock-step rounds (MATERIALIZED base so the working-table join
+    never re-scans parquet)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+    def _bal(key, pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal, ncl = 0.0, 0
+        for et, v in zip(pdf["event_type"], pdf["value"]):
+            delta = -float(v) if et == "purchase" else float(v) / 10
+            raw = bal + delta
+            if raw < 0:
+                bal = 0.0
+                ncl += 1
+            else:
+                bal = raw
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "final_balance": [bal],
+                "n_clamped": [ncl],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        _bal,
+        "user_id bigint, final_balance double, n_clamped int, n_events bigint",
+    )
+    return out.select(
+        "user_id",
+        F.round("final_balance", 6).alias("final_balance"),
+        "n_clamped",
+        "n_events",
+    )
+
+
+_RRF_ORACLE = f"""
+    WITH bm AS ({_ORACLES["bm25_search"]}),
+    ql AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r_q
+      FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ql.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + bm.rank), 0)
+               + COALESCE(1.0 / (60 + ql.r_q), 0) AS rrf,
+             CASE WHEN bm.doc_id IS NULL THEN 0 ELSE 1 END AS in_bm25,
+             CASE WHEN ql.doc_id IS NULL THEN 0 ELSE 1 END AS in_quality
+      FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
+    )
+    SELECT doc_id, CAST(in_bm25 AS INTEGER) AS in_bm25,
+           CAST(in_quality AS INTEGER) AS in_quality,
+           round(rrf, 6) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+             AS fused_rank
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
+@register("hybrid_rank_fusion", _RRF_ORACLE)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two heterogeneous retrievers (beyond
+    ref; the hybrid-retrieval stage of every RAG serving stack): the
+    BM25 top-20 (composed from the REGISTERED bm25_search entry — the
+    registry is a library, entries compose) fuses with a document-
+    length prior top-20 via RRF(k=60): score = sum over lists of
+    1/(k + rank). Both candidate lists are top-k bounded, so the fusion
+    join is a 20x20-bounded full-outer — constant work regardless of
+    corpus size; at 100 TB the retrievers bound the cost and the
+    fusion is free."""
+    bm = _QUERIES["bm25_search"](spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_bm")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ql = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .alias("r_q"),
+        )
+    )
+    fused = bm.join(ql, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_q")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("r_bm").isNotNull().cast("int").alias("in_bm25"),
+        F.col("r_q").isNotNull().cast("int").alias("in_quality"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "in_bm25",
+        "in_quality",
+        F.round("rrf", 6).alias("rrf_score"),
+        F.row_number().over(w).cast("int").alias("fused_rank"),
+    )

@@ -712,3 +712,45 @@ def test_kcore_peel_equi_joins_only(spark, sf_dir):
     # the surviving-edge filters are semi equi-joins on the node key —
     # never a cartesian or a broadcast of the full edge set
     assert "CartesianProduct" not in plan
+
+
+def test_join_estimate_scans_keys_only(spark, sf_dir):
+    plan = _executed_plan(spark, "join_size_estimate_audit", sf_dir)
+    # both the exact and sampled branches join on the key alone — every
+    # lineitem scan reads one column, every orders scan one column
+    assert "CartesianProduct" not in plan
+    for s in _scan_schemas(plan):
+        assert s in (["l_orderkey"], ["o_orderkey"])
+
+
+def test_mutual_info_single_fact_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "priority_status_mutual_info", sf_dir)
+    # marginals/N are rollups of the shared joint (the cached subtree
+    # prints once per consuming branch pre-execution) — every orders
+    # scan is the pruned 2-column read; no sort-merge anywhere
+    assert "SortMergeJoin" not in plan
+    for s in _scan_schemas(plan):
+        assert sorted(s) == ["o_orderpriority", "o_orderstatus"]
+
+
+def test_theil_sen_pairs_over_monthly_pre_agg(spark, sf_dir):
+    plan = _executed_plan(spark, "theil_sen_trend", sf_dir)
+    # the t<t theta join (BNLJ by nature) must run over the calendar-
+    # bounded monthly pre-agg: every orders scan is the pruned 2-column
+    # read feeding an aggregate first
+    for s in _scan_schemas(plan):
+        assert s == ["o_totalprice", "o_orderdate"]
+
+
+def test_clamped_balance_single_grouped_hop(spark, sf_dir):
+    plan = _executed_plan(spark, "user_balance_clamped", sf_dir)
+    # one user-keyed Arrow hop carries the sequential clamp loop
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_rank_fusion_is_topk_bounded(spark, sf_dir):
+    plan = _executed_plan(spark, "hybrid_rank_fusion", sf_dir)
+    # both retrievers TakeOrdered their top-20 before the fusion join —
+    # the fused candidate set never scales with the corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
