@@ -51,11 +51,18 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    """Registry in driver-coverage order: entries with no green driver
+    CORRECTNESS row yet come first (the driver verifies a bounded prefix
+    of this dict per round — see ``coverage.py``)."""
+    from .coverage import order_for_driver  # noqa: PLC0415 (avoid cycle)
+
+    return {n: _QUERIES[n] for n in order_for_driver(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from .coverage import order_for_driver  # noqa: PLC0415
+
+    return {n: _ORACLES[n] for n in order_for_driver(list(_QUERIES)) if n in _ORACLES}
 
 
 # ---------------------------------------------------------------------------
