@@ -10183,3 +10183,43 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rrf", 6).alias("rrf_score"),
         F.row_number().over(w).cast("int").alias("fused_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (§2.10): content-defined chunking fan-out
+# ---------------------------------------------------------------------------
+
+from .operators import udtfs  # noqa: E402
+
+
+@register(
+    "cdc_chunks",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    cut AS (
+      SELECT doc_id, i
+      FROM d, unnest(range(4, length(text) + 1)) t(i)
+      WHERE (ord(substr(text, (i - 3)::INT, 1)) + ord(substr(text, (i - 2)::INT, 1))
+           + ord(substr(text, (i - 1)::INT, 1)) + ord(substr(text, i::INT, 1))) % 7 = 0
+      UNION
+      SELECT doc_id, length(text) FROM d
+    ),
+    seg AS (
+      SELECT doc_id, i AS cut_end,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS cut_start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+      FROM cut
+    )
+    SELECT s.doc_id, CAST(s.chunk_idx AS INTEGER) AS chunk_idx,
+           substr(d.text, (s.cut_start + 1)::INT, (s.cut_end - s.cut_start)::INT) AS chunk
+    FROM seg s JOIN d USING (doc_id)
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via a Spark 4 Python UDTF — the
+    stateful 1→N splitter (rolling-window boundary rule) chunk-level
+    dedup pipelines need; see ``operators/udtfs.py`` for the policy on
+    when a UDTF beats native lateral explode. The oracle replays the
+    boundary rule position-by-position in SQL, so the driver verifies
+    the full fan-out value-for-value."""
+    return udtfs.cdc_chunks(spark, load_table(spark, sf_dir, "documents"))
