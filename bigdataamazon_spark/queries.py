@@ -10223,3 +10223,68 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary rule position-by-position in SQL, so the driver verifies
     the full fan-out value-for-value."""
     return udtfs.cdc_chunks(spark, load_table(spark, sf_dir, "documents"))
+
+
+_CDC_CHUNKS_CTE = """
+    d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    cut AS (
+      SELECT doc_id, i
+      FROM d, unnest(range(4, length(text) + 1)) t(i)
+      WHERE (ord(substr(text, (i - 3)::INT, 1)) + ord(substr(text, (i - 2)::INT, 1))
+           + ord(substr(text, (i - 1)::INT, 1)) + ord(substr(text, i::INT, 1))) % 7 = 0
+      UNION
+      SELECT doc_id, length(text) FROM d
+    ),
+    seg AS (
+      SELECT doc_id, i AS cut_end,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS cut_start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+      FROM cut
+    ),
+    chunks AS (
+      SELECT s.doc_id, CAST(s.chunk_idx AS INTEGER) AS chunk_idx,
+             substr(d.text, (s.cut_start + 1)::INT, (s.cut_end - s.cut_start)::INT) AS chunk
+      FROM seg s JOIN d USING (doc_id)
+    )
+"""
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH {_CDC_CHUNKS_CTE},
+    hashed AS (
+      SELECT md5(chunk) AS chunk_md5, doc_id, chunk_idx,
+             count(*) OVER (PARTITION BY md5(chunk)) AS n_copies,
+             row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT chunk_md5, CAST(n_copies AS BIGINT) AS n_copies,
+           doc_id AS keeper_doc_id, chunk_idx AS keeper_chunk_idx
+    FROM hashed WHERE rn = 1
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup manifest over the CDC fan-out: one row per
+    distinct chunk content (md5) with its copy count and deterministic
+    keeper (min doc_id, chunk_idx). This is why CDC exists — boundary
+    realignment makes chunk copies of near-identical documents hash
+    equal, so dedup works below document granularity. One shuffle,
+    hash-partitioned on the content digest (uniform by construction —
+    no skew at 100 TB); the count and keeper ride the same partition
+    via a single window."""
+    chunks = udtfs.cdc_chunks(spark, load_table(spark, sf_dir, "documents"))
+    hashed = chunks.select("doc_id", "chunk_idx", F.md5("chunk").alias("chunk_md5"))
+    w = Window.partitionBy("chunk_md5")
+    wo = w.orderBy("doc_id", "chunk_idx")
+    return (
+        hashed.select(
+            "chunk_md5",
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+            F.row_number().over(wo).alias("rn"),
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("chunk_idx").alias("keeper_chunk_idx"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

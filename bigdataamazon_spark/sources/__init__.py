@@ -9,6 +9,7 @@ schema — never ``inferSchema`` at scale, which triggers a full extra
 pass over the data just to guess types the pipeline already knows.
 """
 
+from .binaryfiles import as_blob_table, pack_to_parquet, read_binary_dir  # noqa: F401
 from .csv import PRODUCTS_SCHEMA, clean_products, read_products_csv  # noqa: F401
 from .html import to_html_table, write_html_report  # noqa: F401
 from .json import read_jsonl, write_jsonl  # noqa: F401

@@ -754,3 +754,12 @@ def test_rank_fusion_is_topk_bounded(spark, sf_dir):
     # the fused candidate set never scales with the corpus
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunk_dedup_single_content_hash_shuffle(spark, sf_dir):
+    # UDTF fan-out stays in the scan stage; the dedup manifest costs
+    # exactly one exchange, hash-partitioned on the content digest
+    plan = _executed_plan(spark, "cdc_chunk_dedup", sf_dir)
+    assert "BatchEvalPythonUDTF" in plan
+    assert plan.count("Exchange") == 1
+    assert "chunk_md5" in plan[plan.index("Exchange") :][:400]

@@ -315,3 +315,42 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score", "batch"}
     rows = {r.id: (r.v, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_binaryfile_ingest_and_pack(spark, tmp_path):
+    """Media ingest edge: binaryFile rows -> blob contract -> parquet
+    compaction, with the multimodal decode stage running off the packed
+    copy (the 100 TB shape: bytes ride parquet, not a file listing)."""
+    from bigdataamazon_spark.operators import multimodal
+    from bigdataamazon_spark.sources import binaryfiles
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i] * 16 + list(range(16))) for i in range(5)}
+    for name, data in payloads.items():
+        (media / name).write_bytes(data)
+    (media / "notes.txt").write_bytes(b"not media")
+
+    files = binaryfiles.read_binary_dir(spark, str(media), glob="*.bin")
+    assert files.count() == 5
+    # length predicate is pushed to the source (skip-oversized without a fetch)
+    capped = binaryfiles.read_binary_dir(spark, str(media), glob="*.bin", max_bytes=8)
+    assert capped.count() == 0
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThanOrEqual(length" in plan
+
+    blobs = binaryfiles.as_blob_table(files)
+    rows = {r.uri.rsplit("/", 1)[-1]: r for r in blobs.collect()}
+    assert rows["img_3.bin"].n_bytes == 32
+    assert bytes(rows["img_3.bin"].blob) == payloads["img_3.bin"]
+    # doc_ids are distinct (path-hash) and stable across re-reads
+    assert blobs.select("doc_id").distinct().count() == 5
+
+    out = tmp_path / "packed"
+    binaryfiles.pack_to_parquet(files, str(out))
+    packed = spark.read.parquet(str(out))
+    assert packed.count() == 5
+    # decode stage consumes the packed table unchanged
+    feats = multimodal.decode_blobs(packed.select("doc_id", "blob"))
+    assert feats.count() == 5
+    assert feats.filter(F.col("n_bytes") != 32).count() == 0
