@@ -217,3 +217,61 @@ def kcore(edges: DataFrame, k: int, src: str = "u", dst: str = "v") -> DataFrame
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection) —
+    ``iters`` fixed rounds, fully deterministic.
+
+    Input edges are directed as given; pass a symmetrized edge set for
+    an undirected graph. Every node starts labeled with its own id;
+    each round node v adopts the label L maximizing
+    ``sum(weight)`` over in-neighbors currently labeled L, ties broken
+    by min L; nodes with no in-edges keep their label. Fixed iteration
+    count (not convergence) keeps the result engine-replayable: the
+    oracle unrolls the same rounds as SQL CTEs.
+
+    Scale shape: each round is one keyed exchange (edge join on dst's
+    label table) plus one combiner-friendly agg on (v, label) and a
+    per-v window argmax — the same per-round cost as
+    :func:`connected_components`, with the same localCheckpoint
+    discipline so the loop never replays lineage. Integer/exact
+    weights keep the argmax deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    w_col = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("e_w")
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionAll(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    win = Window.partitionBy("e_src").orderBy(F.desc("s"), F.asc("lbl"))
+    for _ in range(iters):
+        scores = (
+            e.join(labels, e["e_dst"] == labels["node"])
+            .groupBy("e_src", "lbl")
+            .agg(F.sum("e_w").alias("s"))
+        )
+        best = (
+            scores.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("e_src").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

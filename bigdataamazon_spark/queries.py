@@ -10288,3 +10288,414 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-to-item collaborative filtering / stats toolkit (round 2, session 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_cf_recommendations",
+    """
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    uok AS (SELECT user_id FROM ui GROUP BY user_id HAVING count(*) <= 100),
+    u2 AS (SELECT ui.user_id, ui.item FROM ui JOIN uok USING (user_id)),
+    n_i AS (SELECT item, count(*) AS n FROM u2 GROUP BY item),
+    src AS (SELECT item, n FROM n_i ORDER BY n DESC, item ASC LIMIT 20),
+    co AS (
+      SELECT a.item AS src_part, b.item AS dst_part, count(*) AS co_users
+      FROM u2 a
+      JOIN src s ON a.item = s.item
+      JOIN u2 b ON a.user_id = b.user_id AND b.item <> a.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT co.src_part, co.dst_part, co.co_users,
+             co.co_users / sqrt(s.n * d.n) AS cosine
+      FROM co
+      JOIN src s ON co.src_part = s.item
+      JOIN n_i d ON co.dst_part = d.item
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src_part ORDER BY cosine DESC, dst_part ASC
+      ) AS rnk FROM scored
+    )
+    SELECT src_part, dst_part, CAST(co_users AS BIGINT) AS co_users,
+           round(cosine, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def part_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (Linden/Smith/York, the
+    published Amazon algorithm — the distributed restatement of the
+    reference's product-recommendation goal, ``amazon1.py:138-155``):
+    binary user-item matrix from order baskets, item-item cosine
+    co(i,j)/sqrt(n_i*n_j), top-5 similar items for the 20 most-bought
+    parts. Scale shape: the pair join fans out per user basket, so
+    power users are capped (basket <= 100 — the standard CF prune; at
+    TPC-H distributions a no-op) and the probe side is cut to the
+    broadcast top-20 source list BEFORE the self-join, so the shuffle
+    carries source-anchored pairs only, never the full n^2. Integer
+    co-counts keep the cosine bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    uok = ui.groupBy("user_id").count().filter(F.col("count") <= 100).select("user_id")
+    u2 = materialize_shared(ui.join(uok, "user_id", "left_semi"))
+    n_i = u2.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    src = n_i.orderBy(F.desc("n"), F.asc("item")).limit(20)
+    a = u2.join(
+        F.broadcast(src.select(F.col("item").alias("src_part"), F.col("n").alias("n_src"))),
+        F.col("item") == F.col("src_part"),
+    ).select("user_id", "src_part", "n_src")
+    pairs = a.join(
+        u2.select("user_id", F.col("item").alias("dst_part")),
+        ["user_id"],
+    ).filter(F.col("dst_part") != F.col("src_part"))
+    co = (
+        pairs.groupBy("src_part", "dst_part", "n_src")
+        .agg(F.count(F.lit(1)).alias("co_users"))
+        .filter(F.col("co_users") >= 2)
+    )
+    scored = co.join(
+        n_i.select(F.col("item").alias("dst_part"), F.col("n").alias("n_dst")),
+        "dst_part",
+    ).select(
+        "src_part",
+        "dst_part",
+        "co_users",
+        (F.col("co_users") / F.sqrt(F.col("n_src") * F.col("n_dst"))).alias("cosine"),
+    )
+    w = Window.partitionBy("src_part").orderBy(F.desc("cosine"), F.asc("dst_part"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "src_part",
+            "dst_part",
+            "co_users",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "doc_readability",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_sentences AS INTEGER) AS n_sentences,
+           CAST(n_syllables AS INTEGER) AS n_syllables,
+           round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch,
+           round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 4)
+             AS fk_grade
+    FROM m WHERE n_words > 0
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document (beyond
+    ref; the readability axis of LLM corpus quality scoring, next to
+    the Gopher rule-pack): words = letter runs, sentences = terminal
+    punctuation runs (floored at 1), syllables = vowel-group count —
+    the standard cheap approximation, all three as native regexp
+    counts. Zero-shuffle codegen projection; integer counts make the
+    ratio arithmetic bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        ).alias("n_sentences"),
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables") / F.col("n_words").cast("double")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )
+
+
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+_BOOT_W_SQL = " ".join(
+    f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+)
+
+
+@register(
+    "order_price_bootstrap_ci",
+    f"""
+    WITH draws AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u,
+             b
+      FROM orders, unnest(range(1, 65)) t(b)
+    ),
+    weighted AS (
+      SELECT b, o_totalprice,
+             CASE {_BOOT_W_SQL} ELSE 9 END AS w
+      FROM draws
+    ),
+    rep AS (
+      SELECT b, sum(w * o_totalprice) / sum(w) AS m
+      FROM weighted GROUP BY b
+    ),
+    pt AS (SELECT avg(o_totalprice) AS mu, count(*) AS n FROM orders)
+    SELECT CAST(pt.n AS BIGINT) AS n_orders,
+           CAST(64 AS INTEGER) AS n_boot,
+           round(pt.mu, 4) AS point_mean,
+           round(quantile_cont(rep.m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(rep.m, 0.975), 4) AS ci_hi
+    FROM rep, pt GROUP BY pt.n, pt.mu
+    """,
+)
+def order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order price (beyond ref;
+    the single-pass distributed bootstrap — Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams"): each of B=64 replicates
+    weights every row by a Poisson(1) draw derived from
+    md5('boot'||b||':'||key), so the resample is deterministic,
+    partition-invariant, and engine-replayable (the oracle walks the
+    same inverse-CDF ladder over the same hash). One fan-out projection
+    (x64) feeding a combiner-friendly per-replicate agg — the shuffle
+    carries 64 partial sums per map task, never the data; the classic
+    resample-with-replacement would need the full dataset ordered and
+    indexed. CI = exact interpolated percentiles over the 64 replicate
+    means."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    fan = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+    )
+    s = F.concat(
+        F.lit("boot"),
+        F.col("b").cast("string"),
+        F.lit(":"),
+        F.col("o_orderkey").cast("string"),
+    )
+    u = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") / F.lit(
+        1152921504606846976.0
+    )
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        fan.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")
+            ).alias("m")
+        )
+    )
+    pt = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.avg("o_totalprice").alias("mu")
+    )
+    ci = rep.agg(
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return (
+        pt.crossJoin(ci)
+        .select(
+            "n_orders",
+            F.lit(64).cast("int").alias("n_boot"),
+            F.round("mu", 4).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+@register(
+    "regression_calibration_bins",
+    """
+    WITH s AS (
+      SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept
+      FROM lineitem
+    ),
+    p AS (
+      SELECT l_extendedprice AS y, round(icept + slope * l_quantity, 6) AS pred
+      FROM lineitem, s
+    ),
+    e AS (SELECT min(pred) AS minp, max(pred) AS maxp FROM p),
+    b AS (
+      SELECT CAST(least(9, floor((pred - minp) * 10.0 / (maxp - minp))) AS INTEGER)
+               AS bin,
+             y, pred
+      FROM p, e
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n, round(avg(pred), 4) AS avg_pred,
+           round(avg(y), 4) AS avg_actual, round(avg(y) - avg(pred), 4) AS bias
+    FROM b GROUP BY bin
+    """,
+)
+def regression_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the closed-form OLS fit (beyond ref; the
+    reliability-diagram companion to ``returnflag_price_regression``):
+    predictions from the one-pass regr_* fit are cut into 10 equal-width
+    bins and each bin reports predicted-vs-actual mean and bias. The
+    fitted coefficients are rounded BEFORE prediction so every
+    downstream double (pred, bin edges, bin ids) is bit-identical across
+    engines — the floating-point discipline that makes a fixed-width
+    histogram of a model output hash-checkable. Three scan-cheap passes
+    (fit, min/max, bin-agg), all broadcast scalars, no sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    s = li.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("icept"),
+    )
+    p = li.crossJoin(F.broadcast(s)).select(
+        y.alias("y"),
+        F.round(F.col("icept") + F.col("slope") * x, 6).alias("pred"),
+    )
+    p = materialize_shared(p)
+    e = p.agg(F.min("pred").alias("minp"), F.max("pred").alias("maxp"))
+    b = p.crossJoin(F.broadcast(e)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("pred") - F.col("minp")) * 10.0 / (F.col("maxp") - F.col("minp"))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "y",
+        "pred",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pred"), 4).alias("avg_pred"),
+        F.round(F.avg("y"), 4).alias("avg_actual"),
+        F.round(F.avg("y") - F.avg("pred"), 4).alias("bias"),
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    s{i} AS (
+      SELECT e.src AS node, l.lbl, sum(e.w) AS s
+      FROM edges e JOIN {prev} l ON e.dst = l.node GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY s DESC, lbl ASC
+        ) AS rn FROM s{i}
+      ) WHERE rn = 1
+    )"""
+
+
+_LPA_ORACLE = (
+    """
+    WITH raw AS (
+      SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, count(*) AS w
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, sum(w) AS w FROM (
+        SELECT a, b, w FROM raw
+        UNION ALL
+        SELECT b AS a, a AS b, w FROM raw
+      ) GROUP BY 1, 2
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),"""
+    + ",".join(_lpa_round_sql(i) for i in (1, 2, 3, 4))
+    + """
+    SELECT n_nationkey, n_name, CAST(lbl AS BIGINT) AS community
+    FROM l4 JOIN nation ON node = n_nationkey
+    """
+)
+
+
+@register("nation_trade_communities", _LPA_ORACLE)
+def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the nation trade
+    graph (beyond ref; completes the graph family: components /
+    pagerank / triangles / k-core / LPA). Edges = symmetrized
+    supplier-nation <-> customer-nation co-trade counts; 4 synchronous
+    rounds, argmax by neighbor-label weight with min-label ties —
+    deterministic by integer weights, so the oracle unrolls the exact
+    rounds as CTEs. Scale: the edge build is the one fact scan (dims
+    broadcast); each round is a keyed exchange over the label table —
+    the ``operators/graph.py`` loop discipline."""
+    from .operators import graph
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        raw.select("a", "b", "w")
+        .unionAll(raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+    labels = graph.label_propagation(edges, iters=4, weight="w")
+    return labels.join(
+        F.broadcast(nat), F.col("node") == F.col("n_nationkey")
+    ).select("n_nationkey", "n_name", F.col("lbl").cast("bigint").alias("community"))

@@ -113,3 +113,38 @@ def test_kcore_cycle_is_its_own_2core(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
     got = {r["node"]: r["d"] for r in graph.kcore(edges, 2).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def _sym(pairs):
+    return [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two weighted triangles joined by a weak bridge: labels converge to
+    each clique's min node id; the bridge edge never flips a side."""
+    edges = spark.createDataFrame(
+        _sym(
+            [(1, 2, 5), (2, 3, 5), (1, 3, 5), (4, 5, 5), (5, 6, 5), (4, 6, 5), (3, 4, 1)]
+        ),
+        ["src", "dst", "w"],
+    )
+    got = {r["node"]: r["lbl"] for r in graph.label_propagation(edges, 4, weight="w").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    """Node 3 sees labels 1 and 2 at equal weight each round — the
+    deterministic tie-break picks the min label, every round."""
+    edges = spark.createDataFrame(
+        _sym([(1, 3, 2), (2, 3, 2)]), ["src", "dst", "w"]
+    )
+    got = {r["node"]: r["lbl"] for r in graph.label_propagation(edges, 3, weight="w").collect()}
+    assert got[3] == 1
+
+
+def test_lpa_unweighted_defaults_to_count(spark):
+    edges = spark.createDataFrame(_sym([(1, 2, 1), (2, 3, 1)]), ["src", "dst", "w"]).select(
+        "src", "dst"
+    )
+    got = {r["node"]: r["lbl"] for r in graph.label_propagation(edges, 2).collect()}
+    assert set(got) == {1, 2, 3}

@@ -763,3 +763,45 @@ def test_cdc_chunk_dedup_single_content_hash_shuffle(spark, sf_dir):
     assert "BatchEvalPythonUDTF" in plan
     assert plan.count("Exchange") == 1
     assert "chunk_md5" in plan[plan.index("Exchange") :][:400]
+
+
+def test_cf_source_side_is_broadcast_and_bounded(spark, sf_dir):
+    plan = _executed_plan(spark, "part_cf_recommendations", sf_dir)
+    # the top-20 source list broadcasts into the pair join: the co-
+    # occurrence self-join is anchored on 20 items, never all-pairs
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # per-source top-5 is a window group limit, not sort-the-world
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_readability_is_zero_shuffle_projection(spark, sf_dir):
+    plan = _executed_plan(spark, "doc_readability", sf_dir)
+    # pure codegen projection over one pruned column: no exchange at all
+    assert plan.count("Exchange") == 0
+    assert ["doc_id", "text"] in _scan_schemas(plan)
+
+
+def test_bootstrap_shuffles_partials_not_rows(spark, sf_dir):
+    plan = _executed_plan(spark, "order_price_bootstrap_ci", sf_dir)
+    # the x64 fan-out must be combined map-side: partial_avg/partial_sum
+    # before the exchange on the replicate id (64 groups)
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    # only pruned orders columns read
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"o_orderkey", "o_totalprice"}
+
+
+def test_calibration_scalars_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "regression_calibration_bins", sf_dir)
+    # fit coefficients and bin edges ride broadcast joins; the lineitem
+    # scan is pruned to the 2 model columns
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"l_quantity", "l_extendedprice"}
+
+
+def test_lpa_rounds_have_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "nation_trade_communities", sf_dir)
+    assert "CartesianProduct" not in plan
