@@ -10699,3 +10699,114 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(
         F.broadcast(nat), F.col("node") == F.col("n_nationkey")
     ).select("n_nationkey", "n_name", F.col("lbl").cast("bigint").alias("community"))
+
+
+@register(
+    "part_price_size_skyline",
+    """
+    WITH pg AS (
+      SELECT p_retailprice, max(p_size) AS gmax FROM part GROUP BY 1
+    ),
+    c AS (
+      SELECT p_retailprice, gmax,
+             max(gmax) OVER (
+               ORDER BY p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS cum
+      FROM pg
+    )
+    SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS INTEGER) AS size
+    FROM part p JOIN c ON p.p_retailprice = c.p_retailprice
+    WHERE p.p_size = c.gmax AND (c.cum IS NULL OR p.p_size > c.cum)
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (beyond ref; the classic OLAP
+    dominance query): parts where no other part is both cheaper and
+    larger (minimize p_retailprice, maximize p_size; dominance needs
+    one strict inequality). NOT the naive O(n^2) dominance anti-join:
+    group to per-price max-size, then one prefix-max window over the
+    DISTINCT-price table — a row survives iff it is its price group's
+    max and strictly beats the best size at any cheaper price. The
+    window runs on the aggregated price-group table (|distinct prices|
+    rows, not |parts|); at 100 TB that table is domain-bounded and the
+    prefix max range-partitions if it ever isn't."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    pg = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = pg.withColumn("cum", F.max("gmax").over(w))
+    return (
+        part.join(F.broadcast(c), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("cum").isNull() | (F.col("p_size") > F.col("cum")))
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (beyond ref; the
+    join companion to ``incremental_daily_counts``): the view
+    agg(lineitem JOIN orders) is maintained from a base state plus the
+    three delta terms of the join-delta algebra —
+    d(A JOIN B) = dA JOIN B_old + A_old JOIN dB + dA JOIN dB — with
+    the split at a shipdate/orderdate cutoff. The Spark side REALLY
+    computes the four partial join-aggs and merges them (algebraic
+    combine on the group key); the oracle is the full recompute, so a
+    hash match proves base+deltas == full — the IVM correctness
+    statement itself. Each delta term is a pruned-scan join; at 100 TB
+    the deltas are the day's partitions, never a rescan of history."""
+    cutoff = F.lit("1995-06-17 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+    def _agg(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n"))
+        )
+
+    li_old, li_new = (
+        li.filter(F.col("l_shipdate") < cutoff),
+        li.filter(F.col("l_shipdate") >= cutoff),
+    )
+    o_old, o_new = (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    )
+    partials = (
+        _agg(li_old, o_old)
+        .unionAll(_agg(li_new, o_old))
+        .unionAll(_agg(li_old, o_new))
+        .unionAll(_agg(li_new, o_new))
+    )
+    return partials.groupBy("o_orderpriority").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.sum("n").cast("bigint").alias("n_items"),
+    )

@@ -887,3 +887,59 @@ def test_heavy_hitters_null_and_empty(spark):
     got = {r["item"]: r["freq"] for r in sketches.heavy_hitters(nulls, "w", 2).collect()}
     # nulls are excluded from both the stream and the denominator
     assert got == {"a": 2}
+
+
+def test_skyline_has_no_dominated_rows(spark):
+    """Every returned point is Pareto-optimal and every Pareto-optimal
+    part is returned (brute-force dominance check at sf0.001)."""
+    from bigdataamazon_spark import queries as registry
+
+    sf = "/root/testdata/sf0.001"
+    sky = {
+        (r["p_partkey"], r["price"], r["size"])
+        for r in registry.queries()["part_price_size_skyline"](spark, sf).collect()
+    }
+    parts = [
+        (r["p_partkey"], round(r["p_retailprice"], 2), r["p_size"])
+        for r in spark.read.parquet(f"{sf}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in parts
+            if q[0] != p[0]
+        )
+
+    expected = {p for p in parts if not dominated(p)}
+    assert sky == expected
+
+
+def test_ivm_join_matches_spark_full_recompute(spark):
+    """The 4-term delta merge equals a direct Spark join-agg — the IVM
+    identity checked engine-internally, independent of the oracle."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark import queries as registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderpriority"]: (r["revenue"], r["n_items"])
+        for r in registry.queries()["incremental_join_maintenance"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    full = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    want = {r["o_orderpriority"]: (r["revenue"], r["n_items"]) for r in full.collect()}
+    assert got == want

@@ -805,3 +805,24 @@ def test_calibration_scalars_broadcast(spark, sf_dir):
 def test_lpa_rounds_have_no_cartesian(spark, sf_dir):
     plan = _executed_plan(spark, "nation_trade_communities", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_prunes_and_broadcasts_price_groups(spark, sf_dir):
+    plan = _executed_plan(spark, "part_price_size_skyline", sf_dir)
+    # dominance via the aggregated price-group table, never an n^2 join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"p_partkey", "p_retailprice", "p_size"}
+
+
+def test_ivm_join_deltas_are_pruned_scans(spark, sf_dir):
+    plan = _executed_plan(spark, "incremental_join_maintenance", sf_dir)
+    assert "CartesianProduct" not in plan
+    # each delta term's scan carries its cutoff predicate to the reader
+    assert plan.count("DataFilters: [isnotnull(l_shipdate") >= 1
+    for s in _scan_schemas(plan):
+        assert set(s) <= {
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
+            "o_orderkey", "o_orderpriority", "o_orderdate",
+        }
