@@ -247,9 +247,11 @@ def label_propagation(
     from pyspark.sql import Window
 
     w_col = F.col(weight) if weight else F.lit(1)
+    # pin the (possibly expensive) edge build once — every round's eager
+    # checkpoint action would otherwise replay the upstream joins
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("e_w")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionAll(e.select(F.col("e_dst").alias("node")))
