@@ -10810,3 +10810,174 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev"), 2).alias("revenue"),
         F.sum("n").cast("bigint").alias("n_items"),
     )
+
+
+@register(
+    "purged_time_splits",
+    """
+    WITH folds(fold, f_start, f_end) AS (
+      VALUES (1, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+             (2, TIMESTAMP '2024-01-11 00:00:00', TIMESTAMP '2024-01-21 00:00:00'),
+             (3, TIMESTAMP '2024-01-21 00:00:00', TIMESTAMP '2024-01-31 00:00:00')
+    ),
+    tagged AS (
+      SELECT f.fold,
+             CASE
+               WHEN e.ts >= f.f_start AND e.ts < f.f_end THEN 'val'
+               WHEN e.ts >= f.f_start - INTERVAL 1 DAY
+                AND e.ts < f.f_end + INTERVAL 1 DAY THEN 'embargo'
+               ELSE 'train'
+             END AS role
+      FROM events e CROSS JOIN folds f
+    )
+    SELECT fold,
+           CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN role = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN role = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo
+    FROM tagged GROUP BY fold
+    """,
+)
+def purged_time_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged/embargoed time-series cross-validation folds (beyond ref;
+    Lopez de Prado's purged k-fold, the leakage-safe split for temporally
+    autocorrelated training data): three calendar folds, each with a
+    1-day embargo strip on both sides that belongs to NEITHER train nor
+    validation. One events scan fanned out x3 against a 3-row broadcast
+    fold spec, classified by CASE and counted — at 100 TB this is a
+    single pass with map-side combine; the naive per-fold anti-joins
+    would be 3 extra shuffles."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    folds = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+            (2, "2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+            (3, "2024-01-21 00:00:00", "2024-01-31 00:00:00"),
+        ],
+        ["fold", "f_start", "f_end"],
+    ).select(
+        "fold",
+        F.col("f_start").cast("timestamp_ntz").alias("f_start"),
+        F.col("f_end").cast("timestamp_ntz").alias("f_end"),
+    )
+    tagged = ev.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        F.when(
+            (F.col("ts") >= F.col("f_start")) & (F.col("ts") < F.col("f_end")), "val"
+        )
+        .when(
+            (F.col("ts") >= F.col("f_start") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("ts") < F.col("f_end") + F.expr("INTERVAL 1 DAY")),
+            "embargo",
+        )
+        .otherwise("train")
+        .alias("role"),
+    )
+    return tagged.groupBy("fold").agg(
+        F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("role") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("role") == "embargo", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_embargo"),
+    )
+
+
+@register(
+    "contrastive_negatives",
+    """
+    WITH n AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS nb FROM embeddings),
+    b AS (
+      SELECT vec_id, label,
+             ('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT nb FROM n) AS batch_id
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, x.vec_id AS neg_id,
+             a.label AS anchor_label, x.label AS neg_label,
+             substr(md5('pair:' || CAST(a.vec_id AS VARCHAR) || ':'
+                        || CAST(x.vec_id AS VARCHAR)), 1, 16) AS h
+      FROM b a JOIN b x ON a.batch_id = x.batch_id AND a.label <> x.label
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY h ASC, neg_id ASC
+      ) AS rnk FROM pairs
+    )
+    SELECT anchor_id, neg_id, CAST(anchor_label AS INTEGER) AS anchor_label,
+           CAST(neg_label AS INTEGER) AS neg_label, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training (beyond ref; how CLIP/SimCLR-style pipelines actually mine
+    negatives at scale): vectors are hash-assigned to ~32-row batches,
+    and each anchor takes 3 different-label negatives from ITS OWN
+    batch, ranked by a pair hash — reproducible across runs, engines,
+    and partitionings. The self-join is batch-local (equi-join on
+    batch_id), so total pair work is n * batch_size — linear in the
+    corpus at fixed batch size, the property that makes in-batch
+    negatives the scale answer vs global negative search. Batch count
+    derives from one count() action (ceil(n/32))."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nb = max(1, math.ceil(emb.count() / 32.0))
+    b = emb.select(
+        "vec_id",
+        "label",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(nb),
+        ).alias("batch_id"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        "batch_id",
+    )
+    x = b.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        "batch_id",
+    )
+    pairs = a.join(x, "batch_id").filter(
+        F.col("anchor_label") != F.col("neg_label")
+    ).select(
+        "anchor_id",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pair:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            16,
+        ).alias("h"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

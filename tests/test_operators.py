@@ -943,3 +943,31 @@ def test_ivm_join_matches_spark_full_recompute(spark):
     )
     want = {r["o_orderpriority"]: (r["revenue"], r["n_items"]) for r in full.collect()}
     assert got == want
+
+
+def test_contrastive_negatives_invariants(spark):
+    """Each anchor gets <=3 negatives, never its own label, and the
+    choice is stable across invocations (hash-deterministic)."""
+    from bigdataamazon_spark import queries as registry
+
+    sf = "/root/testdata/sf0.001"
+    fn = registry.queries()["contrastive_negatives"]
+    rows1 = {(r["anchor_id"], r["rank"]): r["neg_id"] for r in fn(spark, sf).collect()}
+    rows2 = {(r["anchor_id"], r["rank"]): r["neg_id"] for r in fn(spark, sf).collect()}
+    assert rows1 == rows2 and rows1
+    got = fn(spark, sf).collect()
+    assert all(r["anchor_label"] != r["neg_label"] for r in got)
+    from collections import Counter
+
+    per_anchor = Counter(r["anchor_id"] for r in got)
+    assert max(per_anchor.values()) <= 3
+
+
+def test_purged_splits_partition_events_completely(spark):
+    """train + val + embargo == total events for every fold."""
+    from bigdataamazon_spark import queries as registry
+
+    sf = "/root/testdata/sf0.001"
+    total = spark.read.parquet(f"{sf}/events.parquet").count()
+    for r in registry.queries()["purged_time_splits"](spark, sf).collect():
+        assert r["n_train"] + r["n_val"] + r["n_embargo"] == total

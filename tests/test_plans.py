@@ -826,3 +826,19 @@ def test_ivm_join_deltas_are_pruned_scans(spark, sf_dir):
             "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
             "o_orderkey", "o_orderpriority", "o_orderdate",
         }
+
+
+def test_purged_splits_single_pass_fanout(spark, sf_dir):
+    plan = _executed_plan(spark, "purged_time_splits", sf_dir)
+    # one events scan fanned against the 3-row broadcast spec; the only
+    # exchange is the 3-group final agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _scan_schemas(plan).count(["ts"]) == 1
+
+
+def test_contrastive_pairs_join_is_batch_local(spark, sf_dir):
+    plan = _executed_plan(spark, "contrastive_negatives", sf_dir)
+    # negatives come from an equi-join on batch_id — never a global
+    # cross join over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
