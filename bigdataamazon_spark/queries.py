@@ -10981,3 +10981,87 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "conformal_price_interval",
+    """
+    WITH s AS (
+      SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept
+      FROM lineitem
+    ),
+    r AS (
+      SELECT abs(l_extendedprice - round(icept + slope * l_quantity, 6)) AS aresid,
+             ('0x' || substr(md5('conf:' || CAST(l_orderkey AS VARCHAR) || '-'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 < 0.5 AS is_calib
+      FROM lineitem, s
+    ),
+    q AS (
+      SELECT quantile_cont(aresid, 0.9) AS q_hat,
+             count(*) AS n_calib
+      FROM r WHERE is_calib
+    )
+    SELECT CAST(q.n_calib AS BIGINT) AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(q.q_hat, 4) AS q_hat,
+           round(avg(CASE WHEN r.aresid <= q.q_hat THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage
+    FROM r, q WHERE NOT r.is_calib GROUP BY q.n_calib, q.q_hat
+    """,
+)
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction interval for the OLS price model
+    (beyond ref; the distribution-free uncertainty wrapper production ML
+    serving uses): hash-split lineitem into calibration/test halves,
+    q_hat = the 90th-percentile absolute residual on calibration, then
+    measure empirical coverage of prediction +/- q_hat on the held-out
+    half — the conformal guarantee says ~0.9 regardless of the model.
+    Coefficients are rounded before prediction (the calibration-bins
+    discipline) so residuals are bit-identical across engines; the
+    split is md5-deterministic so calib/test agree too. Two scan-bound
+    aggregates and one broadcast scalar — no sort, no Python."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    s = li.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("icept"),
+    )
+    key = F.concat(
+        F.lit("conf:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") / F.lit(
+        1152921504606846976.0
+    )
+    r = li.crossJoin(F.broadcast(s)).select(
+        F.abs(y - F.round(F.col("icept") + F.col("slope") * x, 6)).alias("aresid"),
+        (u < 0.5).alias("is_calib"),
+    )
+    r = materialize_shared(r)
+    q = r.filter("is_calib").agg(
+        F.percentile("aresid", F.lit(0.9)).alias("q_hat"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    return (
+        r.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(q))
+        .groupBy("n_calib", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("aresid") <= F.col("q_hat"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("n_calib").cast("bigint").alias("n_calib"),
+            "n_test",
+            F.round("q_hat", 4).alias("q_hat"),
+            "coverage",
+        )
+    )

@@ -842,3 +842,12 @@ def test_contrastive_pairs_join_is_batch_local(spark, sf_dir):
     # cross join over the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conformal_is_scan_bound_no_sort_the_world(spark, sf_dir):
+    plan = _executed_plan(spark, "conformal_price_interval", sf_dir)
+    assert "CartesianProduct" not in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        }
