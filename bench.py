@@ -81,6 +81,13 @@ HEADLINE = [
     "embedding_dim_covariance",
     "min_cost_supplier_region",
     "orders_backlog_timeline",
+    # session-4 families: CF pair join, LPA rounds, bootstrap fan-out,
+    # IVM delta merge, conformal two-pass — the new heavy shapes
+    "part_cf_recommendations",
+    "nation_trade_communities",
+    "order_price_bootstrap_ci",
+    "incremental_join_maintenance",
+    "conformal_price_interval",
 ]
 
 
