@@ -11065,3 +11065,86 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+@register(
+    "cms_word_count_audit",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    toks AS (SELECT item FROM w WHERE item <> ''),
+    exact AS (SELECT item, count(*) AS freq FROM toks GROUP BY 1),
+    top AS (SELECT item, freq FROM exact ORDER BY freq DESC, item ASC LIMIT 20),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || item), 1, 15))::BIGINT
+               % 256 AS bucket,
+             count(*) AS c
+      FROM toks, unnest(range(1, 5)) t(j)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT top.item, top.freq, j.j,
+             ('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || ':' || top.item), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM top, unnest(range(1, 5)) j(j)
+    ),
+    est AS (
+      SELECT p.item, p.freq, min(c.c) AS cms
+      FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT item AS word, CAST(freq AS BIGINT) AS exact,
+           CAST(cms AS BIGINT) AS cms_estimate,
+           CAST(cms - freq AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_word_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch accuracy audit (beyond ref; completes the
+    sketch family next to Misra-Gries / Bloom / HLL / quantile-digest):
+    a d=4 x w=256 CMS built as a (row, bucket) counter TABLE — 1024
+    cells, broadcast-sized at any corpus scale — probed for the exact
+    top-20 words. ``overestimate = cms - exact`` is provably >= 0
+    (one-sided CMS error), and the md5 bucket hashing makes every cell
+    engine-replayable, so the driver hash-checks the sketch itself, not
+    just its contract. One token scan fans x4 into a combiner-friendly
+    (row, bucket) agg; probes are top-k bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    toks = materialize_shared(toks)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.desc("freq"), F.asc("item")).limit(20)
+
+    def _bucket(j_col, item_col):
+        s = F.concat(F.lit("cms"), j_col.cast("string"), F.lit(":"), item_col)
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"), F.lit(256)
+        )
+
+    fan = toks.select(
+        "item", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j")
+    )
+    cells = (
+        fan.select("j", _bucket(F.col("j"), F.col("item")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "item", "freq", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j")
+    ).select("item", "freq", "j", _bucket(F.col("j"), F.col("item")).alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("item", "freq")
+        .agg(F.min("c").alias("cms"))
+    )
+    return est.select(
+        F.col("item").alias("word"),
+        F.col("freq").cast("bigint").alias("exact"),
+        F.col("cms").cast("bigint").alias("cms_estimate"),
+        (F.col("cms") - F.col("freq")).cast("bigint").alias("overestimate"),
+    )
