@@ -11148,3 +11148,51 @@ def cms_word_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms").cast("bigint").alias("cms_estimate"),
         (F.col("cms") - F.col("freq")).cast("bigint").alias("overestimate"),
     )
+
+
+@register("ml_als_top_recs")  # no SQL oracle: iterative factorization (rows-only)
+def ml_als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML ALS matrix-factorization twin of the co-occurrence CF
+    entry (``part_cf_recommendations``): implicit-feedback ALS on
+    (custkey, partkey, n_lineitems), top-3 part recommendations for the
+    10 lowest-keyed customers. Iterative least squares is not
+    SQL-expressible — rows-only driver check by contract; the pytest
+    asserts the model reconstructs held-in preferences (recall@10 on
+    training items) and the seed makes runs reproducible. ALS IS the
+    100 TB-scale shape: block-partitioned normal equations, never a
+    materialized user x item matrix."""
+    from pyspark.ml.recommendation import ALS
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        implicitPrefs=True,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(10)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        F.col("user").cast("bigint").alias("custkey"),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "custkey",
+        F.col("rec.item").cast("bigint").alias("partkey"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )

