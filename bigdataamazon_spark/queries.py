@@ -11196,3 +11196,131 @@ def ml_als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+@register(
+    "quantity_woe_iv",
+    """
+    WITH base AS (
+      SELECT CAST(least(4, floor((l_quantity - 1) / 10.0)) AS INTEGER) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem
+    ),
+    t AS (
+      SELECT CAST(sum(bad) AS DOUBLE) AS tot_bad,
+             CAST(sum(1 - bad) AS DOUBLE) AS tot_good
+      FROM base
+    ),
+    g AS (
+      SELECT bin, sum(bad) AS n_bad, sum(1 - bad) AS n_good FROM base GROUP BY bin
+    )
+    SELECT g.bin,
+           CAST(g.n_bad + g.n_good AS BIGINT) AS n,
+           round(g.n_bad / t.tot_bad, 6) AS bad_rate,
+           round(g.n_good / t.tot_good, 6) AS good_rate,
+           round(ln((g.n_good / t.tot_good) / (g.n_bad / t.tot_bad)), 6) AS woe,
+           round(((g.n_good / t.tot_good) - (g.n_bad / t.tot_bad))
+                 * ln((g.n_good / t.tot_good) / (g.n_bad / t.tot_bad)), 6) AS iv_term
+    FROM g, t
+    """,
+)
+def quantity_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature scoring (beyond
+    ref; the credit-scoring-standard univariate feature audit): quantity
+    cut into 5 fixed-width bins against the binary returned-flag target;
+    per-bin WOE = ln(good_share/bad_share) and its IV contribution. One
+    scan, one 5-group agg, a 1-row broadcast total — the entire
+    computation is two combiner-friendly passes; integer bin ids and
+    count ratios keep the logs engine-identical under round(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    base = li.select(
+        F.least(F.lit(4), F.floor((F.col("l_quantity") - 1) / 10.0))
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    base = materialize_shared(base)
+    t = base.agg(
+        F.sum("bad").cast("double").alias("tot_bad"),
+        F.sum(F.lit(1) - F.col("bad")).cast("double").alias("tot_good"),
+    )
+    g = base.groupBy("bin").agg(
+        F.sum("bad").alias("n_bad"), F.sum(F.lit(1) - F.col("bad")).alias("n_good")
+    )
+    br = F.col("n_bad") / F.col("tot_bad")
+    gr = F.col("n_good") / F.col("tot_good")
+    return g.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (F.col("n_bad") + F.col("n_good")).cast("bigint").alias("n"),
+        F.round(br, 6).alias("bad_rate"),
+        F.round(gr, 6).alias("good_rate"),
+        F.round(F.log(gr / br), 6).alias("woe"),
+        F.round((gr - br) * F.log(gr / br), 6).alias("iv_term"),
+    )
+
+
+@register(
+    "forecast_backtest_accuracy",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT mon, rev,
+             lag(rev, 1) OVER (ORDER BY mon) AS naive_f,
+             lag(rev, 12) OVER (ORDER BY mon) AS seasonal_f
+      FROM m
+    ),
+    errs AS (
+      SELECT method, f, rev FROM (
+        SELECT 'naive' AS method, naive_f AS f, rev FROM lagged
+        UNION ALL
+        SELECT 'seasonal_naive' AS method, seasonal_f AS f, rev FROM lagged
+      ) WHERE f IS NOT NULL
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(rev - f)), 2) AS mae,
+           round(avg(abs(rev - f) / rev) * 100, 4) AS mape_pct,
+           round(sqrt(avg((rev - f) * (rev - f))), 2) AS rmse
+    FROM errs GROUP BY method
+    """,
+)
+def forecast_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (beyond ref; the eval half of
+    the time-series family — EWMA/Holt produce forecasts, this scores
+    them): naive (lag-1) and seasonal-naive (lag-12) one-step forecasts
+    over the monthly revenue series, scored by MAE / MAPE / RMSE. The
+    window runs on the months-sized pre-agg (~80 rows after one
+    combiner-friendly month agg), so the global sort is calendar-bounded
+    at any data scale — the same pre-agg discipline as Holt/Theil-Sen."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("mon")
+    lagged = m.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("naive_f"),
+        F.lag("rev", 12).over(w).alias("seasonal_f"),
+    )
+    errs = (
+        lagged.select(F.lit("naive").alias("method"), F.col("naive_f").alias("f"), "rev")
+        .unionAll(
+            lagged.select(
+                F.lit("seasonal_naive").alias("method"),
+                F.col("seasonal_f").alias("f"),
+                "rev",
+            )
+        )
+        .filter(F.col("f").isNotNull())
+    )
+    d = F.col("rev") - F.col("f")
+    return errs.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.round(F.avg(F.abs(d)), 2).alias("mae"),
+        F.round(F.avg(F.abs(d) / F.col("rev")) * 100, 4).alias("mape_pct"),
+        F.round(F.sqrt(F.avg(d * d)), 2).alias("rmse"),
+    )

@@ -851,3 +851,19 @@ def test_conformal_is_scan_bound_no_sort_the_world(spark, sf_dir):
         assert set(s) <= {
             "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
         }
+
+
+def test_woe_iv_two_pass_broadcast_total(spark, sf_dir):
+    plan = _executed_plan(spark, "quantity_woe_iv", sf_dir)
+    assert "CartesianProduct" not in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"l_quantity", "l_returnflag"}
+
+
+def test_forecast_backtest_windows_on_month_preagg(spark, sf_dir):
+    plan = _executed_plan(spark, "forecast_backtest_accuracy", sf_dir)
+    # the lag windows must follow the month pre-agg — the plan sorts the
+    # months table, never the orders scan
+    assert plan.count("HashAggregate") >= 2
+    for s in _scan_schemas(plan):
+        assert s == ["o_orderdate", "o_totalprice"]
