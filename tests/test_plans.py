@@ -866,4 +866,4 @@ def test_forecast_backtest_windows_on_month_preagg(spark, sf_dir):
     # months table, never the orders scan
     assert plan.count("HashAggregate") >= 2
     for s in _scan_schemas(plan):
-        assert s == ["o_orderdate", "o_totalprice"]
+        assert set(s) == {"o_orderdate", "o_totalprice"}
