@@ -11324,3 +11324,45 @@ def forecast_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(d) / F.col("rev")) * 100, 4).alias("mape_pct"),
         F.round(F.sqrt(F.avg(d * d)), 2).alias("rmse"),
     )
+
+
+@register(
+    "python_datasource_bucket_stats",
+    """
+    WITH g AS (
+      SELECT CAST(i AS BIGINT) AS id, CAST(i % 10 AS INTEGER) AS bucket,
+             ('0x' || substr(md5('pys:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS v
+      FROM unnest(range(0, 10000)) t(i)
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, round(sum(v), 6) AS sum_v,
+           round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+    FROM g GROUP BY bucket
+    """,
+)
+def python_datasource_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API end-to-end (beyond ref; the
+    extension seam a complete engine owns — see
+    ``sources/pysource.py``): a custom registered source with schema
+    declaration and chunked ``InputPartition`` planning, aggregated
+    downstream like any table. The source is md5-deterministic, so the
+    DuckDB oracle replays the generator through ``range(n)`` and the
+    driver hash-checks the whole connector path — registration,
+    partition planning, executor-side generation, agg. (The pushdown
+    variant of the reader is pinned by tests; the default conf driver
+    session reads the base class.)"""
+    from .sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("n", 10000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 6).alias("sum_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

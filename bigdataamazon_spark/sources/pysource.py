@@ -1,0 +1,111 @@
+"""Spark 4 Python DataSource API surface (SURVEY §2.2 generalized).
+
+The reference only ever reads CSV off disk (`amazon1.py:19`); a complete
+engine also OWNS the extension seam users plug new sources into. This is
+the Spark 4 Python DataSource API: schema declaration, partition
+planning (one ``InputPartition`` per chunk → executors read chunks in
+parallel, exactly how a real connector shards a remote store), and
+filter pushdown (``pushFilters`` absorbs ``bucket = k`` equality so the
+generator never materializes skipped rows — the Python-source analogue
+of parquet PushedFilters).
+
+The built-in source is deterministic: row i carries an md5-derived
+uniform, so a registry entry over it is SQL-replayable (DuckDB walks
+``range(n)`` through the same hash) and the driver hash-checks the
+whole source path end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+HASH_SPACE = float(1 << 60)
+
+
+def row_value(i: int) -> float:
+    """Deterministic uniform for row i — first 60 bits of md5('pys:i')."""
+    h = hashlib.md5(f"pys:{i}".encode()).hexdigest()
+    return int(h[:15], 16) / HASH_SPACE
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticRowsReader(DataSourceReader):
+    """Base reader: no ``pushFilters`` so it runs under the default
+    ``spark.sql.python.filterPushdown.enabled=false`` (the driver's
+    session) — Spark applies residual filters itself."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.n_parts = int(options.get("parts", 8))
+        self.bucket_eq: int | None = None
+
+    def partitions(self):
+        chunk = max(1, (self.n + self.n_parts - 1) // self.n_parts)
+        return [
+            _ChunkPartition(lo, min(lo + chunk, self.n))
+            for lo in range(0, self.n, chunk)
+        ]
+
+    def read(self, partition: _ChunkPartition):
+        for i in range(partition.start, partition.end):
+            bucket = i % 10
+            if self.bucket_eq is not None and bucket != self.bucket_eq:
+                continue
+            yield (i, bucket, row_value(i))
+
+
+class PushdownSyntheticRowsReader(SyntheticRowsReader):
+    """Pushdown-capable variant — requires
+    ``spark.sql.python.filterPushdown.enabled=true`` (runtime conf;
+    tests set it). Declaring ``pushFilters`` under the default conf is
+    an error by API contract, hence the split class."""
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        """Absorb `bucket = k`; everything else stays with Spark."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                self.bucket_eq = int(f.value)
+            else:
+                yield f
+
+
+class SyntheticRowsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, v double"
+
+    def reader(self, schema) -> SyntheticRowsReader:
+        return SyntheticRowsReader(self.options)
+
+
+class PushdownSyntheticRowsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows_pushdown"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, v double"
+
+    def reader(self, schema) -> PushdownSyntheticRowsReader:
+        return PushdownSyntheticRowsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticRowsDataSource)
+    spark.dataSource.register(PushdownSyntheticRowsDataSource)

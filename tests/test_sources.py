@@ -354,3 +354,37 @@ def test_binaryfile_ingest_and_pack(spark, tmp_path):
     feats = multimodal.decode_blobs(packed.select("doc_id", "blob"))
     assert feats.count() == 5
     assert feats.filter(F.col("n_bytes") != 32).count() == 0
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from bigdataamazon_spark.sources import pysource
+
+    pysource.register(spark)
+    df = spark.read.format("synthetic_rows").option("n", 1000).option("parts", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+    a = sorted((r["id"], r["v"]) for r in df.collect())
+    b = sorted((r["id"], r["v"]) for r in df.collect())
+    assert a == b and len(a) == 1000
+    assert a[7][1] == pysource.row_value(7)
+
+
+def test_python_datasource_filter_pushdown_matches_residual(spark):
+    """The pushdown reader (bucket = k absorbed into the generator)
+    returns exactly what Spark-side residual filtering returns."""
+    from bigdataamazon_spark.sources import pysource
+
+    pysource.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        base = (
+            spark.read.format("synthetic_rows").option("n", 2000).load()
+            .filter("bucket = 3")
+        )
+        pushed = (
+            spark.read.format("synthetic_rows_pushdown").option("n", 2000).load()
+            .filter("bucket = 3")
+        )
+        assert sorted(map(tuple, pushed.collect())) == sorted(map(tuple, base.collect()))
+        assert pushed.count() == 200
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
