@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 HASH_SPACE = float(1 << 60)
@@ -93,6 +94,9 @@ class SyntheticRowsDataSource(DataSource):
     def reader(self, schema) -> SyntheticRowsReader:
         return SyntheticRowsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
 
 class PushdownSyntheticRowsDataSource(DataSource):
     @classmethod
@@ -109,3 +113,29 @@ class PushdownSyntheticRowsDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(SyntheticRowsDataSource)
     spark.dataSource.register(PushdownSyntheticRowsDataSource)
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic generator: each
+    batch advances the offset by ``batch_rows`` until ``max_rows``.
+    ``readBetweenOffsets`` replays any committed range exactly — the
+    recovery contract that makes the source exactly-once under
+    checkpoint restart (offsets are plain dicts in the commit log)."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 10))
+        self.max_rows = int(options.get("max_rows", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return [(i, i % 10, row_value(i)) for i in range(lo, hi)]
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_rows, self.max_rows)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))

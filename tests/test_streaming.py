@@ -609,3 +609,41 @@ def test_stream_stream_left_outer_join_emits_null_rows(spark, sf_dir):
         assert len(got_null) > 0
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_python_streaming_source_replays_generator_exactly(spark, tmp_path):
+    """The Python streaming source (SimpleDataSourceStreamReader)
+    delivers precisely the deterministic generator prefix across
+    micro-batches — offsets advance by batch_rows, content matches the
+    batch source row-for-row."""
+    import time
+
+    from bigdataamazon_spark.sources import pysource
+
+    pysource.register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_rows")
+        .option("batch_rows", 25)
+        .option("max_rows", 50)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pysrc_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM pysrc_stream").first()[0] >= 50:
+                break
+            time.sleep(0.5)
+        got = sorted(
+            (r["id"], r["bucket"], r["v"])
+            for r in spark.sql("SELECT * FROM pysrc_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(i, i % 10, pysource.row_value(i)) for i in range(50)]
