@@ -23,10 +23,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 HASH_SPACE = float(1 << 60)
@@ -113,6 +115,7 @@ class PushdownSyntheticRowsDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(SyntheticRowsDataSource)
     spark.dataSource.register(PushdownSyntheticRowsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
 
 
 class SyntheticStreamReader(SimpleDataSourceStreamReader):
@@ -139,3 +142,72 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter(self._rows(int(start["pos"]), int(end["pos"])))
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Python DataSource write path with the two-phase task-commit
+    protocol: every task writes ``part-<uuid>.jsonl.tmp`` and returns
+    the name in its commit message; the DRIVER's ``commit`` renames the
+    winners and records them in ``_MANIFEST`` (atomic visibility —
+    readers trust the manifest, half-written tmp files are invisible);
+    ``abort`` deletes the orphans. This is the same rename-on-commit
+    discipline as Hadoop FileOutputCommitter v1, expressed through the
+    Spark 4 Python writer seam."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.path, name + ".tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonlCommit(name=name, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = []
+        for m in messages:
+            os.rename(
+                os.path.join(self.path, m.name + ".tmp"),
+                os.path.join(self.path, m.name),
+            )
+            files.append({"file": m.name, "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            json.dump({"files": files}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            tmp = os.path.join(self.path, m.name + ".tmp")
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, name: str, n_rows: int):
+        self.name = name
+        self.n_rows = n_rows
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)

@@ -388,3 +388,30 @@ def test_python_datasource_filter_pushdown_matches_residual(spark):
         assert pushed.count() == 200
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_python_datasource_writer_commit_protocol(spark, tmp_path):
+    """jsonl_dir writer: committed files match the manifest, no .tmp
+    orphans survive, and a read-back returns the exact rows."""
+    import json
+    import os
+
+    from bigdataamazon_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(100).selectExpr("id", "id % 7 AS g")
+    df.repartition(4).write.format("jsonl_dir").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    files = sorted(os.listdir(out))
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert sorted(m["file"] for m in manifest["files"]) == [
+        f for f in files if f != "_MANIFEST"
+    ]
+    assert sum(m["n_rows"] for m in manifest["files"]) == 100
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert sorted((r["id"], r["g"]) for r in back.collect()) == [
+        (i, i % 7) for i in range(100)
+    ]
