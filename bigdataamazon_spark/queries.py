@@ -11418,3 +11418,43 @@ def audio_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "n_zero_cross",
     )
+
+
+@register(
+    "sql_udf_revenue_bands",
+    """
+    SELECT CASE WHEN l_extendedprice * (1.0 - l_discount) < 20000 THEN 'low'
+                WHEN l_extendedprice * (1.0 - l_discount) < 50000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr`` —
+    beyond ref; the catalog-level reuse surface): ``graft_disc_price``
+    and ``graft_band`` are declared ONCE in SQL and composed in a plain
+    SQL query — they inline into the optimized plan (Catalyst expands
+    the body, so this stays whole-stage codegen, unlike any Python
+    UDF), which is why the §2.10 policy prefers them for reusable
+    business expressions. The oracle states the expanded expressions —
+    parity proves the inlining is semantics-preserving."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION graft_band(v DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN v < 20000 THEN 'low' WHEN v < 50000 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("graft_li_sqludf")
+    return spark.sql(
+        """
+        SELECT graft_band(graft_disc_price(l_extendedprice, l_discount)) AS band,
+               count(*) AS n,
+               round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue
+        FROM graft_li_sqludf GROUP BY 1
+        """
+    )

@@ -867,3 +867,14 @@ def test_forecast_backtest_windows_on_month_preagg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     for s in _scan_schemas(plan):
         assert set(s) == {"o_orderdate", "o_totalprice"}
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """SQL scalar UDFs must expand into the plan (no BatchEvalPython,
+    no black-box call) — the reason they beat Python UDFs for reusable
+    expressions."""
+    plan = _executed_plan(spark, "sql_udf_revenue_bands", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"l_extendedprice", "l_discount"}
