@@ -11458,3 +11458,46 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM graft_li_sqludf GROUP BY 1
         """
     )
+
+
+@register(
+    "lateral_top_orders_per_segment",
+    """
+    WITH seg AS (SELECT DISTINCT c_mktsegment FROM customer)
+    SELECT seg.c_mktsegment, t.o_orderkey, round(t.o_totalprice, 2) AS price,
+           CAST(t.rnk AS INTEGER) AS rank
+    FROM seg, LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice,
+             row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = seg.c_mktsegment
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 3
+    ) t
+    """,
+)
+def lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group LIMIT (beyond ref;
+    the SQL-standard form of per-key top-k): top-3 orders per market
+    segment via ``, LATERAL (... LIMIT 3)``. Catalyst decorrelates this
+    into the same windowed join a hand-written WindowGroupLimit plan
+    produces — pinned by the plan test — so the declarative SQL costs
+    nothing vs the DataFrame formulation. DuckDB runs the identical
+    LATERAL text, so parity also proves decorrelation preserves
+    semantics."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("graft_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("graft_ord_lat")
+    return spark.sql(
+        """
+        WITH seg AS (SELECT DISTINCT c_mktsegment FROM graft_cust_lat)
+        SELECT seg.c_mktsegment, t.o_orderkey, round(t.o_totalprice, 2) AS price,
+               CAST(t.rnk AS INT) AS rank
+        FROM seg, LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+                   AS rnk
+          FROM graft_ord_lat o JOIN graft_cust_lat c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = seg.c_mktsegment
+          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 3
+        ) t
+        """
+    )

@@ -878,3 +878,14 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     for s in _scan_schemas(plan):
         assert set(s) <= {"l_extendedprice", "l_discount"}
+
+
+def test_lateral_topk_decorrelates_no_cartesian(spark, sf_dir):
+    """The correlated LATERAL LIMIT must decorrelate — a per-segment
+    re-execution or cartesian would be quadratic at scale."""
+    plan = _executed_plan(spark, "lateral_top_orders_per_segment", sf_dir)
+    assert "CartesianProduct" not in plan
+    # per-group rank limit shows up as a window-based plan, and orders
+    # is scanned a bounded number of times (decorrelated, not per-group)
+    assert "Window" in plan
+    assert plan.count("orders.parquet") <= 2
