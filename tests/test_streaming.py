@@ -647,3 +647,42 @@ def test_python_streaming_source_replays_generator_exactly(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(i, i % 10, pysource.row_value(i)) for i in range(50)]
+
+
+def test_state_store_reader_exposes_agg_state(spark, tmp_path):
+    """Spark 4 state introspection: the `statestore` batch source reads
+    a streaming aggregation's checkpoint; its (key, value) rows must
+    equal the stream's own complete-mode output — the production
+    debugging surface for stateful operators (inspect/repair state
+    without replaying the stream)."""
+    import os
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "c"), (3, "d"), (2, "e")], ["k", "v"]
+    ).write.json(os.path.join(src, "f1"))
+    sdf = spark.readStream.schema("k bigint, v string").json(os.path.join(src, "*"))
+    q = (
+        sdf.groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("state_reader_t")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    live = {
+        (r["k"], r["count"])
+        for r in spark.sql("SELECT * FROM state_reader_t").collect()
+    }
+    state = spark.read.format("statestore").load(ck)
+    from_state = {
+        (r["key"]["k"], r["value"]["count"]) for r in state.collect()
+    }
+    assert from_state == live == {(1, 2), (2, 2), (3, 1)}
+    meta = spark.read.format("state-metadata").load(ck)
+    ops = {r["operatorName"] for r in meta.collect()}
+    assert "stateStoreSave" in ops
