@@ -86,3 +86,33 @@ def cdc_chunks(spark: SparkSession, docs: DataFrame) -> DataFrame:
         FROM _cdc_docs_in d, LATERAL cdc_chunker_udtf(d.doc_id, d.text) c
         """
     )
+
+
+class SplitFixedUDTF:
+    """Polymorphic UDTF (Spark 4 ``analyze`` API): output schema is
+    computed FROM THE ARGUMENTS — ``split_fixed(s, lit(n))`` emits n
+    string columns ``c0..c{n-1}``. ``analyze`` runs at plan time on the
+    driver with the literal argument values, so Catalyst sees a fully
+    typed schema and downstream pruning/codegen work as for any static
+    relation; ``eval`` then pads/truncates each row to exactly n
+    fields. This is the schema-on-demand seam fixed-width extractors
+    (CSV slicing, key=value fan-out) need — a static-schema UDTF would
+    force array columns and lose pruning.
+    """
+
+    @staticmethod
+    def analyze(s, n):
+        from pyspark.sql.functions import AnalyzeResult  # noqa: PLC0415
+        from pyspark.sql.types import StringType, StructType  # noqa: PLC0415
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("split_fixed requires a positive integer literal n")
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"c{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, s: str, n: int):
+        parts = (s or "").split(",")
+        parts = (parts + [None] * n)[:n]
+        yield tuple(parts)

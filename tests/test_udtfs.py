@@ -59,3 +59,31 @@ def test_cdc_empty_and_short_text(spark):
     rows = udtfs.cdc_chunks(spark, df).collect()
     # empty/null fan out to zero rows; short text -> one whole-text chunk
     assert [(r.doc_id, r.chunk_idx, r.chunk) for r in rows] == [(2, 1, "ab")]
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark):
+    """analyze() makes the UDTF schema a function of the literal arg:
+    n=2 and n=4 produce different, fully typed relations."""
+    from pyspark.sql.functions import lit, udtf
+
+    from bigdataamazon_spark.operators.udtfs import SplitFixedUDTF
+
+    split_fixed = udtf(SplitFixedUDTF)
+    spark.udtf.register("graft_split_fixed", split_fixed)
+    two = spark.sql("SELECT * FROM graft_split_fixed('a,b,c', 2)")
+    assert two.columns == ["c0", "c1"]
+    assert [tuple(r) for r in two.collect()] == [("a", "b")]
+    four = spark.sql("SELECT * FROM graft_split_fixed('a,b', 4)")
+    assert four.columns == ["c0", "c1", "c2", "c3"]
+    assert [tuple(r) for r in four.collect()] == [("a", "b", None, None)]
+
+
+def test_polymorphic_udtf_rejects_non_literal_n(spark):
+    import pytest as _pytest
+    from pyspark.sql.functions import udtf
+
+    from bigdataamazon_spark.operators.udtfs import SplitFixedUDTF
+
+    spark.udtf.register("graft_split_fixed2", udtf(SplitFixedUDTF))
+    with _pytest.raises(Exception):
+        spark.sql("SELECT * FROM graft_split_fixed2('a', -1)").collect()
