@@ -96,6 +96,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint_interval: int = 8,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after a FIXED number of weighted PageRank rounds.
 
@@ -129,20 +130,31 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if teleport is None:
+        # uniform teleport: (1-d)/N to every node
+        tele = nodes.withColumn("t", F.lit(1.0 / n))
+    else:
+        # personalized: teleport mass restricted to the seed
+        # distribution (node, t); non-seeds restart at 0 — the PPR
+        # locality property (Jeh & Widom / Haveliwala)
+        tele = nodes.join(teleport, "node", "left").select(
+            "node", F.coalesce(F.col("t"), F.lit(0.0)).alias("t")
+        )
+    tele = materialize_shared(tele)
+    ranks = tele.withColumnRenamed("t", "rank")
     for i in range(iters):
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "esrc"), "esrc")
             .groupBy("edst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        ranks = nodes.join(
+        ranks = tele.join(
             contrib.withColumnRenamed("edst", "node"), "node", "left"
         ).select(
             "node",
             (
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iters:

@@ -11501,3 +11501,78 @@ def lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
         ) t
         """
     )
+
+
+_PPR_ITER_SQL = """
+    p{k} AS (
+      SELECT tele.node,
+             0.15 * tele.t + 0.85 * coalesce(m.mass, 0.0) AS rank
+      FROM tele
+      LEFT JOIN (
+        SELECT norm.dst AS node, sum(p{j}.rank * norm.p) AS mass
+        FROM norm JOIN p{j} ON p{j}.node = norm.src GROUP BY 1
+      ) m USING (node)
+    )"""
+
+_PPR_ORACLE = (
+    "WITH e AS (" + _PAGERANK_EDGE_SQL + "),\n"
+    "norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),\n"
+    "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+    "tele AS (SELECT node, CASE WHEN node IN ('NATION_0','NATION_1','NATION_2')"
+    " THEN 1.0 / 3 ELSE 0.0 END AS t FROM nodes),\n"
+    "p0 AS (SELECT node, t AS rank FROM tele),"
+    + ",".join(_PPR_ITER_SQL.format(k=k, j=k - 1) for k in range(1, 6))
+    + "\nSELECT node AS nation, round(rank, 7) AS rank FROM p5"
+)
+
+
+@register("nation_trade_ppr", _PPR_ORACLE)
+def nation_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom) from a 3-nation seed set —
+    the query-anchored variant of `nation_trade_pagerank`: restart mass
+    goes to the seeds only, so rank measures trade proximity TO THE
+    SEEDS rather than global centrality (the recommendation/expansion
+    primitive: 'nations most connected to this bloc'). Same fixed-round
+    loop-with-checkpoint operator (graph.pagerank, teleport=seed
+    distribution); the oracle unrolls the identical 5 rounds with the
+    personalized base term."""
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src"))
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst"))
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("w")
+        )
+    )
+    seeds = spark.createDataFrame(
+        [("NATION_0", 1.0 / 3), ("NATION_1", 1.0 / 3), ("NATION_2", 1.0 / 3)],
+        ["node", "t"],
+    )
+    ranks = graph.pagerank(edges, weight="w", iters=5, damping=0.85, teleport=seeds)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("rank", 7).alias("rank")
+    )

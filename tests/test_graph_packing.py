@@ -148,3 +148,24 @@ def test_lpa_unweighted_defaults_to_count(spark):
     )
     got = {r["node"]: r["lbl"] for r in graph.label_propagation(edges, 2).collect()}
     assert set(got) == {1, 2, 3}
+
+
+def test_ppr_concentrates_rank_on_seed_neighborhood(spark):
+    """Personalized vs uniform PageRank on a barbell: restart mass on
+    the left clique must rank left-clique nodes above the right clique,
+    while uniform pagerank is symmetric."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        _sym([(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1),
+              (4, 5, 1), (5, 6, 1), (4, 6, 1)]),
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([(1, 0.5), (2, 0.5)], ["node", "t"])
+    ppr = {r["node"]: r["rank"] for r in
+           graph.pagerank(edges, weight="w", iters=8, teleport=seeds).collect()}
+    uni = {r["node"]: r["rank"] for r in
+           graph.pagerank(edges, weight="w", iters=8).collect()}
+    assert ppr[1] > ppr[6] and ppr[2] > ppr[5]
+    assert abs(uni[1] - uni[6]) < 1e-9  # symmetric graph, symmetric rank
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6  # no dangling loss here
