@@ -889,3 +889,19 @@ def test_lateral_topk_decorrelates_no_cartesian(spark, sf_dir):
     # is scanned a bounded number of times (decorrelated, not per-group)
     assert "Window" in plan
     assert plan.count("orders.parquet") <= 2
+
+
+def test_join_hints_switch_physical_strategy(spark, sf_dir):
+    """The hint surface works end-to-end: the same equi-join planned as
+    broadcast under BROADCAST and as SMJ under MERGE — the manual
+    override lever when statistics mislead the optimizer at scale."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = executed_plan(
+        orders.join(cust.hint("broadcast"), orders["o_custkey"] == cust["c_custkey"])
+    )
+    assert "BroadcastHashJoin" in b
+    m = executed_plan(
+        orders.join(cust.hint("merge"), orders["o_custkey"] == cust["c_custkey"])
+    )
+    assert "SortMergeJoin" in m
