@@ -11576,3 +11576,71 @@ def nation_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nation"), F.round("rank", 7).alias("rank")
     )
+
+
+@register(
+    "audio_similarity_topk",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
+    samp AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5('wav:' || CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(i // 16 AS VARCHAR)),
+                             ((i % 16) * 2 + 1)::INT, 2))::INT - 128 AS x
+      FROM ids, unnest(range(0, 2048)) t(i)
+    ),
+    lagged AS (
+      SELECT doc_id, i, x,
+             lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      FROM samp
+    ),
+    feats AS (
+      SELECT doc_id,
+             sqrt(avg(CAST(x * x AS DOUBLE))) AS f1,
+             CAST(sum(CASE WHEN px IS NOT NULL AND x * px < 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 100.0 AS f2
+      FROM lagged GROUP BY doc_id
+    ),
+    normed AS (
+      SELECT doc_id, f1, f2, sqrt(f1 * f1 + f2 * f2) AS nrm FROM feats
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             (a.f1 * b.f1 + a.f2 * b.f2) / (a.nrm * b.nrm) AS score
+      FROM normed a JOIN normed b ON a.doc_id <> b.doc_id
+    ),
+    ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC)
+               AS rnk
+      FROM edges
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def audio_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio retrieval end-to-end (beyond ref; the audio twin of
+    ``image_feature_topk``): REAL WAV synthesis -> stdlib decode ->
+    (rms, zero-cross/100) feature vector -> per-clip top-3 cosine via
+    the broadcast GEMM. Every stage is the production operator and
+    every value md5-derived, so the oracle replays decode AND retrieval
+    in SQL. Corpus deterministically thinned (doc_id % 8) to stay under
+    the exact-GEMM guard at stress scale; past that the feature
+    plumbing feeds similarity_topk_auto / IVF unchanged."""
+    from .operators import multimodal, similarity
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 8 == 0
+    )
+    feats = multimodal.audio_features(multimodal.with_synthetic_wav(docs))
+    vec = feats.select(
+        "doc_id",
+        F.array(
+            F.col("rms"), F.col("n_zero_cross").cast("double") / F.lit(100.0)
+        ).alias("feat"),
+    )
+    out = similarity.cosine_topk(vec, "doc_id", "feat", k=3)
+    return out.select(
+        "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("int").alias("rank")
+    )
