@@ -15,4 +15,5 @@ from .html import to_html_table, write_html_report  # noqa: F401
 from .json import read_jsonl, write_jsonl  # noqa: F401
 from .orc import read_orc, write_orc  # noqa: F401
 from .parquet import compact_parquet, read_parquet, write_parquet  # noqa: F401
+from .pysource import register as register_python_datasources  # noqa: F401
 from .text import read_text_corpus  # noqa: F401
