@@ -11644,3 +11644,188 @@ def audio_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("int").alias("rank")
     )
+
+
+_SENTIMENT_LEXICON = [
+    ("good", 3), ("great", 3), ("excellent", 5), ("amazing", 4), ("love", 3),
+    ("best", 3), ("nice", 3), ("happy", 3), ("fast", 2), ("quality", 2),
+    ("perfect", 5), ("recommend", 2), ("works", 1), ("easy", 2), ("solid", 2),
+    ("bad", -3), ("poor", -3), ("terrible", -5), ("awful", -4), ("hate", -3),
+    ("worst", -5), ("broken", -3), ("slow", -2), ("cheap", -1), ("defective", -4),
+    ("disappointed", -3), ("waste", -3), ("useless", -4), ("wrong", -2),
+    ("refund", -2),
+]
+
+_SENTIMENT_VALUES = ", ".join(f"('{w}', {s})" for w, s in _SENTIMENT_LEXICON)
+
+
+@register(
+    "doc_sentiment_scores",
+    f"""
+    WITH lex(word, score) AS (VALUES {_SENTIMENT_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, l.score
+      FROM toks t JOIN lex l ON t.word = l.word
+    ),
+    agg AS (
+      SELECT doc_id, sum(score) AS total, count(*) AS n_hits
+      FROM hits GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(total AS BIGINT) AS sentiment_sum,
+           CAST(n_hits AS BIGINT) AS n_sentiment_words,
+           round(CAST(total AS DOUBLE) / n_hits, 6) AS mean_sentiment,
+           CASE WHEN total > 0 THEN 'positive'
+                WHEN total < 0 THEN 'negative' ELSE 'neutral' END AS label
+    FROM agg
+    """,
+)
+def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the analysis the reference's
+    Amazon-review corpus implies; cf. the retrieved EDBT'16 Spark
+    sentiment pipeline): AFINN-style signed lexicon broadcast against
+    the token stream, per-doc sum/mean/label. One scan, one
+    broadcast-hash join on the 30-word lexicon, one agg — integer
+    scores keep every value engine-exact. Docs with no lexicon hit are
+    absent by definition (no signal ≠ neutral claim)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_SENTIMENT_LEXICON, ["word", "score"])
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    agg = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("total"), F.count(F.lit(1)).alias("n_hits"))
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").cast("bigint").alias("sentiment_sum"),
+        F.col("n_hits").cast("bigint").alias("n_sentiment_words"),
+        F.round(F.col("total").cast("double") / F.col("n_hits"), 6).alias(
+            "mean_sentiment"
+        ),
+        F.when(F.col("total") > 0, "positive")
+        .when(F.col("total") < 0, "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )
+
+
+_MOTIF_V = ", ".join(f"v{k}" for k in range(7))
+_MOTIF_LEADS_SQL = ",\n             ".join(
+    f"lead(r, {k}) OVER (ORDER BY rn) AS v{k}" for k in range(1, 7)
+)
+_MOTIF_MEAN_SQL = "(" + " + ".join(f"v{k}" for k in range(7)) + ") / 7.0"
+_MOTIF_VAR_SQL = (
+    "(" + " + ".join(f"(v{k} - m) * (v{k} - m)" for k in range(7)) + ") / 7.0"
+)
+_MOTIF_DIST_SQL = " + ".join(
+    f"((a.v{k} - a.m) / a.s - (b.v{k} - b.m) / b.s)"
+    f" * ((a.v{k} - a.m) / a.s - (b.v{k} - b.m) / b.s)"
+    for k in range(7)
+)
+
+
+@register(
+    "revenue_window_motifs",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, sum(o_totalprice) AS r
+      FROM orders GROUP BY 1
+    ),
+    seq AS (SELECT d, r, row_number() OVER (ORDER BY d) AS rn FROM daily),
+    led AS (
+      SELECT rn, d, r AS v0,
+             {_MOTIF_LEADS_SQL}
+      FROM seq
+    ),
+    win AS (
+      SELECT rn, d, {_MOTIF_V}, {_MOTIF_MEAN_SQL} AS m
+      FROM led WHERE v6 IS NOT NULL
+    ),
+    zwin AS (
+      SELECT rn, d, {_MOTIF_V}, m, sqrt({_MOTIF_VAR_SQL}) AS s
+      FROM win
+    ),
+    pairs AS (
+      SELECT a.d AS day1, b.d AS day2,
+             {_MOTIF_DIST_SQL} AS dist
+      FROM zwin a JOIN zwin b ON b.rn >= a.rn + 7
+      WHERE a.s > 0 AND b.s > 0
+    ),
+    ranked AS (
+      SELECT day1, day2, dist,
+             row_number() OVER (ORDER BY dist ASC, day1 ASC, day2 ASC) AS rnk
+      FROM pairs
+    )
+    SELECT CAST(day1 AS DATE) AS day1, CAST(day2 AS DATE) AS day2,
+           round(dist, 6) AS zdist, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def revenue_window_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series motif discovery, UCR/matrix-profile style (cf. the
+    retrieved EDBT'19 distributed subsequence-similarity paper): the 5
+    most similar non-overlapping 7-day windows of the daily revenue
+    series under z-normalized Euclidean distance. The series pre-aggs
+    to CALENDAR-BOUNDED days (~2.4k rows at any data scale — the
+    Theil-Sen discipline), windows materialize as 7 lead columns, and
+    the days^2/2 pair join runs over that bounded table with a fixed
+    7-term codegen'd distance expression — no UDF, no per-pair Python.
+    Fixed summation order keeps every mean/std/distance bit-identical
+    across engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.sum("o_totalprice").alias("r"))
+    w = Window.orderBy("d")
+    seq = daily.select("d", "r", F.row_number().over(w).alias("rn"))
+    wr = Window.orderBy("rn")
+    led = seq.select(
+        "rn",
+        "d",
+        F.col("r").alias("v0"),
+        *[F.lead("r", k).over(wr).alias(f"v{k}") for k in range(1, 7)],
+    ).filter(F.col("v6").isNotNull())
+    vs = [F.col(f"v{k}") for k in range(7)]
+    m = sum(vs[1:], vs[0]) / 7.0
+    win = led.withColumn("m", m)
+    var = sum(
+        ((F.col(f"v{k}") - F.col("m")) * (F.col(f"v{k}") - F.col("m")) for k in range(1, 7)),
+        (F.col("v0") - F.col("m")) * (F.col("v0") - F.col("m")),
+    ) / 7.0
+    zwin = win.withColumn("s", F.sqrt(var)).filter(F.col("s") > 0)
+    a = zwin.select(
+        F.col("rn").alias("a_rn"), F.col("d").alias("day1"), F.col("m").alias("a_m"),
+        F.col("s").alias("a_s"), *[F.col(f"v{k}").alias(f"a_v{k}") for k in range(7)]
+    )
+    b = zwin.select(
+        F.col("rn").alias("b_rn"), F.col("d").alias("day2"), F.col("m").alias("b_m"),
+        F.col("s").alias("b_s"), *[F.col(f"v{k}").alias(f"b_v{k}") for k in range(7)]
+    )
+    terms = [
+        (
+            (F.col(f"a_v{k}") - F.col("a_m")) / F.col("a_s")
+            - (F.col(f"b_v{k}") - F.col("b_m")) / F.col("b_s")
+        )
+        for k in range(7)
+    ]
+    dist = sum((t * t for t in terms[1:]), terms[0] * terms[0])
+    pairs = a.join(b, F.col("b_rn") >= F.col("a_rn") + 7).select(
+        "day1", "day2", dist.alias("dist")
+    )
+    wrk = Window.orderBy(F.asc("dist"), F.asc("day1"), F.asc("day2"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wrk))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("day1").cast("date").alias("day1"),
+            F.col("day2").cast("date").alias("day2"),
+            F.round("dist", 6).alias("zdist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -905,3 +905,19 @@ def test_join_hints_switch_physical_strategy(spark, sf_dir):
         orders.join(cust.hint("merge"), orders["o_custkey"] == cust["c_custkey"])
     )
     assert "SortMergeJoin" in m
+
+
+def test_motif_pair_join_is_calendar_bounded(spark, sf_dir):
+    """The days^2 motif join must run over the day pre-agg (orders scan
+    feeds an aggregate first, pruned to 2 columns) — never a pair join
+    over raw orders."""
+    plan = _executed_plan(spark, "revenue_window_motifs", sf_dir)
+    for s in _scan_schemas(plan):
+        assert set(s) == {"o_orderdate", "o_totalprice"}
+    assert "HashAggregate" in plan
+
+
+def test_sentiment_lexicon_broadcasts(spark, sf_dir):
+    plan = _executed_plan(spark, "doc_sentiment_scores", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert ["doc_id", "text"] in _scan_schemas(plan)
