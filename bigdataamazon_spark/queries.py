@@ -11829,3 +11829,67 @@ def revenue_window_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "customer_k_anonymity",
+    """
+    WITH q AS (
+      SELECT c_custkey, c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+             CAST(floor(c_acctbal / 5000.0) AS INTEGER) AS bal_band_coarse
+      FROM customer
+    ),
+    fine AS (
+      SELECT nation, segment, bal_band, count(*) AS cls
+      FROM q GROUP BY 1, 2, 3
+    ),
+    coarse AS (
+      SELECT nation, segment, bal_band_coarse, count(*) AS cls
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT 'fine' AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(cls) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT)
+             AS rows_violating_k5
+    FROM fine
+    UNION ALL
+    SELECT 'coarse' AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(cls) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT)
+             AS rows_violating_k5
+    FROM coarse
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (beyond ref; the data-governance gate a
+    training corpus with user attributes must pass before release):
+    equivalence classes over the quasi-identifier tuple (nation,
+    segment, balance band) — class count, smallest class, and rows
+    re-identifiable under k=5 — at two generalization levels, showing
+    the coarser banding shrinking the violation count (the Samarati/
+    Sweeney generalization lattice step). Two combiner-friendly aggs
+    over one scan; integer counts, engine-exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+        F.floor(F.col("c_acctbal") / 5000.0).cast("int").alias("bal_band_coarse"),
+    )
+    c = materialize_shared(c)
+
+    def audit(level: str, band_col: str) -> DataFrame:
+        cls = c.groupBy("nation", "segment", band_col).agg(
+            F.count(F.lit(1)).alias("cls")
+        )
+        return cls.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("cls").cast("bigint").alias("min_class_size"),
+            F.sum(F.when(F.col("cls") < 5, F.col("cls")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_violating_k5"),
+        ).select(F.lit(level).alias("level"), "*")
+
+    return audit("fine", "bal_band").unionAll(audit("coarse", "bal_band_coarse"))
