@@ -11893,3 +11893,84 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(level).alias("level"), "*")
 
     return audit("fine", "bal_band").unionAll(audit("coarse", "bal_band_coarse"))
+
+
+@register(
+    "revenue_m4_downsample",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             sum(o_totalprice) AS r
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT d, r, row_number() OVER (ORDER BY d) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    b AS (
+      SELECT d, r, CAST(least(59, floor(rn * 60.0 / n)) AS INTEGER) AS bucket
+      FROM seq
+    ),
+    roles AS (
+      SELECT bucket, d, r,
+             row_number() OVER (PARTITION BY bucket ORDER BY d ASC) AS r_first,
+             row_number() OVER (PARTITION BY bucket ORDER BY d DESC) AS r_last,
+             row_number() OVER (PARTITION BY bucket ORDER BY r ASC, d ASC) AS r_min,
+             row_number() OVER (PARTITION BY bucket ORDER BY r DESC, d ASC) AS r_max
+      FROM b
+    )
+    SELECT bucket, role, d, round(r, 2) AS value FROM (
+      SELECT bucket, 'first' AS role, d, r FROM roles WHERE r_first = 1
+      UNION ALL SELECT bucket, 'last', d, r FROM roles WHERE r_last = 1
+      UNION ALL SELECT bucket, 'min', d, r FROM roles WHERE r_min = 1
+      UNION ALL SELECT bucket, 'max', d, r FROM roles WHERE r_max = 1
+    )
+    """,
+)
+def revenue_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14 — the
+    error-free visualization aggregation): the daily revenue series
+    reduced to 60 pixel-column buckets x the 4 extremal points
+    (first/last/min/max per bucket), which is exactly the set needed to
+    render a pixel-perfect line chart of millions of points. One
+    calendar-bounded pre-agg, one bucket window pass — at 100 TB the
+    chart query stays proportional to pixels, not rows. Deterministic
+    tie-breaks (min date) make the 240-point result hash-exact."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.sum("o_totalprice").alias("r"))
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "d", "r",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    b = seq.select(
+        "d", "r",
+        F.least(F.lit(59), F.floor(F.col("rn") * 60.0 / F.col("n")))
+        .cast("int")
+        .alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket")
+    roles = b.select(
+        "bucket", "d", "r",
+        F.row_number().over(wb.orderBy(F.asc("d"))).alias("r_first"),
+        F.row_number().over(wb.orderBy(F.desc("d"))).alias("r_last"),
+        F.row_number().over(wb.orderBy(F.asc("r"), F.asc("d"))).alias("r_min"),
+        F.row_number().over(wb.orderBy(F.desc("r"), F.asc("d"))).alias("r_max"),
+    )
+
+    def pick(flag: str, role: str) -> DataFrame:
+        return roles.filter(F.col(flag) == 1).select(
+            "bucket", F.lit(role).alias("role"), "d", "r"
+        )
+
+    out = (
+        pick("r_first", "first")
+        .unionAll(pick("r_last", "last"))
+        .unionAll(pick("r_min", "min"))
+        .unionAll(pick("r_max", "max"))
+    )
+    return out.select("bucket", "role", "d", F.round("r", 2).alias("value"))
