@@ -11974,3 +11974,88 @@ def revenue_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pick("r_max", "max"))
     )
     return out.select("bucket", "role", "d", F.round("r", 2).alias("value"))
+
+
+@register(
+    "frequent_event_sequences",
+    """
+    WITH seqs AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS nu FROM seqs),
+    l1 AS (
+      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
+      FROM seqs GROUP BY 1
+    ),
+    pos AS (
+      SELECT user_id, event_type,
+             min(row_number) AS first_pos, max(row_number) AS last_pos
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS row_number
+        FROM seqs
+      ) GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT a.event_type || ' -> ' || b.event_type AS pattern,
+             count(*) AS freq
+      FROM pos a JOIN pos b
+        ON a.user_id = b.user_id AND a.first_pos < b.last_pos
+       AND a.event_type <> b.event_type
+      GROUP BY 1
+    ),
+    allp AS (
+      SELECT pattern, freq, 1 AS len FROM l1
+      UNION ALL
+      SELECT pattern, freq, 2 AS len FROM l2
+    )
+    SELECT pattern, CAST(len AS INTEGER) AS pattern_len,
+           CAST(freq AS BIGINT) AS freq
+    FROM allp, n_users WHERE freq >= 0.6 * nu
+    """,
+)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining twin (ml.fpm.PrefixSpan, the
+    distributed PrefixSpan of Pei et al.): frequent event-type
+    sequences of length <= 2 across user histories at 60% support. The
+    ML model runs the real prefix-projected mining; the oracle counts
+    subsequence support relationally (pattern [a,b] supported by a user
+    iff some a-occurrence precedes some b-occurrence: min_pos(a) <
+    max_pos(b), a != b — PrefixSpan's distinct-items-per-step candidate
+    space for n=2). Exact integer supports, so the ML output is
+    hash-verified against SQL — the strongest check an ML library twin
+    can get."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select("user_id", "event_type", F.row_number().over(w).alias("pos"))
+    seqs = (
+        ordered.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "event_type"))).alias("s"))
+        .select(
+            F.transform(F.col("s"), lambda x: F.array(x["event_type"])).alias(
+                "sequence"
+            )
+        )
+    )
+    ps = PrefixSpan(minSupport=0.6, maxPatternLength=2, sequenceCol="sequence")
+    out = ps.findFrequentSequentialPatterns(seqs)
+    flat = out.select(
+        F.array_join(
+            F.transform(F.col("sequence"), lambda s: F.array_join(s, ",")),
+            " -> ",
+        ).alias("pattern"),
+        F.size("sequence").cast("int").alias("pattern_len"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+    # PrefixSpan's length-2 space includes repeated items ([a, a]); the
+    # oracle's candidate space excludes them, so align here
+    return flat.filter(
+        (F.col("pattern_len") == 1)
+        | (F.split(F.col("pattern"), " -> ")[0] != F.split(F.col("pattern"), " -> ")[1])
+    )
