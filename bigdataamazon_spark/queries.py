@@ -12059,3 +12059,53 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pattern_len") == 1)
         | (F.split(F.col("pattern"), " -> ")[0] != F.split(F.col("pattern"), " -> ")[1])
     )
+
+
+@register(
+    "customer_l_diversity",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 5000.0) AS INTEGER) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    cls AS (
+      SELECT nation, bal_band,
+             count(*) AS n_rows,
+             count(DISTINCT sensitive) AS l
+      FROM q GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           round(avg(CAST(l AS DOUBLE)), 6) AS avg_l,
+           CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_below_l3
+    FROM cls
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. — the attribute-
+    disclosure companion to `customer_k_anonymity`): k-anonymity stops
+    re-identification but a class whose SENSITIVE attribute is uniform
+    still leaks it; this measures distinct sensitive values (market
+    segment) per quasi-identifier class and the rows in classes below
+    l=3. One agg with a distinct-count, one rollup — engine-exact
+    integers."""
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 5000.0).cast("int").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cls = q.groupBy("nation", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sensitive").alias("l"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.round(F.avg(F.col("l").cast("double")), 6).alias("avg_l"),
+        F.sum(F.when(F.col("l") < 3, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_l3"),
+    )
