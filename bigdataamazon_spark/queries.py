@@ -12109,3 +12109,145 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_below_l3"),
     )
+
+
+@register(
+    "source_temperature_mixing",
+    """
+    WITH tok AS (
+      SELECT source,
+             sum(len(string_split(text, ' '))) AS toks
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, toks,
+             pow(CAST(toks AS DOUBLE), 0.5) AS w
+      FROM tok
+    ),
+    s AS (SELECT sum(toks) AS tot_toks, sum(w) AS tot_w FROM t)
+    SELECT t.source, CAST(t.toks AS BIGINT) AS n_tokens,
+           round(t.toks / s.tot_toks, 6) AS raw_share,
+           round(t.w / s.tot_w, 6) AS temp_share,
+           CAST(round(t.w / s.tot_w * 10000, 0) AS BIGINT) AS docs_per_10k
+    FROM t, s
+    """,
+)
+def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (beyond ref; the
+    multilingual/multi-domain sampling lever of every pretraining run —
+    alpha=0.5 upweights small sources, cf. the mixing rule popularized
+    by multilingual LM training): per-source token mass, raw share,
+    alpha-damped share, and the per-10k-document sampling allocation.
+    One scan, one source agg, a 1-row broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("toks")
+    )
+    t = tok.withColumn("w", F.pow(F.col("toks").cast("double"), 0.5))
+    s = t.agg(
+        F.sum("toks").alias("tot_toks"), F.sum("w").alias("tot_w")
+    )
+    return t.crossJoin(F.broadcast(s)).select(
+        "source",
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        F.round(F.col("toks") / F.col("tot_toks"), 6).alias("raw_share"),
+        F.round(F.col("w") / F.col("tot_w"), 6).alias("temp_share"),
+        F.round(F.col("w") / F.col("tot_w") * 10000, 0)
+        .cast("bigint")
+        .alias("docs_per_10k"),
+    )
+
+
+@register(
+    "phrase_search_positional",
+    """
+    WITH toks AS (
+      SELECT doc_id, lower(word) AS word, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    t1 AS (SELECT doc_id, pos FROM toks WHERE word = 'the'),
+    t2 AS (SELECT doc_id, pos FROM toks WHERE word = 'data'),
+    hits AS (
+      SELECT t1.doc_id, count(*) AS n_phrase_hits
+      FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_phrase_hits AS BIGINT) AS n_phrase_hits
+    FROM hits
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional posting lists (beyond ref;
+    the IR layer BM25 term matching can't express): tokenize with
+    positions (posexplode), build per-term posting lists, and join the
+    phrase's terms on (doc, adjacent positions) — the classic inverted-
+    index phrase algorithm. The join is term-filtered BEFORE the
+    position equi-join, so cost scales with the phrase terms' posting
+    lists, not the corpus — at 100 TB exactly how a search engine
+    evaluates phrases. Probe phrase: "the data"."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.lower(F.col("word")).alias("word"),
+            (F.col("pos0") + 1).alias("pos"),
+        )
+    )
+    t1 = toks.filter(F.col("word") == "the").select("doc_id", F.col("pos").alias("p1"))
+    t2 = toks.filter(F.col("word") == "data").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    hits = (
+        t1.join(
+            t2,
+            (F.col("doc_id") == F.col("doc_id2")) & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_phrase_hits"))
+    )
+    return hits.select("doc_id", F.col("n_phrase_hits").cast("bigint").alias("n_phrase_hits"))
+
+
+@register(
+    "filtered_ann_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec
+      FROM embeddings WHERE label % 2 = 0
+    ), normed AS (
+      SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+    ), edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS score
+      FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC)
+               AS rnk
+      FROM edges
+    )
+    SELECT src, dst, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (beyond ref; the metadata-predicate + ANN
+    combination every vector DB serves): cosine top-3 restricted to an
+    even-label subset, with the filter applied BEFORE candidate
+    generation (pre-filtering) — the order that guarantees exactly k
+    valid results; post-filtering an unfiltered top-k under-returns
+    whenever neighbors fail the predicate (asserted by a pytest on a
+    crafted case). The predicate prunes the corpus at the scan, then
+    the existing guarded exact-GEMM/IVF machinery runs unchanged."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") % 2 == 0)
+    return similarity.cosine_topk(emb, "vec_id", "embedding", k=3)

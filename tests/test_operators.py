@@ -995,3 +995,34 @@ def test_als_recs_shape_and_training_recall(spark):
         assert [k for k, _ in recs] == [1, 2, 3]
         scores = [s for _, s in recs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_prefilter_ann_beats_postfilter(spark):
+    """Pre-filtering returns exactly k valid neighbors; post-filtering
+    an unfiltered top-k can under-return — the ordering argument the
+    filtered_ann_topk docstring makes, proven on a crafted corpus."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 1),   # nearest to 1 but wrong label
+        (3, [0.99, 0.02], 1),    # 2nd nearest, wrong label
+        (4, [0.0, 1.0], 0),      # valid but far
+        (5, [-1.0, 0.0], 0),     # valid but opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pre = similarity.cosine_topk(
+        df.filter(F.col("label") == 0), "vec_id", "embedding", k=2
+    )
+    got_pre = {(r["src"], r["dst"]) for r in pre.collect() if r["src"] == 1}
+    assert got_pre == {(1, 4), (1, 5)}  # exactly k=2 valid neighbors
+    post_all = similarity.cosine_topk(df, "vec_id", "embedding", k=2)
+    valid = {r[0] for r in rows if r[2] == 0}
+    got_post = {
+        (r["src"], r["dst"])
+        for r in post_all.collect()
+        if r["src"] == 1 and r["dst"] in valid
+    }
+    assert len(got_post) < 2  # post-filter under-returns
