@@ -12251,3 +12251,136 @@ def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") % 2 == 0)
     return similarity.cosine_topk(emb, "vec_id", "embedding", k=3)
+
+
+def _mmr_step_sql(i: int) -> str:
+    prev_sel = f"sel{i - 1}"
+    return f"""
+    p{i} AS MATERIALIZED (
+      SELECT {i} AS step, c.doc_id, c.rel,
+             0.7 * c.rel - 0.3 * coalesce(
+               (SELECT max(s.sim) FROM sims s
+                WHERE s.a = c.doc_id
+                  AND s.b IN (SELECT doc_id FROM {prev_sel})), 0.0) AS mmr
+      FROM cand c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev_sel})
+      ORDER BY mmr DESC, c.doc_id ASC LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT step, doc_id, mmr FROM {prev_sel}
+               UNION ALL SELECT step, doc_id, mmr FROM p{i})"""
+
+
+_MMR_ORACLE = (
+    f"""
+    WITH bmq AS MATERIALIZED ({_ORACLES["bm25_search"]}),
+    cand AS MATERIALIZED (SELECT doc_id, score AS rel FROM bmq),
+    ctoks AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id, t.word
+      FROM documents d JOIN cand ON d.doc_id = cand.doc_id,
+           unnest(string_split(d.text, ' ')) t(word)
+      WHERE t.word <> ''
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY 1),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM ctoks a JOIN ctoks b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sims AS MATERIALIZED (
+      SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS sim
+      FROM inter i
+      JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT 1 AS step, doc_id, rel, 0.7 * rel AS mmr
+      FROM cand ORDER BY 0.7 * rel DESC, doc_id ASC LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT step, doc_id, mmr FROM p1),"""
+    + ",".join(_mmr_step_sql(i) for i in range(2, 11))
+    + """
+    SELECT CAST(step AS INTEGER) AS rank, doc_id, round(mmr, 6) AS mmr_score
+    FROM sel10
+    """
+)
+
+
+@register("mmr_diversified_search", _MMR_ORACLE)
+def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein —
+    the diversification stage between retrieval and the user): the
+    registered BM25 top-20 greedily re-ranked to 10 results by
+    0.7·relevance − 0.3·max-Jaccard-to-already-selected. Candidate
+    relevance and the 20×20 token-Jaccard matrix are computed
+    relationally (bounded by k, not the corpus); only the k-step greedy
+    — genuinely sequential, like Holt/clamped-ledger — runs as one
+    bounded Arrow hop. The oracle unrolls the same 10 argmax steps as
+    chained CTEs, so the driver hash-checks a sequential IR algorithm
+    end-to-end."""
+    import pandas as pd
+
+    bm = _QUERIES["bm25_search"](spark, sf_dir).select(
+        "doc_id", F.col("score").alias("rel")
+    )
+    docs = load_table(spark, sf_dir, "documents").join(
+        bm.select("doc_id"), "doc_id", "left_semi"
+    )
+    ctoks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ctoks.select(F.col("doc_id").alias("a"), "word")
+    b = ctoks.select(F.col("doc_id").alias("b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sims = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("sim"),
+        )
+    )
+    tagged = bm.select(
+        F.lit("rel").alias("kind"), F.col("doc_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"), F.col("rel").alias("val"),
+    ).unionAll(
+        sims.select(F.lit("sim").alias("kind"), "a", "b", F.col("sim").alias("val"))
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(r.a): float(r.val) for r in pdf[pdf["kind"] == "rel"].itertuples()
+        }
+        sim = {
+            (int(r.a), int(r.b)): float(r.val)
+            for r in pdf[pdf["kind"] == "sim"].itertuples()
+        }
+        selected: list[int] = []
+        out = []
+        for step in range(1, 11):
+            best = None
+            for c in sorted(rel):
+                if c in selected:
+                    continue
+                ms = max((sim.get((c, s), 0.0) for s in selected), default=0.0)
+                score = 0.7 * rel[c] - 0.3 * ms
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            out.append((step, best[0], round(best[1], 6)))
+        return pd.DataFrame(out, columns=["rank", "doc_id", "mmr_score"])
+
+    return (
+        tagged.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda pdf: greedy(pdf), "rank int, doc_id bigint, mmr_score double"
+        )
+    )

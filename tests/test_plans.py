@@ -921,3 +921,12 @@ def test_sentiment_lexicon_broadcasts(spark, sf_dir):
     plan = _executed_plan(spark, "doc_sentiment_scores", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert ["doc_id", "text"] in _scan_schemas(plan)
+
+
+def test_mmr_greedy_is_single_bounded_arrow_hop(spark, sf_dir):
+    """MMR: relevance + candidate-similarity are relational; only the
+    k-step greedy runs in Python — exactly one grouped Arrow hop over
+    the k-bounded candidate set."""
+    plan = _executed_plan(spark, "mmr_diversified_search", sf_dir)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
