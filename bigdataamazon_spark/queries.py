@@ -12318,8 +12318,10 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     import pandas as pd
 
-    bm = _QUERIES["bm25_search"](spark, sf_dir).select(
-        "doc_id", F.col("score").alias("rel")
+    bm = materialize_shared(
+        _QUERIES["bm25_search"](spark, sf_dir).select(
+            "doc_id", F.col("score").alias("rel")
+        )
     )
     docs = load_table(spark, sf_dir, "documents").join(
         bm.select("doc_id"), "doc_id", "left_semi"
