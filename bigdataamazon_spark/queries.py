@@ -12386,3 +12386,55 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda pdf: greedy(pdf), "rank int, doc_id bigint, mmr_score double"
         )
     )
+
+
+@register(
+    "top_event_trigram_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+             count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER) AS rank
+    FROM paths ORDER BY n DESC, path ASC LIMIT 5
+    """,
+)
+def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top contiguous 3-step user paths (beyond ref; the clickstream
+    path-analysis complement to PrefixSpan's gapped subsequences —
+    CONTIGUOUS steps, the 'what do users actually do next' view): two
+    lead windows per user turn each event into its forward trigram, one
+    count agg, global top-5 via TakeOrdered. The window shuffle is
+    user-keyed (data-sized, combiner-friendly count after) — no
+    session collect, no Python."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.orderBy(F.desc("n"), F.asc("path"))
+        .limit(5)
+        .select(
+            "path",
+            F.col("n").cast("bigint").alias("n"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+    )
