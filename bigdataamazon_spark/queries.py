@@ -12438,3 +12438,133 @@ def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("int").alias("rank"),
         )
     )
+
+
+_IDCG_PREFIX = (
+    1.0,
+    1.6309297535714575,
+    2.1309297535714578,
+    2.5616063116448506,
+    2.9484591188793923,
+    3.3046663059874146,
+    3.637999639320748,
+    3.953464516106477,
+    4.254494511770458,
+    4.543559338088346,
+)
+
+_IDCG_VALUES = ", ".join(f"({m + 1}, {v!r})" for m, v in enumerate(_IDCG_PREFIX))
+
+
+@register(
+    "retrieval_eval_metrics",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id % 50 = 0),
+    edges AS (
+      SELECT q.vec_id AS src, q.label AS q_label, b.vec_id AS dst,
+             b.label AS d_label,
+             list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm) AS score
+      FROM q JOIN normed b ON q.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY score DESC, dst ASC
+      ) AS rnk FROM edges
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+    nrel AS (
+      SELECT q.vec_id AS src, count(*) AS n_relevant
+      FROM q JOIN normed b ON b.label = q.label AND b.vec_id <> q.vec_id
+      GROUP BY 1
+    ),
+    idcg(m, v) AS (VALUES {_IDCG_VALUES}),
+    per_q AS (
+      SELECT t.src,
+             sum(CASE WHEN t.d_label = t.q_label THEN 1 ELSE 0 END) AS hits,
+             max(CASE WHEN t.d_label = t.q_label THEN 1.0 / t.rnk ELSE 0.0 END)
+               AS rr,
+             sum(CASE WHEN t.d_label = t.q_label
+                      THEN 1.0 / log2(CAST(t.rnk + 1 AS DOUBLE)) ELSE 0.0 END)
+               AS dcg
+      FROM top10 t GROUP BY 1
+    )
+    SELECT p.src AS query_id, CAST(n.n_relevant AS BIGINT) AS n_relevant,
+           CAST(p.hits AS BIGINT) AS hits,
+           round(CAST(p.hits AS DOUBLE) / n.n_relevant, 6) AS recall10,
+           round(p.rr, 6) AS mrr,
+           round(p.dcg / i.v, 6) AS ndcg10
+    FROM per_q p
+    JOIN nrel n ON p.src = n.src
+    JOIN idcg i ON i.m = least(10, n.n_relevant)
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality evaluation (beyond ref; the eval loop every
+    embedding-retrieval system ships with): label-relevance qrels over
+    the embedding corpus, cosine top-10 per query vector, and per-query
+    recall@10 / MRR / nDCG@10 — the three standard IR metrics — with
+    the IDCG prefix embedded as shared literal constants so both
+    engines discount identically. The metric aggregation is one pass
+    over the k-bounded retrieved set joined to a per-label relevance
+    count; the retrieval stage is the guarded exact-GEMM (swap for
+    IVF/LSH at corpus scale, metrics unchanged)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    q_ids = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    from .operators import similarity
+
+    topk = similarity.cosine_topk(emb, "vec_id", "embedding", k=10).join(
+        q_ids.withColumnRenamed("vec_id", "src"), "src", "left_semi"
+    )
+    t = (
+        topk.join(
+            labels.select(F.col("vec_id").alias("src"), F.col("label").alias("q_label")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("dst"), F.col("label").alias("d_label")),
+            "dst",
+        )
+    )
+    rel = F.when(F.col("d_label") == F.col("q_label"), 1).otherwise(0)
+    per_q = t.groupBy("src").agg(
+        F.sum(rel).alias("hits"),
+        F.max(
+            F.when(rel == 1, 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("rr"),
+        F.sum(
+            F.when(rel == 1, 1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    lab_counts = labels.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    nrel = (
+        q_ids.join(labels, "vec_id")
+        .join(F.broadcast(lab_counts), "label")
+        .select(F.col("vec_id").alias("src"), (F.col("nl") - 1).alias("n_relevant"))
+    )
+    idcg = spark.createDataFrame(
+        [(m + 1, v) for m, v in enumerate(_IDCG_PREFIX)], ["m", "v"]
+    )
+    return (
+        per_q.join(nrel, "src")
+        .join(
+            F.broadcast(idcg),
+            F.col("m") == F.least(F.lit(10), F.col("n_relevant")),
+        )
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.round(F.col("hits").cast("double") / F.col("n_relevant"), 6).alias(
+                "recall10"
+            ),
+            F.round("rr", 6).alias("mrr"),
+            F.round(F.col("dcg") / F.col("v"), 6).alias("ndcg10"),
+        )
+    )
