@@ -12568,3 +12568,121 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("v"), 6).alias("ndcg10"),
         )
     )
+
+
+_CH_RING_SQL = """
+      SELECT s, r,
+             ('0x' || substr(md5('vn:' || CAST(s AS VARCHAR) || ':'
+                                 || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS pos
+      FROM unnest(range(0, {n_shards})) t(s), unnest(range(0, 64)) u(r)
+"""
+
+
+@register(
+    "consistent_hash_rebalance_audit",
+    f"""
+    WITH ring8 AS ({_CH_RING_SQL.format(n_shards=8)}),
+    ring9 AS ({_CH_RING_SQL.format(n_shards=9)}),
+    docs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents
+    ),
+    a8 AS (
+      SELECT d.doc_id,
+             coalesce(
+               min_by(r.s, r.pos) FILTER (WHERE r.pos >= d.h),
+               (SELECT min_by(s, pos) FROM ring8)) AS shard
+      FROM docs d CROSS JOIN ring8 r GROUP BY d.doc_id, d.h
+    ),
+    a9 AS (
+      SELECT d.doc_id,
+             coalesce(
+               min_by(r.s, r.pos) FILTER (WHERE r.pos >= d.h),
+               (SELECT min_by(s, pos) FROM ring9)) AS shard
+      FROM docs d CROSS JOIN ring9 r GROUP BY d.doc_id, d.h
+    ),
+    j AS (
+      SELECT a8.doc_id, a8.shard AS s8, a9.shard AS s9,
+             d.doc_id % 8 AS m8, d.doc_id % 9 AS m9
+      FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id JOIN docs d ON d.doc_id = a8.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved,
+           round(avg(CASE WHEN s8 <> s9 THEN 1.0 ELSE 0.0 END), 6) AS ring_moved_frac,
+           CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+           round(avg(CASE WHEN m8 <> m9 THEN 1.0 ELSE 0.0 END), 6) AS mod_moved_frac
+    FROM j
+    """,
+)
+def consistent_hash_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing placement audit (Karger et al. — the data-
+    placement primitive under every 100 TB shard map): docs assigned to
+    8 shards via a 64-vnode md5 ring, then the ring grows to 9 shards
+    and the audit measures the moved fraction — ~1/9 for the ring vs
+    the ~8/9 a naive ``mod`` scheme reshuffles (both measured,
+    side-by-side). The ring is a 512/576-row broadcast; successor
+    lookup is a min-over-filtered agg per doc (constant fan-out per
+    row, no shuffle growth with corpus size)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    d = docs.select("doc_id", h.alias("h"))
+
+    def ring(n_shards: int) -> DataFrame:
+        shards = spark.range(n_shards).select(F.col("id").alias("s"))
+        reps = spark.range(64).select(F.col("id").alias("r"))
+        pos = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("vn:"), F.col("s").cast("string"),
+                        F.lit(":"), F.col("r").cast("string"),
+                    )
+                ), 1, 15,
+            ), 16, 10,
+        ).cast("bigint")
+        return shards.crossJoin(reps).select("s", pos.alias("pos"))
+
+    def assign(ring_df: DataFrame, out: str) -> DataFrame:
+        rmin = ring_df.orderBy("pos").limit(1).select(
+            F.col("s").alias("wrap_s")
+        )
+        fan = d.crossJoin(F.broadcast(ring_df))
+        succ = (
+            fan.filter(F.col("pos") >= F.col("h"))
+            .groupBy("doc_id")
+            .agg(F.min_by("s", "pos").alias("succ_s"))
+        )
+        return (
+            d.join(succ, "doc_id", "left")
+            .crossJoin(F.broadcast(rmin))
+            .select(
+                "doc_id", F.coalesce("succ_s", "wrap_s").alias(out)
+            )
+        )
+
+    a8 = assign(ring(8), "s8")
+    a9 = assign(ring(9), "s9")
+    j = (
+        a8.join(a9, "doc_id")
+        .select(
+            "s8", "s9",
+            (F.col("doc_id") % 8).alias("m8"), (F.col("doc_id") % 9).alias("m9"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("s8") != F.col("s9")).cast("int")).cast("bigint").alias("ring_moved"),
+        F.round(F.avg((F.col("s8") != F.col("s9")).cast("double")), 6).alias(
+            "ring_moved_frac"
+        ),
+        F.sum((F.col("m8") != F.col("m9")).cast("int")).cast("bigint").alias("mod_moved"),
+        F.round(F.avg((F.col("m8") != F.col("m9")).cast("double")), 6).alias(
+            "mod_moved_frac"
+        ),
+    )
