@@ -88,6 +88,14 @@ HEADLINE = [
     "order_price_bootstrap_ci",
     "incremental_join_maintenance",
     "conformal_price_interval",
+    # late session-4: sketch fan-out, real audio decode, sequential IR
+    # re-rank, calendar-bounded motif pairs, lexicon join, PrefixSpan
+    "cms_word_count_audit",
+    "audio_waveform_features",
+    "mmr_diversified_search",
+    "revenue_window_motifs",
+    "doc_sentiment_scores",
+    "frequent_event_sequences",
 ]
 
 
