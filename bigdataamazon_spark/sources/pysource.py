@@ -211,3 +211,26 @@ class JsonlDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
         return JsonlDirWriter(self.options, overwrite)
+
+
+def vacuum_jsonl_dir(path: str) -> list[str]:
+    """Remove files not referenced by ``_MANIFEST`` (abandoned .tmp from
+    crashed tasks, superseded parts) — the GC pass every manifest-based
+    table format pairs with its commit protocol. Returns removed names.
+    Never touches the manifest itself or files it references, so a
+    concurrent reader trusting the manifest is unaffected."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "_MANIFEST")
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest) as fh:
+        live = {m["file"] for m in json.load(fh)["files"]}
+    removed = []
+    for name in os.listdir(path):
+        if name == "_MANIFEST" or name in live:
+            continue
+        os.remove(os.path.join(path, name))
+        removed.append(name)
+    return sorted(removed)

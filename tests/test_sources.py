@@ -415,3 +415,20 @@ def test_python_datasource_writer_commit_protocol(spark, tmp_path):
     assert sorted((r["id"], r["g"]) for r in back.collect()) == [
         (i, i % 7) for i in range(100)
     ]
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    import os
+
+    from bigdataamazon_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "out")
+    spark.range(10).write.format("jsonl_dir").option("path", out).mode("append").save()
+    # simulate a crashed task's leftover and a stray file
+    open(os.path.join(out, "part-dead.jsonl.tmp"), "w").write("{}")
+    open(os.path.join(out, "stray.txt"), "w").write("x")
+    removed = pysource.vacuum_jsonl_dir(out)
+    assert removed == ["part-dead.jsonl.tmp", "stray.txt"]
+    assert spark.read.json(os.path.join(out, "*.jsonl")).count() == 10
+    assert pysource.vacuum_jsonl_dir(out) == []
