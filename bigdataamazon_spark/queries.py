@@ -12686,3 +12686,97 @@ def consistent_hash_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFra
             "mod_moved_frac"
         ),
     )
+
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@register(
+    "zorder_layout_skipping_audit",
+    f"""
+    WITH keyed AS (
+      SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem
+    ),
+    laid AS (
+      SELECT a, b,
+             ({_Z_INTERLEAVE_SQL}) // 1024 AS z_bucket,
+             (b * 256 + a) // 1024 AS lin_bucket
+      FROM keyed
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN a BETWEEN 32 AND 47 THEN 1 ELSE 0 END AS hit FROM laid
+    ),
+    z AS (
+      SELECT count(DISTINCT z_bucket) AS total,
+             count(DISTINCT CASE WHEN hit = 1 THEN z_bucket END) AS touched,
+             sum(hit) AS rows_matched
+      FROM flagged
+    ),
+    lin AS (
+      SELECT count(DISTINCT lin_bucket) AS total,
+             count(DISTINCT CASE WHEN hit = 1 THEN lin_bucket END) AS touched,
+             sum(hit) AS rows_matched
+      FROM flagged
+    )
+    SELECT 'zorder' AS layout, CAST(total AS BIGINT) AS buckets_total,
+           CAST(touched AS BIGINT) AS buckets_touched,
+           round(CAST(touched AS DOUBLE) / total, 6) AS touched_frac,
+           CAST(rows_matched AS BIGINT) AS rows_matched
+    FROM z
+    UNION ALL
+    SELECT 'linear', CAST(total AS BIGINT), CAST(touched AS BIGINT),
+           round(CAST(touched AS DOUBLE) / total, 6), CAST(rows_matched AS BIGINT)
+    FROM lin
+    """,
+)
+def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering effectiveness, measured (beyond ref; the
+    WHY behind the parquet sink's z-order write path): rows laid into
+    64 buckets by Morton-interleaved (partkey, suppkey) bits vs a
+    suppkey-major linear layout, then a partkey range predicate counts
+    how many buckets contain ANY match — the min/max-zone-map proxy.
+    Z-order localizes both dimensions, so the partkey predicate touches
+    a fraction of buckets while the linear layout smears it across ALL
+    of them — the measured justification for multi-dimensional
+    clustering at 100 TB. Pure integer bit arithmetic, engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("a"), (F.col("l_suppkey") % 256).alias("b")
+    )
+    z = None
+    for i in range(8):
+        term = (
+            F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        z = term if z is None else z + term
+    laid = li.select(
+        "a",
+        (z / 1024).cast("int").alias("z_bucket"),
+        ((F.col("b") * 256 + F.col("a")) / 1024).cast("int").alias("lin_bucket"),
+    )
+    flagged = laid.withColumn(
+        "hit", F.col("a").between(32, 47).cast("int")
+    )
+    flagged = materialize_shared(flagged)
+
+    def audit(bucket_col: str, layout: str) -> DataFrame:
+        return flagged.agg(
+            F.countDistinct(bucket_col).cast("bigint").alias("buckets_total"),
+            F.countDistinct(
+                F.when(F.col("hit") == 1, F.col(bucket_col))
+            ).cast("bigint").alias("buckets_touched"),
+            F.sum("hit").cast("bigint").alias("rows_matched"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "buckets_total",
+            "buckets_touched",
+            F.round(
+                F.col("buckets_touched").cast("double") / F.col("buckets_total"), 6
+            ).alias("touched_frac"),
+            "rows_matched",
+        )
+
+    return audit("z_bucket", "zorder").unionAll(audit("lin_bucket", "linear"))
