@@ -289,3 +289,36 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """(node, hops): minimum hop count from ``source`` over directed
+    edges (symmetrize for undirected). Frontier-relaxation BFS: each
+    round joins the current distance table to the edge list and keeps
+    improved distances — one keyed exchange + min-agg per round, the
+    same localCheckpoint loop discipline as the rest of this module.
+    Fixed ``max_hops`` (not convergence) keeps it oracle-replayable;
+    unreached nodes are absent."""
+    e = edges.select(F.col(src).alias("b_src"), F.col(dst).alias("b_dst"))
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        e.sparkSession.createDataFrame([(source, 0)], ["node", "hops"])
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e["b_src"] == dist["node"])
+            .select(F.col("b_dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

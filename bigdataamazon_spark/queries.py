@@ -12780,3 +12780,133 @@ def zorder_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit("z_bucket", "zorder").unionAll(audit("lin_bucket", "linear"))
+
+
+def _bfs_round_sql(i: int) -> str:
+    return f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, min(hops) AS hops FROM (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM edges e JOIN d{i - 1} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+
+
+_BFS_ORACLE = (
+    """
+    WITH raw AS MATERIALIZED (
+      SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM raw
+      UNION SELECT b AS src, a AS dst FROM raw
+    ),
+    d0 AS (SELECT 0 AS node, 0 AS hops),"""
+    + ",".join(_bfs_round_sql(i) for i in (1, 2, 3, 4))
+    + """
+    SELECT n_nationkey, n_name, CAST(hops AS INTEGER) AS hops
+    FROM d4 JOIN nation ON node = n_nationkey
+    """
+)
+
+
+@register("nation_trade_bfs_hops", _BFS_ORACLE)
+def nation_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop counts from NATION_0 over the undirected trade
+    graph (beyond ref; completes graph traversal next to components /
+    ranks / communities / cores): frontier relaxation, one keyed
+    exchange + min-agg per round (graph.bfs_hops), 4 fixed rounds so
+    the oracle unrolls the same relaxations as MATERIALIZED CTEs."""
+    from .operators import graph
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    dist = graph.bfs_hops(edges, 0, max_hops=4)
+    return dist.join(
+        F.broadcast(nat), F.col("node") == F.col("n_nationkey")
+    ).select("n_nationkey", "n_name", F.col("hops").cast("int").alias("hops"))
+
+
+@register(
+    "part_name_autocomplete",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part
+    ),
+    f AS (
+      SELECT word, count(*) AS freq FROM toks WHERE length(word) >= 3 GROUP BY 1
+    ),
+    pref AS (
+      SELECT substr(word, 1, 3) AS prefix, word, freq,
+             row_number() OVER (
+               PARTITION BY substr(word, 1, 3) ORDER BY freq DESC, word ASC
+             ) AS rnk
+      FROM f
+    ),
+    top_pref AS (
+      SELECT prefix, sum(freq) AS pf FROM pref GROUP BY 1
+      ORDER BY pf DESC, prefix ASC LIMIT 10
+    )
+    SELECT p.prefix, p.word AS completion, CAST(p.freq AS BIGINT) AS freq,
+           CAST(p.rnk AS INTEGER) AS rank
+    FROM pref p JOIN top_pref t ON p.prefix = t.prefix
+    WHERE p.rnk <= 3
+    """,
+)
+def part_name_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete index (beyond ref; the type-ahead serving
+    surface over the catalog vocabulary): word frequencies from part
+    names, top-3 completions per 3-char prefix for the 10 hottest
+    prefixes — a WindowGroupLimit per prefix over the vocabulary-sized
+    agg, never the corpus. The materialized (prefix → completions)
+    table is exactly what a serving tier would broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    toks = part.select(
+        F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("word")
+    ).filter(F.length("word") >= 3)
+    f = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pref = f.select(F.substring("word", 1, 3).alias("prefix"), "word", "freq")
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.asc("word"))
+    ranked = pref.withColumn("rnk", F.row_number().over(w))
+    ranked = materialize_shared(ranked)
+    top_pref = (
+        ranked.groupBy("prefix")
+        .agg(F.sum("freq").alias("pf"))
+        .orderBy(F.desc("pf"), F.asc("prefix"))
+        .limit(10)
+        .select("prefix")
+    )
+    return (
+        ranked.join(F.broadcast(top_pref), "prefix")
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "prefix",
+            F.col("word").alias("completion"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )

@@ -169,3 +169,13 @@ def test_ppr_concentrates_rank_on_seed_neighborhood(spark):
     assert ppr[1] > ppr[6] and ppr[2] > ppr[5]
     assert abs(uni[1] - uni[6]) < 1e-9  # symmetric graph, symmetric rank
     assert abs(sum(ppr.values()) - 1.0) < 1e-6  # no dangling loss here
+
+
+def test_bfs_hops_on_path_and_unreached(spark):
+    """Path 1-2-3-4 plus isolated 9: hop counts are exact and the
+    unreached node is absent."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (9, 9)], ["src", "dst"]
+    ).filter("src <> 9")
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, 1, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
