@@ -12910,3 +12910,139 @@ def part_name_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "ridge_cv_model_selection",
+    """
+    WITH rows_f AS (
+      SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y,
+             CASE WHEN ('0x' || substr(md5('cv:' || CAST(l_orderkey AS VARCHAR)
+                        || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.5
+                  THEN 0 ELSE 1 END AS fold
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT fold, count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM rows_f GROUP BY fold
+    ),
+    lambdas(lam) AS (VALUES (0.0), (1000.0), (1000000.0)),
+    coef AS (
+      SELECT m.fold AS trained_on, l.lam,
+             (c1y * (c22 + l.lam) - c2y * c12)
+               / ((c11 + l.lam) * (c22 + l.lam) - c12 * c12) AS b1,
+             ((c11 + l.lam) * c2y - c12 * c1y)
+               / ((c11 + l.lam) * (c22 + l.lam) - c12 * c12) AS b2,
+             m1, m2, my
+      FROM (
+        SELECT fold, n,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+               s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y
+        FROM mom
+      ) m CROSS JOIN lambdas l
+    ),
+    errs AS (
+      SELECT c.lam, r.fold,
+             avg(pow(r.y - (c.my + c.b1 * (r.x1 - c.m1) + c.b2 * (r.x2 - c.m2)), 2))
+               AS mse
+      FROM rows_f r JOIN coef c ON c.trained_on = 1 - r.fold
+      GROUP BY 1, 2
+    ),
+    cv AS (SELECT lam, avg(mse) AS cv_mse FROM errs GROUP BY lam),
+    best AS (SELECT lam FROM cv ORDER BY cv_mse ASC, lam ASC LIMIT 1)
+    SELECT cv.lam AS lambda, round(cv.cv_mse, 2) AS cv_mse,
+           CAST(CASE WHEN cv.lam = best.lam THEN 1 ELSE 0 END AS INTEGER)
+             AS is_selected
+    FROM cv, best
+    """,
+)
+def ridge_cv_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter search as a relational query (beyond ref; the CV
+    grid every tabular-ML pipeline runs): 2-fold md5-split ridge
+    regression (price ~ quantity + discount) over a lambda grid, each
+    model fit in CLOSED FORM from one pass of centered second moments
+    (the 2-feature normal equations with +lambda ridge diagonal — no
+    iterative solver, no collect), scored by held-out MSE, winner
+    flagged. Three scans total regardless of grid size; the grid only
+    widens a broadcast. The oracle evaluates the identical determinant
+    algebra, so model SELECTION — not just fitting — is hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    key = F.concat(
+        F.lit("cv:"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") / F.lit(
+        1152921504606846976.0
+    )
+    rows_f = li.select(
+        "x1", "x2", "y", F.when(u < 0.5, 0).otherwise(1).alias("fold")
+    )
+    rows_f = materialize_shared(rows_f)
+    mom = rows_f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    cent = mom.select(
+        "fold",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+    )
+    lambdas = spark.createDataFrame(
+        [(0.0,), (1000.0,), (1000000.0,)], ["lam"]
+    )
+    det = (F.col("c11") + F.col("lam")) * (F.col("c22") + F.col("lam")) - F.col(
+        "c12"
+    ) * F.col("c12")
+    coef = cent.crossJoin(F.broadcast(lambdas)).select(
+        F.col("fold").alias("trained_on"), "lam", "m1", "m2", "my",
+        ((F.col("c1y") * (F.col("c22") + F.col("lam")) - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        (((F.col("c11") + F.col("lam")) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    )
+    pred_err = F.pow(
+        F.col("y")
+        - (
+            F.col("my")
+            + F.col("b1") * (F.col("x1") - F.col("m1"))
+            + F.col("b2") * (F.col("x2") - F.col("m2"))
+        ),
+        2,
+    )
+    errs = (
+        rows_f.join(
+            F.broadcast(coef), F.col("trained_on") == 1 - F.col("fold")
+        )
+        .groupBy("lam", "fold")
+        .agg(F.avg(pred_err).alias("mse"))
+    )
+    cv = errs.groupBy("lam").agg(F.avg("mse").alias("cv_mse"))
+    cv = materialize_shared(cv)
+    best = cv.orderBy(F.asc("cv_mse"), F.asc("lam")).limit(1).select(
+        F.col("lam").alias("best_lam")
+    )
+    return cv.crossJoin(F.broadcast(best)).select(
+        F.col("lam").alias("lambda"),
+        F.round("cv_mse", 2).alias("cv_mse"),
+        (F.col("lam") == F.col("best_lam")).cast("int").alias("is_selected"),
+    )
