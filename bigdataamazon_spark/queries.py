@@ -13046,3 +13046,121 @@ def ridge_cv_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cv_mse", 2).alias("cv_mse"),
         (F.col("lam") == F.col("best_lam")).cast("int").alias("is_selected"),
     )
+
+
+_TEXTRANK_ORACLE = (
+    """
+    WITH pick AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      ORDER BY n_chars DESC, doc_id ASC LIMIT 1
+    ),
+    words AS (
+      SELECT t.w, t.pos FROM pick, (
+        SELECT unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM pick
+      ) t WHERE t.w <> ''
+    ),
+    sents AS MATERIALIZED (
+      SELECT CAST((pos - 1) // 12 + 1 AS INTEGER) AS idx,
+             string_agg(w, ' ' ORDER BY pos) AS sent
+      FROM words GROUP BY 1
+    ),
+    stoks AS MATERIALIZED (
+      SELECT DISTINCT idx, t.w
+      FROM sents, unnest(regexp_extract_all(lower(sent), '[a-z]+')) t(w)
+    ),
+    sizes AS (SELECT idx, count(*) AS n FROM stoks GROUP BY 1),
+    inter AS (
+      SELECT a.idx AS ia, b.idx AS ib, count(*) AS i
+      FROM stoks a JOIN stoks b ON a.w = b.w AND a.idx <> b.idx
+      GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT CAST(i.ia AS BIGINT) AS src, CAST(i.ib AS BIGINT) AS dst,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS w
+      FROM inter i JOIN sizes sa ON i.ia = sa.idx JOIN sizes sb ON i.ib = sb.idx
+    ),
+    norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+    + ",".join(_PAGERANK_ITER_SQL.format(k=k, j=k - 1) for k in range(1, 6))
+    + """
+    SELECT CAST(r5.node AS INTEGER) AS sent_idx, round(r5.rank, 7) AS rank,
+           substr(s.sent, 1, 40) AS excerpt
+    FROM r5 JOIN sents s ON s.idx = r5.node
+    ORDER BY r5.rank DESC, r5.node ASC LIMIT 3
+    """
+)
+
+
+@register("doc_textrank_summary", _TEXTRANK_ORACLE)
+def doc_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau — pagerank
+    over the sentence-similarity graph; beyond ref, and a showcase of
+    operator COMPOSITION: text splitting feeds the same
+    ``graph.pagerank`` the trade-graph entries use): the longest doc's
+    sentences, token-Jaccard edges, 5 rank rounds, top-3 sentences as
+    the summary. Everything is rational/fixed-round arithmetic, so the
+    oracle replays tokenize → graph → rank → select bit-for-bit."""
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pick = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(1).select("text")
+    words = (
+        pick.select(F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w"))
+        .filter(F.col("w") != "")
+        .select((F.col("pos0") + 1).alias("pos"), "w")
+    )
+    sents = (
+        words.groupBy(((F.col("pos") - 1) / 12).cast("int").alias("g"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("sent")
+        )
+        .select((F.col("g") + 1).cast("int").alias("idx"), "sent")
+    )
+    sents = materialize_shared(sents)
+    stoks = (
+        sents.select(
+            "idx",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("sent")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = stoks.groupBy("idx").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        stoks.select(F.col("idx").alias("ia"), "w")
+        .join(stoks.select(F.col("idx").alias("ib"), "w"), "w")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    e = (
+        inter.join(sizes.select(F.col("idx").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(sizes.select(F.col("idx").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            F.col("ia").cast("bigint").alias("src"),
+            F.col("ib").cast("bigint").alias("dst"),
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("w"),
+        )
+    )
+    ranks = graph.pagerank(e, weight="w", iters=5, damping=0.85)
+    return (
+        ranks.join(sents, ranks["node"] == sents["idx"])
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(3)
+        .select(
+            F.col("node").cast("int").alias("sent_idx"),
+            F.round("rank", 7).alias("rank"),
+            F.substring("sent", 1, 40).alias("excerpt"),
+        )
+    )
