@@ -1955,7 +1955,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H classic shapes, part 2: multi-dim join chains, disjunctive
 # pushdown, correlated scalar aggs, EXISTS/NOT-EXISTS decorrelation.
-# (The testdata schema drops partsupp, l_commitdate, p_container,
+# (The testdata schema drops partsupp, l_commitdate, p_type,
 # c_phone and l_shipmode, so Q5/Q7/Q10/Q17/Q19/Q21/Q22 are adapted to
 # the columns that exist; Q2/Q11/Q16/Q20 need partsupp and stay out.)
 # ---------------------------------------------------------------------------
@@ -13163,4 +13163,171 @@ def doc_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 7).alias("rank"),
             F.substring("sent", 1, 40).alias("excerpt"),
         )
+    )
+
+
+@register(
+    "linear_shap_attributions",
+    """
+    WITH s AS (
+      SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS b1,
+             round(avg(l_quantity), 6) AS m1,
+             round(avg(l_extendedprice), 4) AS base
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(s.b1 * (l_quantity - s.m1), 4) AS phi_quantity,
+           round(s.base + s.b1 * (l_quantity - s.m1), 4) AS prediction,
+           s.base AS base_value
+    FROM lineitem, s
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def linear_shap_attributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attributions for a linear model (beyond ref; the
+    explainability surface — for linear models SHAP has the closed form
+    phi_j = beta_j (x_j - E[x_j]), no sampling, no kernel): per-row
+    quantity attribution against the global OLS fit, with the additivity
+    identity prediction = base + sum(phi) carried as a column. The fit
+    is one moments pass; attribution is a zero-shuffle projection over
+    the (sampled) scoring rows — at 100 TB explanation costs the same
+    as prediction. Coefficients rounded before use (the calibration
+    discipline) so every phi hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    s = li.agg(
+        F.round(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("b1"),
+        F.round(F.avg("l_quantity"), 6).alias("m1"),
+        F.round(F.avg("l_extendedprice"), 4).alias("base"),
+    )
+    phi = F.col("b1") * (F.col("l_quantity") - F.col("m1"))
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(s))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(phi, 4).alias("phi_quantity"),
+            F.round(F.col("base") + phi, 4).alias("prediction"),
+            F.col("base").alias("base_value"),
+        )
+    )
+
+@register(
+    "fellegi_sunter_field_weights",
+    """
+    WITH base AS (
+      SELECT c_custkey AS rid, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band
+      FROM customer
+    ),
+    dirty AS (
+      SELECT rid + 1000000 AS rid,
+             substr(c_name, 1, length(c_name) - 2) AS c_name,
+             c_nationkey, c_mktsegment, bal_band
+      FROM base WHERE rid % 10 = 0
+    ),
+    recs AS (
+      SELECT *, substr(c_name, 1, 14) AS bk FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM dirty
+      )
+    ),
+    cand AS (
+      SELECT CASE WHEN b.rid = a.rid + 1000000 THEN 1 ELSE 0 END AS is_match,
+             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS ag_nat,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS ag_seg,
+             CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS ag_bal
+      FROM recs a JOIN recs b ON a.bk = b.bk AND a.rid < b.rid
+    ),
+    stats AS (
+      SELECT field,
+             least(greatest(m_raw, 0.000001), 0.999999) AS m,
+             least(greatest(u_raw, 0.000001), 0.999999) AS u
+      FROM (
+        SELECT 'nation' AS field,
+               sum(CASE WHEN is_match = 1 THEN ag_nat ELSE 0 END)
+                 / CAST(sum(is_match) AS DOUBLE) AS m_raw,
+               avg(CASE WHEN is_match = 0 THEN CAST(ag_nat AS DOUBLE) END) AS u_raw
+        FROM cand
+        UNION ALL
+        SELECT 'segment',
+               sum(CASE WHEN is_match = 1 THEN ag_seg ELSE 0 END)
+                 / CAST(sum(is_match) AS DOUBLE),
+               avg(CASE WHEN is_match = 0 THEN CAST(ag_seg AS DOUBLE) END)
+        FROM cand
+        UNION ALL
+        SELECT 'balance_band',
+               sum(CASE WHEN is_match = 1 THEN ag_bal ELSE 0 END)
+                 / CAST(sum(is_match) AS DOUBLE),
+               avg(CASE WHEN is_match = 0 THEN CAST(ag_bal AS DOUBLE) END)
+        FROM cand
+      )
+    )
+    SELECT field, round(m, 6) AS m_prob, round(u, 6) AS u_prob,
+           round(log2(m / u), 4) AS w_agree,
+           round(log2((1 - m) / (1 - u)), 4) AS w_disagree
+    FROM stats
+    """,
+)
+def fellegi_sunter_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage weights (beyond ref;
+    the theory layer under `part_entity_resolution`): a deterministic
+    dirty-duplicate generator (every 10th customer re-enters with a
+    truncated name — the synthesized-fixture pattern of the URL/blob
+    entries, since the corpus has no natural linkage structure) gives
+    labeled match pairs inside name-prefix blocks; per-field
+    m-probability (agreement among matches) vs u-probability (among
+    non-match candidates) yields the log2 agree/disagree weights a
+    linkage scorer sums. Nation/segment agree on true matches by
+    construction (m→1 clamped) while u sits at the field's base rate —
+    the weight separation that makes probabilistic linkage work.
+    Blocked candidates only, never all-pairs."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), "c_name", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+    )
+    dirty = base.filter(F.col("rid") % 10 == 0).select(
+        (F.col("rid") + 1000000).alias("rid"),
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("c_name"),
+        "c_nationkey", "c_mktsegment", "bal_band",
+    )
+    recs = base.unionAll(dirty).withColumn("bk", F.substring("c_name", 1, 14))
+    a = recs.select(*[F.col(c).alias(f"a_{c}") for c in recs.columns])
+    b = recs.select(*[F.col(c).alias(f"b_{c}") for c in recs.columns])
+    cand = a.join(
+        b, (F.col("a_bk") == F.col("b_bk")) & (F.col("a_rid") < F.col("b_rid"))
+    ).select(
+        (F.col("b_rid") == F.col("a_rid") + 1000000).cast("int").alias("is_match"),
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey")).cast("int").alias("ag_nat"),
+        (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).cast("int").alias("ag_seg"),
+        (F.col("a_bal_band") == F.col("b_bal_band")).cast("int").alias("ag_bal"),
+    )
+    cand = materialize_shared(cand)
+
+    def field_stats(field: str, ag: str) -> DataFrame:
+        return cand.agg(
+            F.lit(field).alias("field"),
+            (
+                F.sum(F.when(F.col("is_match") == 1, F.col(ag)).otherwise(0))
+                / F.sum("is_match").cast("double")
+            ).alias("m_raw"),
+            F.avg(
+                F.when(F.col("is_match") == 0, F.col(ag).cast("double"))
+            ).alias("u_raw"),
+        )
+
+    stats = (
+        field_stats("nation", "ag_nat")
+        .unionAll(field_stats("segment", "ag_seg"))
+        .unionAll(field_stats("balance_band", "ag_bal"))
+    )
+    m = F.least(F.greatest(F.col("m_raw"), F.lit(0.000001)), F.lit(0.999999))
+    u = F.least(F.greatest(F.col("u_raw"), F.lit(0.000001)), F.lit(0.999999))
+    return stats.select(
+        "field",
+        F.round(m, 6).alias("m_prob"),
+        F.round(u, 6).alias("u_prob"),
+        F.round(F.log2(m / u), 4).alias("w_agree"),
+        F.round(F.log2((1 - m) / (1 - u)), 4).alias("w_disagree"),
     )
