@@ -13331,3 +13331,192 @@ def fellegi_sunter_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log2(m / u), 4).alias("w_agree"),
         F.round(F.log2((1 - m) / (1 - u)), 4).alias("w_disagree"),
     )
+
+
+@register(
+    "text_token_dropout_augment",
+    """
+    WITH words AS (
+      SELECT doc_id, t.w, t.pos
+      FROM documents, (
+        SELECT doc_id AS did, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) t
+      WHERE t.did = doc_id AND t.w <> ''
+    ),
+    kept AS (
+      SELECT doc_id, w, pos
+      FROM words
+      WHERE ('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 >= 0.1
+    ),
+    agg AS (
+      SELECT w.doc_id,
+             count(*) AS n_orig,
+             count(k.pos) AS n_kept,
+             string_agg(k.w, ' ' ORDER BY k.pos) AS aug_text
+      FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id AND w.pos = k.pos
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, CAST(n_orig AS BIGINT) AS n_orig,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           round(1.0 - CAST(n_kept AS DOUBLE) / n_orig, 6) AS dropout_rate,
+           md5(aug_text) AS aug_md5
+    FROM agg WHERE n_orig > 0
+    """,
+)
+def text_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation (beyond ref; the text
+    side of contrastive/denoising pretraining — SimCSE-style views,
+    span-corruption-lite): each token survives iff its
+    md5('aug:'||doc||':'||pos) uniform >= 0.1, so the augmented view is
+    reproducible across runs/engines/partitionings (the property naive
+    rand() augmentation loses on retry). The registered output carries
+    the md5 of the reconstructed augmented text, so the driver
+    hash-checks the exact augmented CONTENT, not just counts. One
+    posexplode + filter + ordered re-agg, user-keyed exchange only."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("aug:"), F.col("doc_id").cast("string"),
+                    F.lit(":"), F.col("pos").cast("string"),
+                )
+            ), 1, 15,
+        ), 16, 10,
+    ).cast("bigint") / F.lit(1152921504606846976.0)
+    tagged = words.withColumn("keep", (u >= 0.1).cast("int"))
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_orig"),
+        F.sum("keep").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") == 1, F.struct("pos", "w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("aug_text"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_orig").cast("bigint").alias("n_orig"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(1.0 - F.col("n_kept").cast("double") / F.col("n_orig"), 6).alias(
+            "dropout_rate"
+        ),
+        F.md5("aug_text").alias("aug_md5"),
+    )
+
+
+@register(
+    "length_bucketed_batches",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 4 AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *,
+             (row_number() OVER (PARTITION BY shard ORDER BY n_tok, doc_id) - 1)
+               // 32 AS batch_in_shard,
+             (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+               // 32 AS naive_batch
+      FROM d
+    ),
+    bucketed AS (
+      SELECT shard, batch_in_shard,
+             count(*) AS n_docs, max(n_tok) AS max_tok, sum(n_tok) AS toks
+      FROM ordered GROUP BY 1, 2
+    ),
+    naive AS (
+      SELECT shard, naive_batch,
+             count(*) AS n_docs, max(n_tok) AS max_tok, sum(n_tok) AS toks
+      FROM ordered GROUP BY 1, 2
+    )
+    SELECT 'length_bucketed' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+           CAST(sum(toks) AS BIGINT) AS real_tokens,
+           round(1.0 - sum(toks) / CAST(sum(n_docs * max_tok) AS DOUBLE), 6)
+             AS padding_waste
+    FROM bucketed
+    UNION ALL
+    SELECT 'arrival_order', CAST(count(*) AS BIGINT),
+           CAST(sum(n_docs * max_tok) AS BIGINT), CAST(sum(toks) AS BIGINT),
+           round(1.0 - sum(toks) / CAST(sum(n_docs * max_tok) AS DOUBLE), 6)
+    FROM naive
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (beyond ref; the padding-
+    efficiency lever of every padded-batch training loop, and the
+    PADDING complement to `packed_sequences`' concatenation): docs are
+    hash-sharded, sorted by token count WITHIN each shard, and chunked
+    into 32-doc batches; padded cost = n_docs x batch-max length. The
+    same docs batched in arrival order show the padding waste bucketing
+    removes — both strategies measured side-by-side. Shard-local sort
+    (the packed_sequences discipline) keeps the sort n/shards-sized at
+    100 TB, never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("bigint"),
+            F.lit(4),
+        ).alias("shard"),
+    )
+    wl = Window.partitionBy("shard").orderBy("n_tok", "doc_id")
+    wn = Window.partitionBy("shard").orderBy("doc_id")
+    ordered = d.select(
+        "shard", "n_tok",
+        ((F.row_number().over(wl) - 1) / 32).cast("int").alias("batch_in_shard"),
+        ((F.row_number().over(wn) - 1) / 32).cast("int").alias("naive_batch"),
+    )
+    ordered = materialize_shared(ordered)
+
+    def audit(batch_col: str, strategy: str) -> DataFrame:
+        per = ordered.groupBy("shard", batch_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("toks"),
+        )
+        return per.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum(F.col("n_docs") * F.col("max_tok")).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            F.sum("toks").cast("bigint").alias("real_tokens"),
+            F.round(
+                1.0
+                - F.sum("toks")
+                / F.sum(F.col("n_docs") * F.col("max_tok")).cast("double"),
+                6,
+            ).alias("padding_waste"),
+        )
+
+    return audit("batch_in_shard", "length_bucketed").unionAll(
+        audit("naive_batch", "arrival_order")
+    )
