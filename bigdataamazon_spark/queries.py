@@ -13520,3 +13520,121 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("batch_in_shard", "length_bucketed").unionAll(
         audit("naive_batch", "arrival_order")
     )
+
+
+@register(
+    "preference_pairs_by_quality",
+    """
+    WITH q AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             round(
+               0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               + 0.5 * (1.0 - abs(length(text) - 500) / 1000.0), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC)
+               AS r_best,
+             row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id ASC)
+               AS r_worst
+      FROM q
+    ),
+    best AS (SELECT source, doc_id, quality FROM ranked WHERE r_best = 1),
+    worst AS (SELECT source, doc_id, quality FROM ranked WHERE r_worst = 1)
+    SELECT b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           round(b.quality, 6) AS chosen_q, round(w.quality, 6) AS rejected_q,
+           round(b.quality - w.quality, 6) AS margin
+    FROM best b JOIN worst w ON b.source = w.source
+    WHERE b.doc_id <> w.doc_id
+    """,
+)
+def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (beyond ref; the reward-model /
+    DPO data-prep step): per prompt-group (source), the highest- and
+    lowest-quality documents become a (chosen, rejected) pair with its
+    quality margin — deterministic ties, degenerate one-doc groups
+    dropped. Two WindowGroupLimit passes over a scored projection; at
+    100 TB the pair table is |groups|-sized, never |docs|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.round(
+        F.lit(0.5) * F.least(F.size(F.split(F.col("text"), " ")) / 100.0, F.lit(1.0))
+        + F.lit(0.5) * (1.0 - F.abs(F.length("text") - 500) / 1000.0),
+        6,
+    )
+    q = docs.select("doc_id", "source", quality.alias("quality"))
+    wb = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ww = Window.partitionBy("source").orderBy(F.asc("quality"), F.asc("doc_id"))
+    ranked = q.select(
+        "source", "doc_id", "quality",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+    )
+    ranked = materialize_shared(ranked)
+    best = ranked.filter(F.col("r_best") == 1).select(
+        "source", F.col("doc_id").alias("chosen_id"), F.col("quality").alias("cq")
+    )
+    worst = ranked.filter(F.col("r_worst") == 1).select(
+        "source", F.col("doc_id").alias("rejected_id"), F.col("quality").alias("rq")
+    )
+    return (
+        best.join(worst, "source")
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source", "chosen_id", "rejected_id",
+            F.round("cq", 6).alias("chosen_q"),
+            F.round("rq", 6).alias("rejected_q"),
+            F.round(F.col("cq") - F.col("rq"), 6).alias("margin"),
+        )
+    )
+
+
+@register(
+    "context_window_fit_audit",
+    """
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    win(w) AS (VALUES (64), (128), (256)),
+    x AS (
+      SELECT win.w, d.n_tok,
+             CASE WHEN d.n_tok <= win.w THEN 1 ELSE 0 END AS fits,
+             least(d.n_tok, win.w) AS kept
+      FROM d CROSS JOIN win
+    )
+    SELECT w AS window_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fits) AS BIGINT) AS n_fit,
+           round(avg(CAST(fits AS DOUBLE)), 6) AS fit_frac,
+           CAST(sum(n_tok) - sum(kept) AS BIGINT) AS tokens_truncated,
+           round(1.0 - sum(kept) / CAST(sum(n_tok) AS DOUBLE), 6)
+             AS truncation_loss
+    FROM x GROUP BY w
+    """,
+)
+def context_window_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window planning audit (beyond ref; the sizing decision
+    before packing/truncation in any pretraining run): for candidate
+    window sizes, the fraction of documents that fit outright and the
+    token mass lost to hard truncation — the numbers that decide
+    between truncate / split / pack strategies. One scan fanned against
+    a 3-row broadcast window spec, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    win = spark.createDataFrame([(64,), (128,), (256,)], ["w"])
+    x = docs.crossJoin(F.broadcast(win)).select(
+        "w", "n_tok",
+        (F.col("n_tok") <= F.col("w")).cast("int").alias("fits"),
+        F.least(F.col("n_tok"), F.col("w")).alias("kept"),
+    )
+    return x.groupBy(F.col("w").alias("window_tokens")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("fits").cast("bigint").alias("n_fit"),
+        F.round(F.avg(F.col("fits").cast("double")), 6).alias("fit_frac"),
+        (F.sum("n_tok") - F.sum("kept")).cast("bigint").alias("tokens_truncated"),
+        F.round(
+            1.0 - F.sum("kept") / F.sum("n_tok").cast("double"), 6
+        ).alias("truncation_loss"),
+    )
