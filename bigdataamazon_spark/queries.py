@@ -13638,3 +13638,58 @@ def context_window_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("kept") / F.sum("n_tok").cast("double"), 6
         ).alias("truncation_loss"),
     )
+
+
+@register(
+    "quantile_regression_grid",
+    """
+    WITH grid(b) AS (
+      SELECT 800.0 + 25.0 * i FROM unnest(range(0, 15)) t(i)
+    ),
+    x AS (
+      SELECT g.b, l_extendedprice - g.b * l_quantity AS r
+      FROM lineitem CROSS JOIN grid g
+    ),
+    losses AS (
+      SELECT b,
+             avg(CASE WHEN r >= 0 THEN 0.9 * r ELSE -0.1 * r END) AS loss
+      FROM x GROUP BY b
+    ),
+    best AS (SELECT b FROM losses ORDER BY loss ASC, b ASC LIMIT 1)
+    SELECT losses.b AS slope, round(losses.loss, 4) AS pinball_loss,
+           CAST(CASE WHEN losses.b = best.b THEN 1 ELSE 0 END AS INTEGER)
+             AS is_selected
+    FROM losses, best
+    """,
+)
+def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression by pinball-loss grid search (beyond ref; the
+    tau=0.9 price-per-unit frontier OLS can't give — quantile loss is
+    non-smooth, so the relational form is a grid evaluated in ONE
+    fanned scan rather than an iterative solver): 15 slope candidates
+    x the asymmetric pinball loss, winner flagged. The fan-out is
+    grid-sized and map-side combinable — at 100 TB a denser grid only
+    widens a broadcast, never adds a pass. Like `ridge_cv_model_
+    selection`, the SELECTION is hash-checked, not just the scores."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    grid = spark.range(15).select((800.0 + 25.0 * F.col("id")).alias("b"))
+    r = F.col("l_extendedprice") - F.col("b") * F.col("l_quantity")
+    losses = (
+        li.crossJoin(F.broadcast(grid))
+        .select("b", r.alias("r"))
+        .groupBy("b")
+        .agg(
+            F.avg(
+                F.when(F.col("r") >= 0, 0.9 * F.col("r")).otherwise(-0.1 * F.col("r"))
+            ).alias("loss")
+        )
+    )
+    losses = materialize_shared(losses)
+    best = losses.orderBy(F.asc("loss"), F.asc("b")).limit(1).select(
+        F.col("b").alias("best_b")
+    )
+    return losses.crossJoin(F.broadcast(best)).select(
+        F.col("b").alias("slope"),
+        F.round("loss", 4).alias("pinball_loss"),
+        (F.col("b") == F.col("best_b")).cast("int").alias("is_selected"),
+    )
