@@ -13693,3 +13693,65 @@ def quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loss", 4).alias("pinball_loss"),
         (F.col("b") == F.col("best_b")).cast("int").alias("is_selected"),
     )
+
+
+@register(
+    "daily_mix_drift_chisq",
+    """
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type FROM events
+    ),
+    gshare AS (
+      SELECT event_type, count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+      FROM base GROUP BY event_type
+    ),
+    daily AS (
+      SELECT d, event_type, count(*) AS o FROM base GROUP BY 1, 2
+    ),
+    totals AS (SELECT d, sum(o) AS n FROM daily GROUP BY d),
+    stat AS (
+      SELECT t.d,
+             sum(pow(coalesce(dy.o, 0) - t.n * g.p, 2) / (t.n * g.p)) AS chisq,
+             CAST(t.n AS BIGINT) AS n_events
+      FROM totals t
+      CROSS JOIN gshare g
+      LEFT JOIN daily dy ON dy.d = t.d AND dy.event_type = g.event_type
+      GROUP BY t.d, t.n
+    )
+    SELECT d, n_events, round(chisq, 6) AS chisq,
+           CAST(CASE WHEN chisq > 9.487729036781154 THEN 1 ELSE 0 END AS INTEGER)
+             AS drift_flag
+    FROM stat
+    """,
+)
+def daily_mix_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily categorical-mix drift monitor (beyond ref; the categorical
+    companion to `value_psi_drift`): each day's event-type mix tested
+    against the global mix with a chi-square statistic — expected
+    counts from a broadcast global-share table, the full day x type
+    grid via a LEFT join so zero-count cells still contribute — and
+    flagged over the chi2(df=4) 95% critical value (literal constant,
+    engine-shared). One scan, two aggs, a types-sized broadcast; this
+    is the shape of every production mix-shift alert."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "event_type"
+    )
+    ev = materialize_shared(ev)
+    total = ev.count()
+    glob = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / F.lit(float(total))).alias("p")
+    )
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    totals = daily.groupBy("d").agg(F.sum("o").alias("n"))
+    grid = totals.crossJoin(F.broadcast(glob))
+    joined = grid.join(daily, ["d", "event_type"], "left")
+    exp = F.col("n") * F.col("p")
+    stat = joined.groupBy("d", "n").agg(
+        F.sum(F.pow(F.coalesce(F.col("o"), F.lit(0)) - exp, 2) / exp).alias("chisq")
+    )
+    return stat.select(
+        "d",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("chisq", 6).alias("chisq"),
+        (F.col("chisq") > 9.487729036781154).cast("int").alias("drift_flag"),
+    )
