@@ -13836,3 +13836,105 @@ def timeseries_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("total_bits").cast("double") / F.col("n_values"), 4
         ).alias("bits_per_value"),
     )
+
+
+@register(
+    "robust_median_of_means",
+    """
+    WITH g AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5('mom:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               % 32 AS grp
+      FROM orders
+    ),
+    means AS (SELECT grp, avg(o_totalprice) AS m, count(*) AS n FROM g GROUP BY grp)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_group_n,
+           round(quantile_cont(m, 0.5), 4) AS median_of_means,
+           round(avg(m), 4) AS mean_of_means
+    FROM means
+    """,
+)
+def robust_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean estimator (beyond ref; the
+    heavy-tail-safe estimator of the robust statistics literature —
+    sub-Gaussian deviation bounds where the plain mean has none): rows
+    hash-bucketed into 32 deterministic groups, per-group means, median
+    across groups. The hash grouping makes the estimate partition- and
+    retry-invariant (a rand() grouping would not be), and the whole
+    computation is one combiner-friendly agg plus a 32-row percentile."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    grp = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mom:"), F.col("o_orderkey").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint"),
+        F.lit(32),
+    )
+    means = orders.groupBy(grp.alias("grp")).agg(
+        F.avg("o_totalprice").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("n").cast("bigint").alias("min_group_n"),
+        F.round(F.percentile("m", F.lit(0.5)), 4).alias("median_of_means"),
+        F.round(F.avg("m"), 4).alias("mean_of_means"),
+    )
+
+
+@register(
+    "capture_recapture_user_estimate",
+    """
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    m AS (SELECT count(*) AS overlap FROM w1 JOIN w2 USING (user_id)),
+    truth AS (SELECT count(DISTINCT user_id) AS actual FROM events)
+    SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS n_capture1,
+           CAST((SELECT count(*) FROM w2) AS BIGINT) AS n_capture2,
+           CAST(m.overlap AS BIGINT) AS n_recaptured,
+           round((SELECT count(*) FROM w1) * (SELECT count(*) FROM w2)
+                 / CAST(m.overlap AS DOUBLE), 4) AS lincoln_petersen_estimate,
+           CAST(truth.actual AS BIGINT) AS actual_distinct
+    FROM m, truth
+    """,
+)
+def capture_recapture_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln-Petersen —
+    beyond ref; estimating a population you can only sample, the
+    ecology method data teams reuse for 'how many users do we REALLY
+    have' when logging is partial): week-1 and week-2 active sets as
+    the two captures, N-hat = n1*n2/overlap, audited against the true
+    distinct count the full log makes available. Two semi-aggregated
+    distinct sets and one join — the estimate costs two window scans
+    where the exact count needs the whole log."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cut1 = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    w1 = ev.filter(F.col("ts") < cut1).select("user_id").distinct()
+    w2 = (
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.count()
+    n2 = w2.count()
+    overlap = w1.join(w2, "user_id").count()
+    actual = ev.select("user_id").distinct().count()
+    return load_table(spark, sf_dir, "nation").limit(1).select(
+        F.lit(n1).cast("bigint").alias("n_capture1"),
+        F.lit(n2).cast("bigint").alias("n_capture2"),
+        F.lit(overlap).cast("bigint").alias("n_recaptured"),
+        F.round(F.lit(n1 * n2 / float(overlap)), 4).alias(
+            "lincoln_petersen_estimate"
+        ),
+        F.lit(actual).cast("bigint").alias("actual_distinct"),
+    )
