@@ -13938,3 +13938,108 @@ def capture_recapture_user_estimate(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         F.lit(actual).cast("bigint").alias("actual_distinct"),
     )
+
+
+_ERF_SQL = """(1.0 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * {x}))
+  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * {x}), 2)
+  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * {x}), 3)
+  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * {x}), 4)
+  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * {x}), 5)) * exp(-({x}) * ({x})))"""
+
+
+@register(
+    "nation_balance_fdr_tests",
+    f"""
+    WITH g AS (
+      SELECT avg(c_acctbal) AS mu, stddev_pop(c_acctbal) AS sd FROM customer
+    ),
+    per AS (
+      SELECT c_nationkey AS nation, avg(c_acctbal) AS m, count(*) AS n FROM customer
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT per.nation, CAST(per.n AS BIGINT) AS n,
+             round((per.m - g.mu) / (g.sd / sqrt(per.n)), 6) AS zval
+      FROM per, g
+    ),
+    p AS (
+      SELECT nation, n, zval,
+             round(1.0 - {_ERF_SQL.format(x="abs(zval) / sqrt(2.0)")}, 10) AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pval ASC, nation ASC) AS rnk,
+             count(*) OVER () AS m_tests
+      FROM p
+    ),
+    kstar AS (
+      SELECT coalesce(max(CASE WHEN pval <= 0.05 * rnk / m_tests THEN rnk END), 0)
+               AS k
+      FROM ranked
+    )
+    SELECT r.nation, r.n, r.zval, round(r.pval, 6) AS pval,
+           CAST(r.rnk AS INTEGER) AS p_rank,
+           CAST(CASE WHEN r.rnk <= kstar.k THEN 1 ELSE 0 END AS INTEGER)
+             AS rejected_fdr05
+    FROM ranked r, kstar
+    """,
+)
+def nation_balance_fdr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing with Benjamini-Hochberg FDR control (beyond
+    ref; what happens AFTER a platform runs 25 per-segment tests at
+    once — uncorrected, ~1-2 false positives are expected by design):
+    per-nation z-tests of mean balance vs global, two-sided p-values
+    through a SHARED Abramowitz-Stegun erf polynomial (identical
+    literals both engines, z rounded before, so p is bit-identical
+    despite being an approximation), then the BH step-up: reject all
+    ranks <= max{{k : p_(k) <= alpha*k/m}}. The step-up is one window
+    rank + one conditional max — the whole correction is
+    tests-table-sized."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    g = cust.agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_pop("c_acctbal").alias("sd")
+    )
+    per = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.avg("c_acctbal").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    z = per.crossJoin(F.broadcast(g)).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("m") - F.col("mu")) / (F.col("sd") / F.sqrt(F.col("n"))), 6
+        ).alias("zval"),
+    )
+    x = F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    ) * F.exp(-x * x)
+    p = z.withColumn("pval", F.round(1.0 - erf, 10))
+    w = Window.orderBy(F.asc("pval"), F.asc("nation"))
+    ranked = p.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m_tests"),
+    )
+    ranked = materialize_shared(ranked)
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= 0.05 * F.col("rnk") / F.col("m_tests"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "nation", "n", "zval",
+        F.round("pval", 6).alias("pval"),
+        F.col("rnk").cast("int").alias("p_rank"),
+        (F.col("rnk") <= F.col("k")).cast("int").alias("rejected_fdr05"),
+    )
