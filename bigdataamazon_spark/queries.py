@@ -14043,3 +14043,154 @@ def nation_balance_fdr_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("int").alias("p_rank"),
         (F.col("rnk") <= F.col("k")).cast("int").alias("rejected_fdr05"),
     )
+
+
+@register(
+    "bigram_gtest_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM big),
+    c1 AS (SELECT w1, count(*) AS f1 FROM big GROUP BY 1),
+    c2 AS (SELECT w2, count(*) AS f2 FROM big GROUP BY 1),
+    c12 AS (SELECT w1, w2, count(*) AS f12 FROM big GROUP BY 1, 2),
+    cells AS (
+      SELECT c12.w1, c12.w2,
+             CAST(f12 AS DOUBLE) AS o11,
+             CAST(f1 - f12 AS DOUBLE) AS o12,
+             CAST(f2 - f12 AS DOUBLE) AS o21,
+             n - f1 - f2 + f12 AS o22,
+             CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2, n
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+    ),
+    g AS (
+      SELECT w1, w2, CAST(o11 AS BIGINT) AS f12,
+             round(2.0 * (
+               CASE WHEN o11 > 0 THEN o11 * ln(o11 * n / (f1 * f2)) ELSE 0 END
+             + CASE WHEN o12 > 0 THEN o12 * ln(o12 * n / (f1 * (n - f2))) ELSE 0 END
+             + CASE WHEN o21 > 0 THEN o21 * ln(o21 * n / ((n - f1) * f2)) ELSE 0 END
+             + CASE WHEN o22 > 0 THEN o22 * ln(o22 * n / ((n - f1) * (n - f2))) ELSE 0 END
+             ), 4) AS g2
+      FROM cells
+    )
+    SELECT w1, w2, f12, g2,
+           CAST(row_number() OVER (ORDER BY g2 DESC, w1 ASC, w2 ASC) AS INTEGER)
+             AS rank
+    FROM g ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def bigram_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood G-test
+    (beyond ref; the statistically-sound alternative to raw PMI, which
+    over-rewards rare pairs — `bigram_lm_pmi`'s known weakness): the
+    full 2x2 contingency G² per adjacent bigram, top-20. Marginals and
+    the pair table come from one positional self-join (the phrase-
+    search machinery); the G² expression is fixed-order arithmetic so
+    both engines agree under round(4). TakeOrdered tops the vocabulary-
+    sized table, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("p1"), F.col("w").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2"), F.col("w").alias("w2")
+    )
+    big = a.join(
+        b, (F.col("doc_id") == F.col("doc_id2")) & (F.col("p2") == F.col("p1") + 1)
+    ).select("w1", "w2")
+    big = materialize_shared(big)
+    n_total = float(big.count())
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("f1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("f2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f12"))
+    cells = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1", "w2",
+            F.col("f12").cast("double").alias("o11"),
+            (F.col("f1") - F.col("f12")).cast("double").alias("o12"),
+            (F.col("f2") - F.col("f12")).cast("double").alias("o21"),
+            (F.lit(n_total) - F.col("f1") - F.col("f2") + F.col("f12")).alias("o22"),
+            F.col("f1").cast("double").alias("f1d"),
+            F.col("f2").cast("double").alias("f2d"),
+            F.col("f12").alias("f12_raw"),
+        )
+    )
+    n = F.lit(n_total)
+
+    def term(o, e_num, e_den):
+        return F.when(o > 0, o * F.log(o * n / (e_num * e_den))).otherwise(0.0)
+
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("o11"), F.col("f1d"), F.col("f2d"))
+            + term(F.col("o12"), F.col("f1d"), n - F.col("f2d"))
+            + term(F.col("o21"), n - F.col("f1d"), F.col("f2d"))
+            + term(F.col("o22"), n - F.col("f1d"), n - F.col("f2d"))
+        ),
+        4,
+    )
+    scored = cells.select(
+        "w1", "w2", F.col("f12_raw").cast("bigint").alias("f12"), g2.alias("g2")
+    )
+    w = Window.orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select("w1", "w2", "f12", "g2", F.row_number().over(w).cast("int").alias("rank"))
+    )
+
+
+@register(
+    "event_burstiness_fano",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(c), 4) AS mean_daily,
+           round(var_pop(c), 4) AS var_daily,
+           round(var_pop(c) / avg(c), 6) AS fano_factor,
+           CAST(CASE WHEN var_pop(c) / avg(c) > 1.5 THEN 1 ELSE 0 END AS INTEGER)
+             AS bursty_flag
+    FROM daily GROUP BY event_type
+    """,
+)
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor (beyond ref; point-process
+    diagnostics — a Poisson arrival stream has variance/mean = 1, so
+    the index of dispersion of daily counts separates steady traffic
+    from bursty incident-driven load): per event type, daily-count
+    mean, variance, Fano factor, and an over-dispersion flag. Two
+    combiner aggs over one scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    fano = F.var_pop("c") / F.avg("c")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("c"), 4).alias("mean_daily"),
+        F.round(F.var_pop("c"), 4).alias("var_daily"),
+        F.round(fano, 6).alias("fano_factor"),
+        (fano > 1.5).cast("int").alias("bursty_flag"),
+    )
