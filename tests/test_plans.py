@@ -930,3 +930,25 @@ def test_mmr_greedy_is_single_bounded_arrow_hop(spark, sf_dir):
     plan = _executed_plan(spark, "mmr_diversified_search", sf_dir)
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_gtest_tops_vocabulary_not_corpus(spark, sf_dir):
+    plan = _executed_plan(spark, "bigram_gtest_collocations", sf_dir)
+    # top-20 via TakeOrdered over the bigram-vocabulary table
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fdr_correction_is_tests_table_sized(spark, sf_dir):
+    plan = _executed_plan(spark, "nation_balance_fdr_tests", sf_dir)
+    # one customer scan pruned to 2 columns; BH machinery runs on the
+    # 25-row test table
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"c_nationkey", "c_acctbal"}
+
+
+def test_mix_drift_grid_includes_zero_cells(spark, sf_dir):
+    plan = _executed_plan(spark, "daily_mix_drift_chisq", sf_dir)
+    # the day x type grid is a LEFT join (zero cells contribute); no
+    # cartesian beyond the broadcast share table
+    assert "CartesianProduct" not in plan
