@@ -14194,3 +14194,52 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fano, 6).alias("fano_factor"),
         (fano > 1.5).cast("int").alias("bursty_flag"),
     )
+
+
+@register(
+    "arrow_native_embedding_norms",
+    """
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_native_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface (beyond ref; one level BELOW the pandas
+    kernels — raw Arrow RecordBatches, no pandas materialization at
+    all): per-vector L2 norms computed on the Arrow list-array's
+    zero-copy values buffer with ``np.add.reduceat`` over the offsets.
+    For wide numeric batch kernels this skips the pandas box/unbox the
+    ``mapInPandas`` family pays; sequential reduceat accumulation
+    matches SQL's in-order list_dot_product, so norms are
+    bit-identical. The §2.10 ladder is now: native fn > SQL UDF >
+    mapInArrow > pandas_udf/mapInPandas — each step down costs more,
+    each is value-verified."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            la = batch.column("embedding")
+            offsets = np.asarray(la.offsets)
+            values = np.asarray(la.values, dtype=np.float64)
+            sq = values * values
+            sums = np.add.reduceat(sq, offsets[:-1])
+            # reduceat quirk: empty segments copy the next element — mask
+            dims = np.diff(offsets)
+            sums = np.where(dims == 0, 0.0, sums)
+            norms = np.round(np.sqrt(sums), 6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims.astype("int32")),
+                    pa.array(norms, type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return emb.mapInArrow(kernel, "vec_id bigint, dim int, l2_norm double")
