@@ -432,3 +432,24 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     assert removed == ["part-dead.jsonl.tmp", "stray.txt"]
     assert spark.read.json(os.path.join(out, "*.jsonl")).count() == 10
     assert pysource.vacuum_jsonl_dir(out) == []
+
+
+def test_arrow_table_interchange_roundtrip(spark):
+    """Spark 4 Arrow interchange: createDataFrame accepts a pyarrow
+    Table and df.toArrow() returns one — the zero-serialization bridge
+    to the Arrow ecosystem (DuckDB, Polars, Ray) that our oracle
+    harness itself rides."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3], type=pa.int64()),
+            "v": pa.array(["a", "b", "c"]),
+            "x": pa.array([1.5, 2.5, None], type=pa.float64()),
+        }
+    )
+    df = spark.createDataFrame(t)
+    assert df.schema.simpleString() == "struct<k:bigint,v:string,x:double>"
+    back = df.orderBy("k").toArrow()
+    assert back.column("k").to_pylist() == [1, 2, 3]
+    assert back.column("x").to_pylist() == [1.5, 2.5, None]
