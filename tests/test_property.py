@@ -381,3 +381,95 @@ def test_sweep_line_backlog_matches_interval_count(spark, spans):
     for day in got:
         want = sum(1 for _, o, c in rows if o <= day < c)
         assert got[day] == want, (day, got[day], want)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@SLOW
+def test_skyline_construction_matches_bruteforce(spark, pts):
+    """The per-price-max + prefix-max skyline formulation equals the
+    O(n^2) dominance definition on arbitrary point sets (incl. ties)."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id bigint, price double, size bigint")
+    pg = df.groupBy("price").agg(F.max("size").alias("gmax"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    c = pg.withColumn("cum", F.max("gmax").over(w))
+    sky = (
+        df.join(c, "price")
+        .filter(
+            (F.col("size") == F.col("gmax"))
+            & (F.col("cum").isNull() | (F.col("size") > F.col("cum")))
+        )
+        .select("id")
+    )
+    got = {r["id"] for r in sky.collect()}
+
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+
+    want = {i for i in range(len(pts)) if not dominated(i)}
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_label_propagation_labels_are_node_ids(spark, edges, iters):
+    """LPA invariants on arbitrary multigraphs: output covers exactly
+    the node set, every label IS a node id, and the result is
+    deterministic across invocations."""
+    from bigdataamazon_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(a, b, w) for a, b, w in edges], ["src", "dst", "w"]
+    )
+    out1 = {(r["node"], r["lbl"]) for r in graph.label_propagation(e, iters, weight="w").collect()}
+    nodes = {a for a, _, _ in edges} | {b for _, b, _ in edges}
+    assert {n for n, _ in out1} == nodes
+    assert {l for _, l in out1} <= nodes
+    out2 = {(r["node"], r["lbl"]) for r in graph.label_propagation(e, iters, weight="w").collect()}
+    assert out1 == out2
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40)
+)
+@SLOW
+def test_median_of_means_within_range(spark, vals):
+    """MoM estimator invariant: strictly inside [min(group means),
+    max(group means)] ⊆ [min(vals), max(vals)]."""
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["k", "v"]
+    )
+    grp = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("mom:"), F.col("k").cast("string"))), 1, 15), 16, 10).cast("bigint"),
+        F.lit(4),
+    )
+    means = df.groupBy(grp.alias("g")).agg(F.avg("v").alias("m"))
+    mom = means.agg(F.percentile("m", F.lit(0.5)).alias("est")).first()["est"]
+    assert min(vals) - 1e-9 <= mom <= max(vals) + 1e-9
