@@ -14243,3 +14243,169 @@ def arrow_native_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(kernel, "vec_id bigint, dim int, l2_norm double")
+
+
+@register(
+    "ab_sprt_decision",
+    """
+    WITH obs AS (
+      SELECT event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events WHERE user_id % 2 = 1
+    ),
+    llr AS (
+      SELECT event_id, ts,
+             sum(x * ln(0.30 / 0.25) + (1 - x) * ln(0.70 / 0.75))
+               OVER (ORDER BY ts, event_id) AS cum_llr,
+             row_number() OVER (ORDER BY ts, event_id) AS n
+      FROM obs
+    ),
+    crossing AS (
+      SELECT n, cum_llr,
+             CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
+                  WHEN cum_llr <= -ln(19.0) THEN 'accept_h0' END AS decision
+      FROM llr
+    ),
+    first_cross AS (
+      SELECT n, cum_llr, decision FROM crossing WHERE decision IS NOT NULL
+      ORDER BY n ASC LIMIT 1
+    ),
+    last_row AS (
+      SELECT n, cum_llr, 'undecided' AS decision FROM llr
+      ORDER BY n DESC LIMIT 1
+    )
+    SELECT CAST(coalesce(fc.n, lr.n) AS BIGINT) AS n_at_decision,
+           round(coalesce(fc.cum_llr, lr.cum_llr), 6) AS llr_at_decision,
+           coalesce(fc.decision, lr.decision) AS decision
+    FROM last_row lr LEFT JOIN first_cross fc ON TRUE
+    """,
+)
+def ab_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (beyond ref; the
+    always-valid alternative to the fixed-horizon z-test — stop the
+    experiment the moment evidence suffices): treatment users'
+    purchase indicator stream in event order, cumulative Bernoulli
+    log-likelihood ratio for H1: p=0.30 vs H0: p=0.25, decision at the
+    first crossing of ±ln(19) (α=β=0.05) or 'undecided' at the data's
+    end. One ordered cumulative window over the treatment stream, a
+    TakeOrdered for the first crossing — the sequential monitor costs
+    one pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 2 == 1).select(
+        "event_id", "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    import math
+
+    la, lb = math.log(0.30 / 0.25), math.log(0.70 / 0.75)
+    w = Window.orderBy("ts", "event_id")
+    llr = ev.select(
+        F.sum(F.col("x") * F.lit(la) + (1 - F.col("x")) * F.lit(lb))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_llr"),
+        F.row_number().over(w).alias("n"),
+    )
+    llr = materialize_shared(llr)
+    bound = math.log(19.0)
+    crossing = llr.select(
+        "n", "cum_llr",
+        F.when(F.col("cum_llr") >= bound, "accept_h1")
+        .when(F.col("cum_llr") <= -bound, "accept_h0")
+        .alias("decision"),
+    )
+    fc = (
+        crossing.filter(F.col("decision").isNotNull())
+        .orderBy(F.asc("n"))
+        .limit(1)
+        .select(
+            F.col("n").alias("fn"), F.col("cum_llr").alias("fl"),
+            F.col("decision").alias("fd"),
+        )
+    )
+    lr = llr.orderBy(F.desc("n")).limit(1).select(
+        F.col("n").alias("ln_"), F.col("cum_llr").alias("ll")
+    )
+    return lr.crossJoin(fc.unionAll(
+        lr.sparkSession.createDataFrame([(None, None, None)], "fn bigint, fl double, fd string")
+    ).orderBy(F.col("fn").asc_nulls_last()).limit(1)).select(
+        F.coalesce("fn", "ln_").cast("bigint").alias("n_at_decision"),
+        F.round(F.coalesce("fl", "ll"), 6).alias("llr_at_decision"),
+        F.coalesce("fd", F.lit("undecided")).alias("decision"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH pre AS (
+      SELECT user_id, sum(value) AS pre_v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    post AS (
+      SELECT user_id, sum(value) AS post_v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT p.user_id, coalesce(pr.pre_v, 0.0) AS pre_v, p.post_v
+      FROM post p LEFT JOIN pre pr ON p.user_id = pr.user_id
+    ),
+    t AS (
+      SELECT round(covar_pop(pre_v, post_v) / var_pop(pre_v), 6) AS theta,
+             avg(pre_v) AS mu_pre
+      FROM j
+    ),
+    adj AS (
+      SELECT j.post_v, j.post_v - t.theta * (j.pre_v - t.mu_pre) AS y_adj, t.theta
+      FROM j, t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(max(theta), 6) AS theta,
+           round(var_pop(post_v), 4) AS var_raw,
+           round(var_pop(y_adj), 4) AS var_cuped,
+           round(1.0 - var_pop(y_adj) / var_pop(post_v), 6) AS variance_reduction
+    FROM adj
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. — the pre-experiment
+    covariate adjustment every large experimentation platform applies
+    before the t-test): per-user pre-period purchase value as the
+    covariate, theta = cov(pre, post)/var(pre), adjusted metric
+    y - theta (x - mean(x)), and the measured variance reduction that
+    shrinks required sample sizes. Two grouped aggs + one broadcast
+    scalar pass — the adjustment costs nothing at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    pre = ev.filter(F.col("ts") < cut).groupBy("user_id").agg(
+        F.sum("value").alias("pre_v")
+    )
+    post = ev.filter(F.col("ts") >= cut).groupBy("user_id").agg(
+        F.sum("value").alias("post_v")
+    )
+    j = post.join(pre, "user_id", "left").select(
+        F.coalesce("pre_v", F.lit(0.0)).alias("pre_v"), "post_v"
+    )
+    j = materialize_shared(j)
+    t = j.agg(
+        F.round(F.covar_pop("pre_v", "post_v") / F.var_pop("pre_v"), 6).alias("theta"),
+        F.avg("pre_v").alias("mu_pre"),
+    )
+    adj = j.crossJoin(F.broadcast(t)).select(
+        "post_v",
+        (F.col("post_v") - F.col("theta") * (F.col("pre_v") - F.col("mu_pre"))).alias(
+            "y_adj"
+        ),
+        "theta",
+    )
+    return adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(F.var_pop("post_v"), 4).alias("var_raw"),
+        F.round(F.var_pop("y_adj"), 4).alias("var_cuped"),
+        F.round(1.0 - F.var_pop("y_adj") / F.var_pop("post_v"), 6).alias(
+            "variance_reduction"
+        ),
+    )
