@@ -14409,3 +14409,54 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+@register(
+    "ab_sample_size_planning",
+    """
+    WITH base AS (
+      SELECT avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS p
+      FROM events
+    ),
+    calc AS (
+      SELECT round(p, 6) AS baseline_rate,
+             round(p + 0.05, 6) AS target_rate,
+             pow(1.959964 * sqrt(2 * p * (1 - p))
+                 + 0.841621 * sqrt(p * (1 - p) + (p + 0.05) * (1 - (p + 0.05))), 2)
+               / (0.05 * 0.05) AS n_raw
+      FROM base
+    )
+    SELECT baseline_rate, target_rate,
+           CAST(ceil(n_raw) AS BIGINT) AS n_per_arm,
+           CAST(ceil(n_raw) * 2 AS BIGINT) AS n_total
+    FROM calc
+    """,
+)
+def ab_sample_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis anchored on observed data (beyond ref;
+    the design step BEFORE `ab_conversion_ztest`/`ab_sprt_decision`
+    run): two-proportion sample size for detecting a +5pp lift over the
+    measured baseline purchase rate at alpha=0.05 (two-sided) and 80%
+    power, via the standard normal-approximation formula with shared
+    z-quantile literals (1.959964, 0.841621). One scalar agg and pure
+    arithmetic — the planning number updates live as the baseline
+    drifts."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        F.avg(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("p")
+    )
+    p = F.col("p")
+    p2 = p + 0.05
+    n_raw = F.pow(
+        1.959964 * F.sqrt(2 * p * (1 - p))
+        + 0.841621 * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
+        2,
+    ) / (0.05 * 0.05)
+    return base.select(
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        F.ceil(n_raw).cast("bigint").alias("n_per_arm"),
+        (F.ceil(n_raw) * 2).cast("bigint").alias("n_total"),
+    )
