@@ -14287,9 +14287,12 @@ def ab_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase indicator stream in event order, cumulative Bernoulli
     log-likelihood ratio for H1: p=0.30 vs H0: p=0.25, decision at the
     first crossing of ±ln(19) (α=β=0.05) or 'undecided' at the data's
-    end. One ordered cumulative window over the treatment stream, a
-    TakeOrdered for the first crossing — the sequential monitor costs
-    one pass."""
+    end. The cumulative LLR is a GLOBAL ordered window — inherently a
+    single-partition prefix scan, acceptable because an SPRT monitor
+    runs on one experiment's decision stream (thousands-to-millions of
+    observations), never the whole corpus; for a corpus-sized stream
+    the two-phase partition-prefix-sum rewrite applies, but the honest
+    statement is that sequential decisions are sequential."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 2 == 1).select(
         "event_id", "ts",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
