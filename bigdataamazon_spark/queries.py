@@ -14463,3 +14463,104 @@ def ab_sample_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(n_raw).cast("bigint").alias("n_per_arm"),
         (F.ceil(n_raw) * 2).cast("bigint").alias("n_total"),
     )
+
+
+_KMEANS_ORACLE = """
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, t.i AS dim, CAST(t.x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ) t(vec_id, x, i)
+    ),
+    c0f AS MATERIALIZED (
+      SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cluster, p.dim,
+             round(p.x, 6) AS c
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 4) s
+      JOIN pts p ON p.vec_id = s.vec_id
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               row_number() OVER (
+                 PARTITION BY p.vec_id ORDER BY sum((p.x - c.c) * (p.x - c.c)) ASC,
+                 c.cluster ASC
+               ) AS rn
+        FROM pts p JOIN c0f c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.cluster
+      ) WHERE rn = 1
+    ),
+    c1 AS MATERIALIZED (
+      SELECT a1.cluster, p.dim, round(avg(p.x), 6) AS c
+      FROM pts p JOIN a1 ON p.vec_id = a1.vec_id
+      GROUP BY a1.cluster, p.dim
+    ),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               row_number() OVER (
+                 PARTITION BY p.vec_id ORDER BY sum((p.x - c.c) * (p.x - c.c)) ASC,
+                 c.cluster ASC
+               ) AS rn
+        FROM pts p JOIN c1 c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.cluster
+      ) WHERE rn = 1
+    )
+    SELECT a2.vec_id, CAST(a2.cluster AS INTEGER) AS cluster
+    FROM a2
+"""
+
+
+@register("kmeans_embedding_clusters", _KMEANS_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational k-means (Lloyd's algorithm, k=4, two fixed rounds —
+    beyond ref; THE canonical clustering algorithm, here fully
+    hash-checked because every step is deterministic: init = the 4
+    lowest-id vectors, centroids ROUNDED to 6 decimals after each
+    recompute — the rounded-coefficient discipline — so argmin
+    assignments agree bit-for-bit across engines; ties break to the
+    lower cluster id). Shape: points unpivot to (vec, dim, x) once;
+    each round is one k×d-fan join + two combiner aggs — the standard
+    distributed k-means cost, linear in n·k·d per round, no driver
+    collect anywhere. The oracle unrolls the same two rounds as
+    MATERIALIZED CTEs (IVF's interior k-means is this, verified)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "xf")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    pts = materialize_shared(pts)
+    seeds = emb.orderBy("vec_id").limit(4).select("vec_id")
+    wseed = Window.orderBy("vec_id")
+    seed_ids = seeds.select(
+        "vec_id", (F.dense_rank().over(wseed) - 1).alias("cluster")
+    )
+    c0 = pts.join(seed_ids, "vec_id").select(
+        "cluster", "dim", F.round("x", 6).alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = pts.join(cent, "dim")
+        agg = d.groupBy("vec_id", "cluster").agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    def recompute(assignment: DataFrame) -> DataFrame:
+        return (
+            pts.join(assignment, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+
+    a1 = assign(F.broadcast(c0))
+    c1 = recompute(a1)
+    a2 = assign(F.broadcast(c1))
+    return a2.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
