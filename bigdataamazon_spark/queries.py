@@ -14564,3 +14564,91 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = recompute(a1)
     a2 = assign(F.broadcast(c1))
     return a2.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+_SILHOUETTE_ORACLE = (
+    _KMEANS_ORACLE.replace(
+        """    SELECT a2.vec_id, CAST(a2.cluster AS INTEGER) AS cluster
+    FROM a2
+""",
+        "",
+    )
+    + """
+    , c2 AS MATERIALIZED (
+      SELECT a2.cluster, p.dim, round(avg(p.x), 6) AS c
+      FROM pts p JOIN a2 ON p.vec_id = a2.vec_id
+      GROUP BY a2.cluster, p.dim
+    ),
+    dists AS MATERIALIZED (
+      SELECT p.vec_id, c.cluster, sum((p.x - c.c) * (p.x - c.c)) AS d2
+      FROM pts p JOIN c2 c ON p.dim = c.dim
+      GROUP BY p.vec_id, c.cluster
+    ),
+    scored AS (
+      SELECT d.vec_id,
+             sqrt(max(CASE WHEN d.cluster = a2.cluster THEN d.d2 END)) AS a,
+             sqrt(min(CASE WHEN d.cluster <> a2.cluster THEN d.d2 END)) AS b
+      FROM dists d JOIN a2 ON d.vec_id = a2.vec_id
+      GROUP BY d.vec_id
+    ),
+    sil AS (
+      SELECT a2.cluster, (s.b - s.a) / greatest(s.a, s.b) AS s
+      FROM scored s JOIN a2 ON s.vec_id = a2.vec_id
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(s), 6) AS mean_silhouette
+    FROM sil GROUP BY cluster
+    """
+)
+
+
+@register("kmeans_silhouette_audit", _SILHOUETTE_ORACLE)
+def kmeans_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit via simplified silhouette (centroid-based
+    a/b — the scalable variant that avoids the n² point-pair matrix the
+    full silhouette needs): per cluster, the mean of
+    (b − a)/max(a, b) where a = distance to own final centroid and
+    b = distance to the nearest other centroid, over the
+    `kmeans_embedding_clusters` assignment (entries compose). Rounded
+    final centroids keep every distance engine-identical; cost is one
+    more k-fan join over the same unpivoted points."""
+    assign = _QUERIES["kmeans_embedding_clusters"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "xf")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    pts = materialize_shared(pts)
+    assign = materialize_shared(assign)
+    c2 = (
+        pts.join(assign, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    dists = (
+        pts.join(F.broadcast(c2.withColumnRenamed("cluster", "dc")), "dim")
+        .groupBy("vec_id", "dc")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    scored = (
+        dists.join(assign, "vec_id")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sqrt(
+                F.max(F.when(F.col("dc") == F.col("cluster"), F.col("d2")))
+            ).alias("a"),
+            F.sqrt(
+                F.min(F.when(F.col("dc") != F.col("cluster"), F.col("d2")))
+            ).alias("b"),
+        )
+    )
+    sil = scored.select(
+        "cluster",
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s"),
+    )
+    return sil.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.avg("s"), 6).alias("mean_silhouette"),
+    )
