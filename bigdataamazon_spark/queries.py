@@ -14652,3 +14652,65 @@ def kmeans_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.round(F.avg("s"), 6).alias("mean_silhouette"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    t AS (SELECT w FROM toks WHERE w <> ''),
+    freq AS (
+      SELECT w, count(*) AS f,
+             row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rnk
+      FROM t GROUP BY w
+    ),
+    total AS (SELECT CAST(sum(f) AS DOUBLE) AS n FROM freq),
+    sizes(v) AS (VALUES (100), (500), (2000)),
+    cov AS (
+      SELECT s.v, sum(CASE WHEN freq.rnk <= s.v THEN freq.f ELSE 0 END) AS covered
+      FROM freq CROSS JOIN sizes s GROUP BY s.v
+    )
+    SELECT CAST(cov.v AS INTEGER) AS vocab_size,
+           CAST(cov.covered AS BIGINT) AS tokens_covered,
+           round(cov.covered / total.n, 6) AS coverage,
+           round(1.0 - cov.covered / total.n, 6) AS oov_rate
+    FROM cov, total
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size coverage curve (beyond ref; the tokenizer-budget
+    decision before BPE training — how much of the token stream the
+    top-V word vocabulary covers, i.e. the OOV rate a closed vocab of
+    size V would pay): frequency-ranked vocabulary against candidate
+    sizes in one fanned agg over the vocabulary table (never the
+    corpus). Pairs with `bpe_learned_merges`: this curve says when
+    word-level stops sufficing and subword splitting must start."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = t.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wr = Window.orderBy(F.desc("f"), F.asc("w"))
+    ranked = freq.withColumn("rnk", F.row_number().over(wr))
+    ranked = materialize_shared(ranked)
+    total = float(
+        ranked.agg(F.sum("f").alias("n")).first()["n"]
+    )
+    sizes = spark.createDataFrame([(100,), (500,), (2000,)], ["v"])
+    cov = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("v"), F.col("f")).otherwise(0)).alias(
+                "covered"
+            )
+        )
+    )
+    return cov.select(
+        F.col("v").cast("int").alias("vocab_size"),
+        F.col("covered").cast("bigint").alias("tokens_covered"),
+        F.round(F.col("covered") / F.lit(total), 6).alias("coverage"),
+        F.round(1.0 - F.col("covered") / F.lit(total), 6).alias("oov_rate"),
+    )

@@ -473,3 +473,38 @@ def test_median_of_means_within_range(spark, vals):
     means = df.groupBy(grp.alias("g")).agg(F.avg("v").alias("m"))
     mom = means.agg(F.percentile("m", F.lit(0.5)).alias("est")).first()["est"]
     assert min(vals) - 1e-9 <= mom <= max(vals) + 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_bfs_hops_matches_python_bfs(spark, edges):
+    """Frontier-relaxation BFS equals a reference Python BFS on random
+    directed graphs from source 0 (when 0 appears)."""
+    from collections import deque
+
+    from bigdataamazon_spark.operators import graph
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, 0, max_hops=8).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):  # noqa: B905
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
