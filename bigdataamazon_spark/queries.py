@@ -14714,3 +14714,86 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("covered") / F.lit(total), 6).alias("coverage"),
         F.round(1.0 - F.col("covered") / F.lit(total), 6).alias("oov_rate"),
     )
+
+
+def _pca_round_sql(k: int) -> str:
+    j = k - 1
+    return f"""
+    w{k} AS MATERIALIZED (
+      SELECT a.i, round(sum(a.cov * v.v), 9) AS w
+      FROM full_cov a JOIN v{j} v ON a.j = v.i GROUP BY a.i
+    ),
+    n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT w{k}.i, round(w{k}.w / n{k}.nrm, 9) AS v FROM w{k}, n{k}
+    )"""
+
+
+_PCA_ORACLE = (
+    f"""
+    WITH covu AS MATERIALIZED ({_ORACLES["embedding_dim_covariance"]}),
+    full_cov AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j, cov FROM covu
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, cov FROM covu WHERE dim_i < dim_j
+    ),
+    v0 AS (SELECT DISTINCT i, 0.125 AS v FROM full_cov),"""
+    + ",".join(_pca_round_sql(k) for k in range(1, 13))
+    + """
+    , ray AS (
+      SELECT round(sum(v12.v * w12.w) * max(n12.nrm), 4) AS eigenvalue
+      FROM v12 JOIN w12 ON v12.i = w12.i, n12
+    )
+    SELECT CAST(v12.i AS INTEGER) AS dim, round(v12.v, 6) AS loading,
+           ray.eigenvalue
+    FROM v12, ray
+    """
+)
+
+
+@register("embedding_pca_top_component", _PCA_ORACLE)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration (beyond ref; the
+    dimensionality-reduction step — and a two-level composition: the
+    REGISTERED rounded covariance entry feeds 12 fixed matvec rounds):
+    each round rounds the matvec to 9 decimals BEFORE normalizing — the
+    rounded-coefficient discipline lifted to an iterative linear-algebra
+    loop, which is what makes an eigensolver hash-checkable at all.
+    Eigenvalue via the Rayleigh quotient. All rounds run on the d²=4096
+    covariance table (broadcast) — corpus size only enters through the
+    covariance pass."""
+    covu = _QUERIES["embedding_dim_covariance"](spark, sf_dir)
+    full = covu.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
+    ).unionAll(
+        covu.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
+        )
+    )
+    full = materialize_shared(full)
+    v = full.select("i").distinct().select("i", F.lit(0.125).alias("v"))
+    w_df = None
+    nrm_df = None
+    for _ in range(12):
+        w_df = (
+            full.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("cov") * F.col("v")), 9).alias("w"))
+        )
+        nrm_df = w_df.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w_df.crossJoin(F.broadcast(nrm_df)).select(
+            "i", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
+        )
+        v = v.localCheckpoint(eager=True)
+    ray = (
+        v.join(w_df.select(F.col("i"), "w"), "i")
+        .crossJoin(F.broadcast(nrm_df))
+        .agg(F.round(F.sum(F.col("v") * F.col("w")) * F.first("nrm"), 4).alias("eigenvalue"))
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.round("v", 6).alias("loading"),
+        "eigenvalue",
+    )
