@@ -14785,3 +14785,78 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvalue = round(float(np.sum(v * w)) * nrm, 4)
     out = [(i + 1, round(float(v[i]), 6), eigenvalue) for i in range(d)]
     return spark.createDataFrame(out, "dim int, loading double, eigenvalue double")
+
+
+_PCA_PROJ_ORACLE = (
+    _PCA_ORACLE.replace(
+        """
+    SELECT CAST(v12.i AS INTEGER) AS dim, round(v12.v, 6) AS loading,
+           ray.eigenvalue
+    FROM v12, ray
+    """,
+        "",
+    )
+    + """
+    , pts2 AS MATERIALIZED (
+      SELECT vec_id, t.i AS dim, CAST(t.x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ) t(vec_id, x, i)
+    ),
+    proj AS MATERIALIZED (
+      SELECT p.vec_id, round(sum(p.x * round(v.v, 6)), 6) AS score
+      FROM pts2 p JOIN v12 v ON p.dim = v.i GROUP BY p.vec_id
+    ),
+    e AS (SELECT min(score) AS lo, max(score) AS hi FROM proj)
+    SELECT CAST(least(9, floor((score - lo) * 10.0 / (hi - lo))) AS INTEGER)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM proj, e GROUP BY 1
+    """
+)
+
+
+@register("pca_projection_histogram", _PCA_PROJ_ORACLE)
+def pca_projection_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA in USE (three-level composition: covariance entry → power
+    iteration → this projection): every embedding projected onto the
+    top component's ROUNDED loadings, binned into a 10-bucket fixed-
+    width histogram — the 1-D corpus view dimensionality reduction
+    exists to produce. Rounded scores make the bin edges engine-
+    identical (the calibration-bins discipline); the projection is a
+    64-row broadcast join + one agg."""
+    load_df = _QUERIES["embedding_pca_top_component"](spark, sf_dir)
+    loadings = spark.createDataFrame(
+        [(r["dim"], r["loading"]) for r in load_df.collect()], ["dim", "v"]
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "xf")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    proj = (
+        pts.join(F.broadcast(loadings), "dim")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("v")), 6).alias("score"))
+    )
+    proj = materialize_shared(proj)
+    e = proj.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = proj.crossJoin(F.broadcast(e)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("score") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+        )
+        .cast("int")
+        .alias("bin"),
+        "score",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
