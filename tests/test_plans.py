@@ -952,3 +952,18 @@ def test_mix_drift_grid_includes_zero_cells(spark, sf_dir):
     # the day x type grid is a LEFT join (zero cells contribute); no
     # cartesian beyond the broadcast share table
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_rounds_have_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "kmeans_embedding_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"vec_id", "embedding"}
+
+
+def test_pca_corpus_enters_through_covariance_only(spark, sf_dir):
+    # the eigensolver itself is driver-side over bounded metadata; the
+    # plan must show only the covariance pass's pruned embedding scans
+    plan = _executed_plan(spark, "embedding_pca_top_component", sf_dir)
+    for s in _scan_schemas(plan):
+        assert set(s) <= {"vec_id", "embedding"}
