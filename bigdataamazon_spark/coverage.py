@@ -68,18 +68,76 @@ GREEN_R01 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = GREEN_R01
+# hash_match == true rows in CORRECTNESS_r02.json (driver, sf0.01).
+GREEN_R02 = frozenset(
+    {
+        "audio_waveform_features",
+        "brand_price_quartiles",
+        "click_purchase_attribution",
+        "customer_order_distribution",
+        "daily_event_anomalies",
+        "discount_kde",
+        "disjunctive_part_revenue",
+        "doc_chunks",
+        "docs_decontaminated",
+        "docs_mixture_sample",
+        "event_sliding_counts",
+        "events_uniform_sample",
+        "idle_customer_balances",
+        "large_volume_customers",
+        "late_shipment_priority_counts",
+        "local_supplier_volume",
+        "multimodal_features",
+        "nation_trade_volume",
+        "national_market_share",
+        "neardup_clusters",
+        "order_value_deciles",
+        "orders_upsert_merge",
+        "part_cf_recommendations",
+        "pii_redaction",
+        "purchase_asof_signup",
+        "python_datasource_bucket_stats",
+        "quantized_embeddings",
+        "referential_audit",
+        "repetition_scores",
+        "returned_item_customers",
+        "revenue_rollup",
+        "rolling_revenue_7d",
+        "segment_dedup_docs",
+        "segment_nation_overlap",
+        "shipping_priority_top10",
+        "signup_funnel",
+        "small_quantity_revenue",
+        "status_priority_cube",
+        "tfidf_cosine_topk",
+        "top_supplier_revenue",
+        "training_shards",
+        "user_sessions",
+        "video_frame_samples",
+        "waiting_multi_supplier_orders",
+    }
+)
 
-# Jump the queue for entries that anchor judge-flagged weak components
-# (multimodal kernels, connector seam, the reference's namesake CF
-# algorithm) — a driver-green row for these is worth more than one for
-# the tail of the backlog.
+DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02
+
+# Jump the queue for entries that anchor judge-flagged weak or
+# §2-contract components: the r02 dtype reds (fixed oracles, need a
+# re-green row), the §2-anchored local-parity rows the judge listed
+# (P10/P11 url extract, S2 round-trips, §2.10 UDTF, M4 ML twin,
+# Parquet-sink pruning, Q2-shape), and the new ANN recall audit.
 PRIORITY: tuple[str, ...] = (
-    "multimodal_features",
-    "video_frame_samples",
-    "audio_waveform_features",
-    "python_datasource_bucket_stats",
-    "part_cf_recommendations",
+    "order_priority_pivot",
+    "urgent_mix_by_returnflag",
+    "packed_sequences",
+    "doc_url_extract",
+    "csv_roundtrip_orders_agg",
+    "json_roundtrip_events_agg",
+    "orc_roundtrip_lineitem_agg",
+    "cdc_chunks",
+    "ml_bow_pipeline",
+    "parquet_partition_prune_agg",
+    "min_cost_supplier_region",
+    "ann_recall_audit",
 )
 
 
