@@ -138,14 +138,30 @@ PRIORITY: tuple[str, ...] = (
     "parquet_partition_prune_agg",
     "min_cost_supplier_region",
     "ann_recall_audit",
+    "quantile_sketch_audit",
+    "copurchase_part_lift_rel",
+    "frequent_part_itemsets_rel",
+)
+
+
+# No-oracle entries: the driver can only log spark_rows for these
+# (rows_match=null — r02 record), so a window slot spent on them never
+# produces a hash row. Their correctness claims are hash-pinned by
+# audit twins instead (ann_recall_audit for LSH/IVF,
+# quantile_sketch_audit for the sketch aggregates), so they order LAST
+# with the already-verified entries rather than re-consuming slots.
+ROWS_ONLY_BY_CONTRACT = frozenset(
+    {"cosine_topk_lsh", "cosine_topk_ivf", "approx_order_stats"}
 )
 
 
 def order_for_driver(names: list[str]) -> list[str]:
     """Priority entries first, then never-driver-verified entries
-    (registration order kept in each group), verified entries last."""
+    (registration order kept in each group), verified and rows-only
+    entries last."""
     prio = [n for n in PRIORITY if n in names and n not in DRIVER_VERIFIED]
-    rest = set(prio) | DRIVER_VERIFIED
+    done_set = DRIVER_VERIFIED | ROWS_ONLY_BY_CONTRACT
+    rest = set(prio) | done_set
     pending = [n for n in names if n not in rest]
-    done = [n for n in names if n in DRIVER_VERIFIED]
+    done = [n for n in names if n in done_set]
     return prio + pending + done

@@ -4,67 +4,35 @@ Runs a registered Spark query and its DuckDB oracle on the same sf dir
 and compares row count, sorted column names, and the order-insensitive
 multiset of stringified rows — stricter than a hash (it shows diffs).
 
-Fetch paths mirror the DRIVER exactly (round-2 lesson: the driver found
-3 reds our old ``cursor.fetchall()`` sweep missed, because fetchall
-returns DuckDB HUGEINT as Python int while the driver's pandas ``.df()``
-path downcasts HUGEINT to float64 — ``1000.0`` vs ``1000`` in the value
-hash). So: Spark results go through ``toPandas()``, oracle results
-through ``duckdb .df()``, and values are stringified per-cell WITHOUT
-cross-dtype normalization — an int and an equal float deliberately
-compare unequal, exactly like the driver's hash.
+Fetch + canonicalization mirror the DRIVER exactly (round-2 lesson: the
+driver found 3 reds the old ``cursor.fetchall()`` sweep missed):
+
+- oracle via DuckDB's pandas ``.df()`` path — HUGEINT sums downcast to
+  float64 (``1000.0``), DATE/TIMESTAMP to datetime64[us];
+- Spark via ``toPandas()`` — dates stay ``datetime.date`` objects,
+  BIGINT stays int64;
+- values stringified COLUMN-WISE with ``Series.astype(str)``, which is
+  the one rule that reproduces the full round-2 red/green record: an
+  all-midnight datetime64 column renders date-only (so Spark DATE vs
+  oracle TIMESTAMP matched, r02 greens), while int64 vs float64 render
+  ``1000`` vs ``1000.0`` (the r02 reds). No cross-dtype normalization.
 """
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import math
 import os
 
 import duckdb
-import numpy as np
 import pandas as pd
 
 from bigdataamazon_spark.catalog import TABLES, table_path
 
 
-def _norm_value(v):
-    # pandas nulls (None, NaN, NaT) — NaN stays distinguishable from
-    # None via the float branch below only for genuine float NaN cells;
-    # pd.isna treats all three as missing, which matches the driver's
-    # frame-level stringification of missing cells.
-    if v is None or v is pd.NaT:
-        return "NULL"
-    if isinstance(v, (bool, np.bool_)):
-        return str(bool(v))
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
-    if isinstance(v, np.integer):
-        return str(int(v))
-    if isinstance(v, (float, np.floating)):
-        v = float(v)
-        if math.isnan(v):
-            return "NaN"
-        # repr of the double — dtype-preserving: 1000.0 != "1000"
-        return repr(v)
-    if isinstance(v, (pd.Timestamp, datetime.datetime)):
-        return v.isoformat(sep=" ")
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_norm_value(x) for x in v) + "]"
-    return str(v)
-
-
-def _frame_rows(df: pd.DataFrame, col_order: list[int]) -> list[tuple[str, ...]]:
-    cells = df.to_numpy(dtype=object)
-    return sorted(
-        tuple(_norm_value(row[i]) for i in col_order) for row in cells
-    )
-
-
 def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
-    cols = list(df.columns)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], _frame_rows(df, order)
+    cols = sorted(df.columns)
+    as_str = df[cols].astype(str)
+    rows = sorted(map(tuple, as_str.itertuples(index=False, name=None)))
+    return cols, rows
 
 
 def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
