@@ -141,6 +141,9 @@ PRIORITY: tuple[str, ...] = (
     "quantile_sketch_audit",
     "copurchase_part_lift_rel",
     "frequent_part_itemsets_rel",
+    "repeated_span_dedup",
+    "dsir_importance_weights",
+    "logreg_quality_classifier",
 )
 
 

@@ -15355,3 +15355,158 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "repeated_span_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+      FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+      WHERE len(toks) >= 8
+    ),
+    c AS (
+      SELECT span, count(*) AS n, count(DISTINCT doc_id) AS nd
+      FROM s GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc,
+           round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS repeat_frac
+    FROM s JOIN c USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (ExactSubstr of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its 8-token spans occur elsewhere in the
+    corpus (globally and in >= 2 distinct docs) — the signal the span-
+    cutting pass consumes. Scale shape: spans are generated in the scan
+    stage (sequence+transform, zero pre-shuffle fan-out jobs), keyed by
+    xxhash64 so only 8-byte keys hit the two shuffles (count agg +
+    join-back); the oracle keys raw span text — counts agree unless a
+    64-bit collision (~1e-11 at this span count). At 100 TB the same
+    plan stands: both shuffles are combiner-friendly and the hot keys
+    are exactly the duplicated spans the pass exists to find."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(transform(sequence(0, greatest(size(split(text, ' ')) - 8, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8))), "
+                " x -> size(split(x, ' ')) = 8)"
+            ).alias("span_arr"),
+        )
+        .filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select("doc_id", F.explode("span_arr").alias("span"))
+        .select("doc_id", F.xxhash64("span").alias("h"))
+    )
+    spans = materialize_shared(spans)
+    counts = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_doc"),
+            F.round(
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("repeat_frac"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    tgt AS (
+      SELECT b, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY 1
+    ),
+    raw AS (SELECT b, count(*) AS c FROM tok GROUP BY 1),
+    tt AS (SELECT sum(c) AS t FROM tgt),
+    rt AS (SELECT sum(c) AS t FROM raw),
+    buckets AS (
+      SELECT r.b,
+             ln(((coalesce(g.c, 0) + 1) * 1.0 / (tt.t + 64))
+                / ((r.c + 1) * 1.0 / (rt.t + 64))) AS lw
+      FROM raw r LEFT JOIN tgt g ON r.b = g.b, tt, rt
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(buckets.lw), 6) AS log_weight
+    FROM tok JOIN buckets ON tok.b = buckets.b
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., DSIR): per
+    document, the hashed-unigram log importance weight
+    ln(p_target/p_raw) of its tokens, target = the 'src0' slice —
+    the score DSIR Gumbel-samples against to pick pretraining data that
+    matches a target distribution. Hashing uses the engine-portable
+    md5-prefix idiom (operators/sampling.py) into 64 buckets; both
+    bucket models are Laplace-smoothed integer-count multinomials, so
+    the per-bucket log-ratios are bit-identical cross-engine. Scale
+    shape: token fan-out in the scan stage, two 64-row broadcast model
+    tables, one doc_id re-agg — no shuffle wider than the corpus token
+    count, and the model build is map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint") % 64
+        ).alias("b"),
+    )
+    tok = materialize_shared(tok)
+    tgt = tok.filter(F.col("source") == "src0").groupBy("b").agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tgt.agg(F.sum("gc").alias("t"))
+    rt = raw.agg(F.sum("rc").alias("t"))
+    buckets = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt.select(F.col("t").alias("tt"))))
+        .crossJoin(F.broadcast(rt.select(F.col("t").alias("rt"))))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("gc"), F.lit(0)) + 1) * 1.0 / (F.col("tt") + 64))
+                / ((F.col("rc") + 1) * 1.0 / (F.col("rt") + 64))
+            ).alias("lw"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("log_weight"),
+        )
+    )
