@@ -144,6 +144,8 @@ PRIORITY: tuple[str, ...] = (
     "repeated_span_dedup",
     "dsir_importance_weights",
     "logreg_quality_classifier",
+    "hll_union_audit",
+    "als_factorization_audit",
 )
 
 

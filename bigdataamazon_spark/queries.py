@@ -15510,3 +15510,126 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lw"), 6).alias("log_weight"),
         )
     )
+
+
+@register(
+    "hll_union_audit",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def hll_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch audit (the property hll_distinct_audit doesn't
+    cover): per event type, DAILY DataSketches HLL sketches
+    (``hll_sketch_agg``) are built first and then UNIONED
+    (``hll_union_agg``) into the per-type estimate — the incremental
+    dashboard pattern at 100 TB, where each partition/day publishes a
+    fixed-size sketch and the reader merges instead of rescanning. The
+    boolean asserts the merged estimate lands within 5% of the exact
+    distinct count; sketches are deterministic for given input, so the
+    flag is a hard cross-engine claim. Scale shape: one (type, day) agg
+    with KB-sized state, one tiny merge agg, plus the exact side for
+    the audit only."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    e = materialize_shared(e)
+    daily = e.groupBy("event_type", "d").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (rel_err <= 0.05).alias("merged_within_5pct"),
+    )
+
+
+@register(
+    "als_factorization_audit",
+    """
+    WITH r AS (
+      SELECT o_custkey AS u, l_partkey AS i,
+             ln(1 + sum(l_extendedprice * (1 - l_discount))) AS rating
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    mu AS (SELECT avg(rating) AS mu FROM r)
+    SELECT CAST(count(*) AS BIGINT) AS n_ratings,
+           round(sqrt(avg(pow(rating - mu.mu, 2))), 6) AS baseline_rmse,
+           TRUE AS als_beats_mean_baseline
+    FROM r, mu GROUP BY mu.mu
+    """,
+)
+def als_factorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-factorization audit (beyond ref; the latent-factor
+    counterpart of part_cf_recommendations' neighborhood CF): ALS
+    (rank 8, 5 iterations, fixed seed) on the customer x part
+    log-spend matrix must beat the predict-the-mean baseline on train
+    RMSE. The factorization itself is seeded-deterministic but not
+    SQL-replayable, so — like quantile_sketch_audit — the oracle pins
+    the exact side (rating count, mean-baseline RMSE = rating stddev)
+    and a contract flag the Spark side computes honestly (margin at
+    sf0.01: 0.66 vs 0.90, far above float jitter). Scale shape: ALS is
+    the canonical block-partitioned distributed factorization; the
+    rating build is one join + agg; evaluation is one zero-shuffle
+    projection + agg over predictions."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(
+            F.log1p(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rating")
+        )
+    )
+    r = materialize_shared(r)
+    stats = r.crossJoin(
+        F.broadcast(r.agg(F.avg("rating").alias("mu")))
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+        F.round(
+            F.sqrt(F.avg(F.pow(F.col("rating") - F.col("mu"), 2))), 6
+        ).alias("baseline_rmse"),
+        F.avg("rating").alias("_mu_unused"),
+    )
+    model = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    ).fit(r)
+    als_rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(model.transform(r))
+    return stats.select(
+        "n_ratings",
+        "baseline_rmse",
+        (F.lit(float(als_rmse)) < F.col("baseline_rmse")).alias(
+            "als_beats_mean_baseline"
+        ),
+    )

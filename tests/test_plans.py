@@ -967,3 +967,55 @@ def test_pca_corpus_enters_through_covariance_only(spark, sf_dir):
     plan = _executed_plan(spark, "embedding_pca_top_component", sf_dir)
     for s in _scan_schemas(plan):
         assert set(s) <= {"vec_id", "embedding"}
+
+
+def test_rel_support_copurchase_reuses_distinct_exchange(spark, sf_dir):
+    plan = _executed_plan(spark, "copurchase_part_lift_rel", sf_dir)
+    # same intent as the absolute twin's ReusedExchange pin: the basket
+    # distinct subplan must be computed once and reused on both sides of
+    # the pair self-join — here it is persisted (the threshold count()
+    # already materialized it), so both sides must read the cache
+    assert plan.count("InMemoryTableScan") >= 2 or "ReusedExchange" in plan
+    # per-part priors and basket count are broadcast, never shuffled in
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_spans(spark, sf_dir):
+    plan = _executed_plan(spark, "repeated_span_dedup", sf_dir)
+    # span text must not survive into the exchanges: both shuffles key
+    # and carry the 8-byte xxhash64, so exchange payloads are (h[, doc_id])
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "span" not in m.group(1)
+    assert "xxhash64" in plan
+    # only the two needed columns leave the documents scan
+    assert sorted(_scan_schemas(plan)[0]) == ["doc_id", "text"]
+
+
+def test_dsir_models_broadcast_token_stream_never_wide(spark, sf_dir):
+    plan = _executed_plan(spark, "dsir_importance_weights", sf_dir)
+    # the 64-row bucket model joins the token stream as a broadcast —
+    # a shuffle join here would re-shuffle every token in the corpus
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_round_is_single_partial_agg(spark, sf_dir):
+    # each GD round's gradient must be map-side combined: one partial
+    # agg before the exchange, final agg reads combiner output only
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.plans import executed_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+    )
+    g = f.agg(F.avg(F.col("y") * F.col("x1")).alias("g"))
+    plan = executed_plan(g)
+    assert plan.count("HashAggregate") == 2  # partial + final, no more
+    assert "Exchange hashpartitioning" not in plan  # single-group agg
