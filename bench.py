@@ -96,6 +96,22 @@ HEADLINE = [
     "revenue_window_motifs",
     "doc_sentiment_scores",
     "frequent_event_sequences",
+    # round-3 families: three-way ANN recall audit, scale-safe relative-
+    # support basket mining, span-hash dedup, hashed-ngram importance
+    # weights, fixed-round GD, sketch merge, ALS factorization, native
+    # recursive CTE, blocked fuzzy join — baselines in BASELINE.md
+    # ("Round-3 new-entry baselines" + audit tables, 2026-08-15)
+    "ann_recall_audit",
+    "copurchase_part_lift_rel",
+    "frequent_part_itemsets_rel",
+    "repeated_span_dedup",
+    "dsir_importance_weights",
+    "logreg_quality_classifier",
+    "quantile_sketch_audit",
+    "hll_union_audit",
+    "als_factorization_audit",
+    "recursive_trade_reach",
+    "part_name_fuzzy_pairs",
 ]
 
 
