@@ -15806,3 +15806,574 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("partkey_a") < F.col("partkey_b"))
         .select("p_brand", "partkey_a", "partkey_b", "edit_dist")
     )
+
+
+_BT_ROUND = """
+u{r} AS (
+  SELECT sym.i,
+         round(max(w.W) / sum(sym.n / (sa.s + sb.s)), 6) AS s
+  FROM sym
+  JOIN r{p} sa ON sa.i = sym.i
+  JOIN r{p} sb ON sb.i = sym.j
+  JOIN wins w ON w.i = sym.i
+  GROUP BY sym.i
+),
+r{r} AS (
+  SELECT i,
+         round(s * (SELECT count(*) FROM u{r}) / (SELECT sum(s) FROM u{r}),
+               6) AS s
+  FROM u{r}
+)"""
+
+_BT_ORACLE = (
+    """
+WITH bq AS (
+  SELECT l_orderkey AS okey, p_brand, sum(l_quantity) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+games AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb,
+         sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS wa,
+         sum(CASE WHEN a.q <> b.q THEN 1 ELSE 0 END) AS n
+  FROM bq a JOIN bq b ON a.okey = b.okey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT ba AS i, bb AS j, n, wa AS w FROM games WHERE n > 0
+  UNION ALL
+  SELECT bb AS i, ba AS j, n, n - wa AS w FROM games WHERE n > 0
+),
+wins AS (SELECT i, sum(w) AS W, sum(n) AS g FROM sym GROUP BY i),
+r0 AS (SELECT i, 1.0 AS s FROM wins),"""
+    + _BT_ROUND.format(r=1, p=0)
+    + ","
+    + _BT_ROUND.format(r=2, p=1)
+    + ","
+    + _BT_ROUND.format(r=3, p=2)
+    + """
+SELECT wins.i AS p_brand,
+       CAST(wins.W AS BIGINT) AS wins,
+       CAST(wins.g AS BIGINT) AS games,
+       round(r3.s, 6) AS strength,
+       CAST(row_number() OVER (ORDER BY round(r3.s, 6) DESC, wins.i ASC)
+            AS INTEGER) AS strength_rank
+FROM wins JOIN r3 ON r3.i = wins.i
+"""
+)
+
+
+@register("brand_bradley_terry", _BT_ORACLE)
+def brand_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-strength fit (Hunter 2004 MM updates) —
+    the preference-model aggregation an RLHF reward-data pipeline runs
+    over pairwise comparisons. Comparisons are mined relationally:
+    within each order, brand a "beats" brand b when its summed quantity
+    is strictly larger (ties are not games). Three MM rounds
+    ``s_i <- W_i / sum_j n_ij / (s_i + s_j)`` with sum-normalization,
+    under the k-means entries' rounded-iterate discipline (round 6 each
+    half-step) so both engines iterate on bit-identical state.
+
+    Scale shape: the per-order brand self-join is keyed by o_orderkey
+    (block = brands-per-order, ~4), the games table aggregates to
+    |brands|^2 <= 625 rows, and each MM round is joins over that tiny
+    table — comparison mining is the only data-sized stage, exactly one
+    shuffle per aggregation. The oracle unrolls the same three rounds
+    as CTEs (the ``_KMEANS_ORACLE`` pattern)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("okey"), "p_brand")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a, b = bq.alias("a"), bq.alias("b")
+    games = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.q") > F.col("b.q"), 1).otherwise(0)
+            ).alias("wa"),
+            F.sum(
+                F.when(F.col("a.q") != F.col("b.q"), 1).otherwise(0)
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    sym = materialize_shared(
+        games.select(
+            F.col("ba").alias("i"), F.col("bb").alias("j"), "n", F.col("wa").alias("w")
+        ).unionByName(
+            games.select(
+                F.col("bb").alias("i"),
+                F.col("ba").alias("j"),
+                "n",
+                (F.col("n") - F.col("wa")).alias("w"),
+            )
+        )
+    )
+    wins = materialize_shared(
+        sym.groupBy("i").agg(F.sum("w").alias("W"), F.sum("n").alias("g"))
+    )
+    scores = wins.select("i", F.lit(1.0).alias("s"))
+    for _ in range(3):
+        u = (
+            sym.join(
+                scores.select(F.col("i").alias("si"), F.col("s").alias("sa")),
+                F.col("i") == F.col("si"),
+            )
+            .join(
+                scores.select(F.col("i").alias("sj"), F.col("s").alias("sb")),
+                F.col("j") == F.col("sj"),
+            )
+            .join(
+                wins.select(F.col("i").alias("wi"), F.col("W").alias("w_tot")),
+                F.col("i") == F.col("wi"),
+            )
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.max("w_tot") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
+                    6,
+                ).alias("s")
+            )
+        )
+        tot = u.agg(
+            F.sum("s").alias("tot_s"), F.count("*").alias("n_items")
+        )
+        scores = u.crossJoin(F.broadcast(tot)).select(
+            "i",
+            F.round(F.col("s") * F.col("n_items") / F.col("tot_s"), 6).alias("s"),
+        )
+    w_rank = Window.orderBy(F.desc("strength"), F.asc("p_brand"))
+    return (
+        wins.join(scores, "i")
+        .select(
+            F.col("i").alias("p_brand"),
+            F.col("W").alias("wins"),
+            F.col("g").alias("games"),
+            F.round("s", 6).alias("strength"),
+        )
+        .withColumn("strength_rank", F.row_number().over(w_rank).cast("int"))
+    )
+
+
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_totalprice"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_linestatus"),
+)
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}.{x}->{y}' AS fd,
+       CAST(sum(nx) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(mx) AS BIGINT) AS conforming_rows,
+       round(1.0 - sum(mx) / CAST(sum(nx) AS DOUBLE), 6) AS violation_rate,
+       CAST(CASE WHEN sum(mx) = sum(nx) THEN 1 ELSE 0 END AS INTEGER)
+         AS exact_fd
+FROM (
+  SELECT x, sum(c) AS nx, max(c) AS mx
+  FROM (SELECT {x} AS x, {y} AS y, count(*) AS c FROM {t} GROUP BY 1, 2) g
+  GROUP BY x
+) px
+"""
+    for t, x, y in _FD_CANDIDATES
+)
+
+
+@register("functional_dependency_audit", _FD_ORACLE)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE-family
+    g3 error measure): for each candidate FD X -> Y, the minimum
+    fraction of rows to delete for the FD to hold exactly
+    (``1 - sum_x max_y |x,y| / n``). This is the data-profiling pass a
+    warehouse runs before choosing keys, partition columns, and CDC
+    merge keys. Each candidate is two hash aggregations (X,Y then X)
+    — map-side combined, one shuffle each, no joins; candidates union
+    into one plan so Spark schedules them concurrently."""
+    out = None
+    for t, x, y in _FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        per_xy = tbl.groupBy(
+            F.col(x).alias("x"), F.col(y).alias("y")
+        ).agg(F.count("*").alias("c"))
+        per_x = per_xy.groupBy("x").agg(
+            F.sum("c").alias("nx"), F.max("c").alias("mx")
+        )
+        row = per_x.agg(
+            F.lit(f"{t}.{x}->{y}").alias("fd"),
+            F.sum("nx").alias("n_rows"),
+            F.count("*").alias("n_groups"),
+            F.sum("mx").alias("conforming_rows"),
+            F.round(
+                1.0 - F.sum("mx") / F.sum("nx").cast("double"), 6
+            ).alias("violation_rate"),
+            F.when(F.sum("mx") == F.sum("nx"), 1).otherwise(0)
+            .cast("int")
+            .alias("exact_fd"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "dp_noisy_nation_counts",
+    """
+    SELECT n_name,
+           CAST(true_count AS BIGINT) AS true_count,
+           0.5 AS epsilon,
+           round(lap_noise, 6) AS noise,
+           round(true_count + lap_noise, 6) AS noisy_count
+    FROM (
+      SELECT n_name, true_count,
+             -2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap_noise
+      FROM (
+        SELECT n_name, true_count,
+               ('0x' || substr(md5('dp1:' || n_name), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS u
+        FROM (
+          SELECT n_name, count(*) AS true_count
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        ) cnts
+      ) h
+    ) z
+    """,
+)
+def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counting-query release (Laplace
+    mechanism, sensitivity 1, epsilon 0.5): per-nation customer counts
+    plus Laplace(1/eps) noise drawn by INVERSE-CDF over the engine's
+    deterministic md5 uniform (``operators/sampling.hash_fraction``
+    layout) — reproducible across runs, engines, and partitionings,
+    which is what makes a DP release auditable at all (and what makes
+    this entry hash-checkable; a production release would emit only
+    the noisy column and a rotated seed). Noise magnitude is bounded
+    by the 60-bit hash granularity at ~83/eps; ln() disagreement
+    across libms is below the round-6 contract. One broadcast dim
+    join and one 25-group aggregate — scan-bound at any scale."""
+    from .operators.sampling import hash_fraction
+
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnts = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("true_count"))
+    )
+    u = hash_fraction(F.col("n_name"), "dp1")
+    uc = u - F.lit(0.5)
+    noise = F.lit(-2.0) * F.signum(uc) * F.log(F.lit(1.0) - 2.0 * F.abs(uc))
+    return cnts.select(
+        "n_name",
+        "true_count",
+        F.lit(0.5).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )
+
+
+_STUMP_QS = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+_STUMP_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+         CAST(l_discount AS DOUBLE) AS l_discount,
+         CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+thr AS (
+  SELECT DISTINCT feature, round(thr, 4) AS thr FROM (
+    SELECT 'l_quantity' AS feature,
+           unnest(quantile_cont(l_quantity, {_STUMP_QS})) AS thr FROM base
+    UNION ALL
+    SELECT 'l_discount', unnest(quantile_cont(l_discount, {_STUMP_QS})) FROM base
+    UNION ALL
+    SELECT 'l_extendedprice',
+           unnest(quantile_cont(l_extendedprice, {_STUMP_QS})) FROM base
+  )
+),
+up AS (
+  SELECT 'l_quantity' AS feature, l_quantity AS v, y FROM base
+  UNION ALL SELECT 'l_discount', l_discount, y FROM base
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice, y FROM base
+),
+agg AS (
+  SELECT u.feature, t.thr,
+         sum(CASE WHEN u.v <= t.thr THEN 1 ELSE 0 END) AS n_l,
+         sum(CASE WHEN u.v <= t.thr THEN u.y ELSE 0 END) AS pos_l,
+         count(*) AS n, sum(u.y) AS pos
+  FROM up u JOIN thr t ON t.feature = u.feature
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT feature, thr, n_l, n - n_l AS n_r, pos_l, pos - pos_l AS pos_r, n, pos,
+         round((CASE WHEN n_l = 0 THEN 0.0
+                     ELSE n_l * 2.0 * (pos_l / CAST(n_l AS DOUBLE))
+                           * (1.0 - pos_l / CAST(n_l AS DOUBLE)) END
+              + CASE WHEN n - n_l = 0 THEN 0.0
+                     ELSE (n - n_l) * 2.0
+                           * ((pos - pos_l) / CAST(n - n_l AS DOUBLE))
+                           * (1.0 - (pos - pos_l) / CAST(n - n_l AS DOUBLE)) END)
+               / n, 6) AS split_gini
+  FROM agg
+)
+SELECT feature, round(thr, 4) AS best_threshold, split_gini,
+       round(2.0 * (pos / CAST(n AS DOUBLE)) * (1.0 - pos / CAST(n AS DOUBLE)),
+             6) AS parent_gini,
+       round(round(2.0 * (pos / CAST(n AS DOUBLE))
+                   * (1.0 - pos / CAST(n AS DOUBLE)), 6) - split_gini,
+             6) AS gini_gain,
+       CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY feature ORDER BY split_gini ASC, thr ASC
+  ) AS rk FROM g
+) WHERE rk = 1
+"""
+
+
+@register("decision_stump_audit", _STUMP_ORACLE)
+def decision_stump_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search (the CART inner loop, beyond ref):
+    for each numeric lineitem feature, the decile threshold minimizing
+    weighted binary Gini against the l_returnflag = 'R' label. This is
+    one boosting round / one tree-node expansion as pure relational
+    algebra: candidate thresholds are exact deciles (one multi-
+    percentile aggregate, the ``describe_lineitem`` idiom), the
+    feature matrix unpivots via ``stack`` in the scan stage, and every
+    (feature, threshold) split's confusion counts come from ONE
+    conditional aggregation over the broadcast threshold grid — no
+    per-threshold jobs, no sort of the data. All split statistics are
+    integer counts, so cross-engine floats derive from exact ints and
+    the round-6 Gini check is deterministic. Scale: cost = one scan
+    fan of |features| x |thresholds| rows through a combiner-friendly
+    agg; a full tree level is this same plan keyed by node id."""
+    qs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    feats = ["l_quantity", "l_discount", "l_extendedprice"]
+    base = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(f).cast("double").alias(f) for f in feats],
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    base = materialize_shared(base)
+    pct = materialize_shared(
+        base.agg(
+            *[
+                F.array([F.round(F.percentile(F.col(f), q), 4) for q in qs]).alias(f)
+                for f in feats
+            ]
+        )
+    )
+    thr = None
+    for f in feats:
+        t = pct.select(F.lit(f).alias("feature"), F.explode(F.col(f)).alias("thr"))
+        thr = t if thr is None else thr.unionByName(t)
+    thr = thr.distinct()
+    up = base.select(
+        "y",
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity, 'l_discount', l_discount,"
+            " 'l_extendedprice', l_extendedprice) AS (feature, v)"
+        ),
+    )
+    agg = (
+        up.join(F.broadcast(thr), "feature")
+        .groupBy("feature", "thr")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("thr"), 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(F.col("v") <= F.col("thr"), F.col("y")).otherwise(0)).alias(
+                "pos_l"
+            ),
+            F.count("*").alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    n_l, n, pos_l, pos = F.col("n_l"), F.col("n"), F.col("pos_l"), F.col("pos")
+    n_r, pos_r = n - n_l, pos - pos_l
+    gini_side = (
+        lambda cnt, p: F.when(cnt == 0, F.lit(0.0)).otherwise(
+            cnt * 2.0 * (p / cnt.cast("double")) * (1.0 - p / cnt.cast("double"))
+        )
+    )
+    g = agg.select(
+        "feature",
+        "thr",
+        n_l,
+        n_r.alias("n_r"),
+        pos_l,
+        pos_r.alias("pos_r"),
+        n,
+        pos,
+        F.round((gini_side(n_l, pos_l) + gini_side(n_r, pos_r)) / n, 6).alias(
+            "split_gini"
+        ),
+    )
+    parent = F.round(
+        2.0 * (pos / n.cast("double")) * (1.0 - pos / n.cast("double")), 6
+    )
+    wbest = Window.partitionBy("feature").orderBy(F.asc("split_gini"), F.asc("thr"))
+    return (
+        g.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.round("thr", 4).alias("best_threshold"),
+            "split_gini",
+            parent.alias("parent_gini"),
+            F.round(parent - F.col("split_gini"), 6).alias("gini_gain"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+        )
+    )
+
+
+_PQ_ORACLE = """
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, CAST((t.i - 1) // 16 AS INTEGER) AS sub, t.i AS dim,
+         CAST(t.x AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) t(vec_id, x, i)
+),
+c0 AS MATERIALIZED (
+  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS code, p.sub, p.dim,
+         round(p.x, 6) AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 4) s
+  JOIN pts p ON p.vec_id = s.vec_id
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT p.vec_id, p.sub, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.sub
+             ORDER BY sum((p.x - c.c) * (p.x - c.c)) ASC, c.code ASC
+           ) AS rn
+    FROM pts p JOIN c0 c ON c.sub = p.sub AND c.dim = p.dim
+    GROUP BY p.vec_id, p.sub, c.code
+  ) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT a1.code, p.sub, p.dim, round(avg(p.x), 6) AS c
+  FROM pts p JOIN a1 ON a1.vec_id = p.vec_id AND a1.sub = p.sub
+  GROUP BY a1.code, p.sub, p.dim
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT p.vec_id, p.sub, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.sub
+             ORDER BY sum((p.x - c.c) * (p.x - c.c)) ASC, c.code ASC
+           ) AS rn
+    FROM pts p JOIN c1 c ON c.sub = p.sub AND c.dim = p.dim
+    GROUP BY p.vec_id, p.sub, c.code
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT p.vec_id, p.sub, sum((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM pts p
+  JOIN a2 ON a2.vec_id = p.vec_id AND a2.sub = p.sub
+  JOIN c1 c ON c.sub = p.sub AND c.dim = p.dim AND c.code = a2.code
+  GROUP BY p.vec_id, p.sub
+)
+SELECT r.sub AS subspace,
+       CAST(u.codes_used AS INTEGER) AS codes_used,
+       round(avg(r.d2), 6) AS avg_sq_err,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM resid r
+JOIN (SELECT sub, count(DISTINCT code) AS codes_used FROM a2 GROUP BY sub) u
+  ON u.sub = r.sub
+GROUP BY r.sub, u.codes_used
+"""
+
+
+@register("pq_codebook_audit", _PQ_ORACLE)
+def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) codebook training
+    audit — the memory-bound ANN compression path: 64-dim float
+    vectors split into M=4 contiguous 16-dim subspaces, each learning
+    a k=4 codebook by the registry's rounded-iterate relational
+    k-means (init = 4 lowest vec_ids, 2 Lloyd rounds, centroids
+    rounded to 6); reports per-subspace codes used and mean squared
+    reconstruction error. ALL subspaces train in ONE plan: the
+    subspace id is just another grouping key on the unpivoted
+    (vec, sub, dim, x) table, so a 100 TB corpus trains M codebooks
+    with the same three shuffles one codebook costs (and in practice
+    trains on a ``hash_fraction`` sample, then encodes the full
+    corpus with one broadcast join — 64 floats -> 4 bytes, 64x).
+    Composes with ``cosine_topk_ivf``: IVF prunes partitions, PQ
+    shrinks the resident index."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("CAST(dim0 DIV 16 AS INT)").alias("sub"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    pts = materialize_shared(pts)
+    wseed = Window.orderBy("vec_id")
+    seed_ids = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", (F.dense_rank().over(wseed) - 1).alias("code"))
+    )
+    c0 = pts.join(seed_ids, "vec_id").select(
+        "code", "sub", "dim", F.round("x", 6).alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = pts.join(cent, ["sub", "dim"])
+        agg = d.groupBy("vec_id", "sub", "code").agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2")
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "code")
+        )
+
+    a1 = assign(F.broadcast(c0))
+    c1 = materialize_shared(
+        pts.join(a1, ["vec_id", "sub"])
+        .groupBy("code", "sub", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    a2 = assign(F.broadcast(c1))
+    resid = (
+        pts.join(a2, ["vec_id", "sub"])
+        .join(F.broadcast(c1), ["sub", "dim", "code"])
+        .groupBy("vec_id", "sub")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    used = a2.groupBy("sub").agg(
+        F.countDistinct("code").cast("int").alias("codes_used")
+    )
+    return (
+        resid.groupBy("sub")
+        .agg(F.round(F.avg("d2"), 6).alias("avg_sq_err"), F.count("*").alias("n_vectors"))
+        .join(F.broadcast(used), "sub")
+        .select(
+            F.col("sub").alias("subspace"),
+            "codes_used",
+            "avg_sq_err",
+            "n_vectors",
+        )
+    )
