@@ -112,6 +112,13 @@ HEADLINE = [
     "als_factorization_audit",
     "recursive_trade_reach",
     "part_name_fuzzy_pairs",
+    # session-2 additions: pairwise-preference fit, FD profiling, DP
+    # release, stump split search, PQ codebooks
+    "brand_bradley_terry",
+    "functional_dependency_audit",
+    "dp_noisy_nation_counts",
+    "decision_stump_audit",
+    "pq_codebook_audit",
 ]
 
 

@@ -15876,10 +15876,16 @@ def brand_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-order brand self-join is keyed by o_orderkey
     (block = brands-per-order, ~4), the games table aggregates to
-    |brands|^2 <= 625 rows, and each MM round is joins over that tiny
-    table — comparison mining is the only data-sized stage, exactly one
-    shuffle per aggregation. The oracle unrolls the same three rounds
-    as CTEs (the ``_KMEANS_ORACLE`` pattern)."""
+    |brands|^2 <= 625 rows, and each MM round iterates on the
+    |brands|-row score vector DRIVER-SIDE over the collected games
+    table (the BPE argmax-to-driver pattern: the iterate is
+    model-sized, not data-sized, so shipping it beats 9 shuffled
+    joins/round — a lazy-cached relational loop measured 14.5s vs
+    this form's ~7s at sf0.1); scores re-enter the plan as a local
+    relation for the output join. Comparison mining is the only
+    data-sized stage. Rounding (half-up, via F.round on re-entry and
+    in the collected aggregate) matches the oracle's unrolled-CTE
+    rounds (the ``_KMEANS_ORACLE`` pattern)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
@@ -15909,6 +15915,10 @@ def brand_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 0)
     )
+    # the union below references games twice; without this cache the
+    # whole comparison-mining chain (the only data-sized stage) runs
+    # twice — measured 12.8s -> 6.9s at sf0.1
+    games = materialize_shared(games)
     sym = materialize_shared(
         games.select(
             F.col("ba").alias("i"), F.col("bb").alias("j"), "n", F.col("wa").alias("w")
@@ -15924,39 +15934,35 @@ def brand_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = materialize_shared(
         sym.groupBy("i").agg(F.sum("w").alias("W"), F.sum("n").alias("g"))
     )
-    scores = wins.select("i", F.lit(1.0).alias("s"))
+    # model-sized driver iterate: |brands|^2 comparison rows, sorted so
+    # the float sums are run-deterministic; _r6 reproduces F.round's
+    # HALF_UP-on-shortest-decimal semantics for doubles
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    sym_rows = sorted(
+        ((r["i"], r["j"], r["n"]) for r in sym.collect()), key=lambda t: (t[0], t[1])
+    )
+    w_rows = {r["i"]: r["W"] for r in wins.collect()}
+    items = sorted(w_rows)
+    s = {i: 1.0 for i in items}
     for _ in range(3):
-        u = (
-            sym.join(
-                scores.select(F.col("i").alias("si"), F.col("s").alias("sa")),
-                F.col("i") == F.col("si"),
-            )
-            .join(
-                scores.select(F.col("i").alias("sj"), F.col("s").alias("sb")),
-                F.col("j") == F.col("sj"),
-            )
-            .join(
-                wins.select(F.col("i").alias("wi"), F.col("W").alias("w_tot")),
-                F.col("i") == F.col("wi"),
-            )
-            .groupBy("i")
-            .agg(
-                F.round(
-                    F.max("w_tot") / F.sum(F.col("n") / (F.col("sa") + F.col("sb"))),
-                    6,
-                ).alias("s")
-            )
-        )
-        tot = u.agg(
-            F.sum("s").alias("tot_s"), F.count("*").alias("n_items")
-        )
-        scores = u.crossJoin(F.broadcast(tot)).select(
-            "i",
-            F.round(F.col("s") * F.col("n_items") / F.col("tot_s"), 6).alias("s"),
-        )
+        denom = {i: 0.0 for i in items}
+        for i, j, n in sym_rows:
+            denom[i] += n / (s[i] + s[j])
+        u = {i: _r6(w_rows[i] / denom[i]) for i in items}
+        tot = sum(u[i] for i in items)
+        s = {i: _r6(u[i] * len(items) / tot) for i in items}
+    scores = spark.createDataFrame(
+        [(i, s[i]) for i in items], "i string, s double"
+    )
     w_rank = Window.orderBy(F.desc("strength"), F.asc("p_brand"))
     return (
-        wins.join(scores, "i")
+        wins.join(F.broadcast(scores), "i")
         .select(
             F.col("i").alias("p_brand"),
             F.col("W").alias("wins"),
