@@ -119,6 +119,9 @@ HEADLINE = [
     "dp_noisy_nation_counts",
     "decision_stump_audit",
     "pq_codebook_audit",
+    "kneser_ney_bigram_lm",
+    "ips_offpolicy_value",
+    "popularity_negative_samples",
 ]
 
 

@@ -16383,3 +16383,294 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM toks, unnest(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cf AS (SELECT w1, sum(c) AS cf, count(*) AS n1f FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1p FROM c12 GROUP BY 1),
+    t AS (SELECT count(*) AS tt FROM c12)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           round(n1p * 1.0 / tt, 6) AS p_cont,
+           round(greatest(c - 0.75, 0.0) / cf
+                 + (0.75 * n1f / cf) * (n1p * 1.0 / tt), 6) AS p_kn
+    FROM c12 JOIN cf USING (w1) JOIN cont USING (w2) CROSS JOIN t
+    ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 100
+    """,
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    d=0.75) — the smoothing KenLM-style n-gram pipelines actually ship,
+    extending ``bigram_lm_pmi``'s raw-MLE table with the two KN
+    ingredients: the discounted bigram term and the CONTINUATION
+    unigram P_cont(w2) = |distinct predecessors| / |bigram types|
+    (the "how many contexts has this word completed" correction that
+    fixes the 'san francisco' pathology). Same one-shuffle shape: the
+    corpus explodes into bigrams once; cf/n1f/n1p/T are all rollups of
+    the (w1,w2) count table, broadcast back; every probability derives
+    from exact integer counts so the round-6 check is deterministic.
+    Top-100 by count is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bg = docs.select(F.explode(text.word_ngrams(toks, 2)).alias("b")).select(
+        F.split(F.col("b"), " ").getItem(0).alias("w1"),
+        F.split(F.col("b"), " ").getItem(1).alias("w2"),
+    )
+    c12 = materialize_shared(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    cf = c12.groupBy("w1").agg(
+        F.sum("c").alias("cf"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    p_cont = F.col("n1p") * 1.0 / F.col("tt")
+    return (
+        c12.join(F.broadcast(cf), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(p_cont, 6).alias("p_cont"),
+            F.round(
+                F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cf")
+                + (0.75 * F.col("n1f") / F.col("cf")) * p_cont,
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+
+
+@register(
+    "ips_offpolicy_value",
+    """
+    WITH ev AS (
+      SELECT event_type AS action, value AS reward,
+             CAST(hour(ts) // 6 AS INTEGER) AS ctx
+      FROM events
+    ),
+    logged AS (
+      SELECT ctx, action, count(*) AS n_a, sum(reward) AS r_a
+      FROM ev GROUP BY 1, 2
+    ),
+    nctx AS (SELECT ctx, sum(n_a) AS n_ctx FROM logged GROUP BY 1),
+    gpol AS (
+      SELECT action, sum(n_a) * 1.0 / (SELECT sum(n_a) FROM logged) AS p_g
+      FROM logged GROUP BY 1
+    ),
+    target AS (
+      SELECT ctx, action AS target_action FROM (
+        SELECT ctx, action,
+               row_number() OVER (
+                 PARTITION BY ctx
+                 ORDER BY r_a / n_a DESC, action ASC
+               ) AS rk
+        FROM logged
+      ) WHERE rk = 1
+    )
+    SELECT t.ctx, t.target_action,
+           CAST(n2.n_ctx AS BIGINT) AS n_events,
+           CAST(l.n_a AS BIGINT) AS n_matched,
+           round(g.p_g, 6) AS logging_propensity,
+           round(l.r_a / l.n_a, 4) AS dm_value,
+           round(l.r_a / g.p_g / n2.n_ctx, 4) AS ips_value
+    FROM target t
+    JOIN logged l ON l.ctx = t.ctx AND l.action = t.target_action
+    JOIN nctx n2 ON n2.ctx = t.ctx
+    JOIN gpol g ON g.action = t.target_action
+    """,
+)
+def ips_offpolicy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a learned deterministic policy by
+    inverse propensity scoring (Horvitz-Thompson / the counterfactual
+    estimator behind bandit-feedback RLHF evals): contexts are
+    day-part buckets, the target policy plays each context's highest
+    mean-reward action, logging propensities are the GLOBAL action
+    shares, and the audit reports the direct-method estimate (matched
+    mean) next to the IPS estimate — their gap is exactly the
+    context-action confounding IPS corrects. Everything rolls up from
+    one (ctx, action) aggregate of the events scan (logged table ~20
+    rows; propensities, argmax, and both estimators are rollups of
+    it) — one data-sized shuffle, rest broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.col("value").alias("reward"),
+        F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("ctx"),
+    )
+    logged = materialize_shared(
+        ev.groupBy("ctx", "action").agg(
+            F.count(F.lit(1)).alias("n_a"), F.sum("reward").alias("r_a")
+        )
+    )
+    nctx = logged.groupBy("ctx").agg(F.sum("n_a").alias("n_ctx"))
+    ntot = logged.agg(F.sum("n_a").alias("n_tot"))
+    glob = (
+        logged.groupBy("action")
+        .agg(F.sum("n_a").alias("na_g"))
+        .crossJoin(F.broadcast(ntot))
+        .select("action", (F.col("na_g") * 1.0 / F.col("n_tot")).alias("p_g"))
+    )
+    wbest = Window.partitionBy("ctx").orderBy(
+        F.desc(F.col("r_a") / F.col("n_a")), F.asc("action")
+    )
+    target = (
+        logged.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("ctx", F.col("action").alias("target_action"))
+    )
+    return (
+        target.join(
+            logged.select(
+                "ctx", F.col("action").alias("target_action"), "n_a", "r_a"
+            ),
+            ["ctx", "target_action"],
+        )
+        .join(F.broadcast(nctx), "ctx")
+        .join(
+            F.broadcast(glob.select(F.col("action").alias("target_action"), "p_g")),
+            "target_action",
+        )
+        .select(
+            "ctx",
+            "target_action",
+            F.col("n_ctx").alias("n_events"),
+            F.col("n_a").alias("n_matched"),
+            F.round("p_g", 6).alias("logging_propensity"),
+            F.round(F.col("r_a") / F.col("n_a"), 4).alias("dm_value"),
+            F.round(F.col("r_a") / F.col("p_g") / F.col("n_ctx"), 4).alias(
+                "ips_value"
+            ),
+        )
+    )
+
+
+@register(
+    "popularity_negative_samples",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, count(*) AS c, pow(count(*), 0.75) AS wgt
+      FROM toks GROUP BY word
+    ),
+    cum AS (
+      SELECT word, wgt,
+             sum(wgt) OVER (ORDER BY word ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lo,
+             sum(wgt) OVER (ORDER BY word ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hi
+      FROM vocab
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, word FROM toks WHERE doc_id % 50 = 0
+    ),
+    draws AS (
+      SELECT doc_id, word, k.k,
+             ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':'
+                                 || word || ':' || CAST(k.k AS VARCHAR)),
+                             1, 15))::BIGINT / 1152921504606846976.0
+               * (SELECT sum(wgt) FROM vocab) AS u
+      FROM pos CROSS JOIN (SELECT unnest(range(3)) AS k) k
+    )
+    SELECT d.doc_id, d.word AS positive, CAST(d.k AS INTEGER) AS neg_idx,
+           c.word AS negative
+    FROM draws d JOIN cum c
+      ON d.u >= coalesce(c.lo, 0.0) AND d.u < c.hi
+    """,
+)
+def popularity_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style negative sampling: for each (doc, positive-word)
+    pair (a 2%% doc slice), draw k=3 negatives from the unigram^0.75
+    popularity distribution (Mikolov et al. 2013) by DETERMINISTIC
+    inverse-CDF — the md5 uniform (``hash_fraction`` layout, keyed by
+    doc:word:k) scaled into the unnormalized cumulative-weight axis and
+    resolved against the vocab's ordered-window cumsum with a range
+    join. The ordered cumsum is sequential in BOTH engines (same
+    addition order), so boundaries agree bit-for-bit modulo a ~1-ulp
+    pow() band that a draw has ~1e-9 probability of straddling.
+    Scale shape: the vocab CDF is dim-sized and BROADCAST, so the
+    range join is a map-side binary probe, not a shuffle; for a
+    web-scale vocab the same plan buckets the CDF axis first (the
+    ``binned_range_join`` rewrite). This is the sampler that feeds
+    embedding/contrastive training next to
+    ``contrastive_negatives``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize_shared(
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("word")
+        )
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy(F.asc("word"))
+    cum = vocab.select(
+        "word",
+        F.pow(F.col("c"), 0.75).alias("wgt"),
+    ).select(
+        "word",
+        F.coalesce(
+            F.sum("wgt").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("lo"),
+        F.sum("wgt").over(
+            wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("hi"),
+    )
+    z = vocab.agg(F.sum(F.pow(F.col("c"), 0.75)).alias("z"))
+    pos = toks.filter(F.col("doc_id") % 50 == 0).select("doc_id", "word").distinct()
+    ks = spark.range(3).select(F.col("id").cast("int").alias("k"))
+    from .operators.sampling import HASH_SPACE
+
+    seed = F.concat(
+        F.lit("neg:"),
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.col("word"),
+        F.lit(":"),
+        F.col("k").cast("string"),
+    )
+    draws = (
+        pos.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "doc_id",
+            "word",
+            "k",
+            (
+                F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("bigint")
+                / F.lit(HASH_SPACE)
+                * F.col("z")
+            ).alias("u"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(cum.select(F.col("word").alias("negative"), "lo", "hi")),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "doc_id",
+            F.col("word").alias("positive"),
+            F.col("k").alias("neg_idx"),
+            "negative",
+        )
+    )
