@@ -1019,3 +1019,98 @@ def test_logreg_round_is_single_partial_agg(spark, sf_dir):
     plan = executed_plan(g)
     assert plan.count("HashAggregate") == 2  # partial + final, no more
     assert "Exchange hashpartitioning" not in plan  # single-group agg
+
+
+def test_fuzzy_pairs_verify_is_thresholded_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "part_name_fuzzy_pairs", sf_dir)
+    # dedup-before-verify + prefix filter: the candidate and expansion
+    # joins are all equi-joins — a cartesian here would mean the
+    # brand-block quadratic came back
+    assert "CartesianProduct" not in plan
+    # the verify step is the banded/thresholded levenshtein
+    assert "levenshtein" in plan
+    # part scan pruned to the 3 needed columns everywhere
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["p_brand", "p_name", "p_partkey"]
+
+
+def test_stump_grid_broadcasts_scan_pruned(spark, sf_dir):
+    plan = _executed_plan(spark, "decision_stump_audit", sf_dir)
+    # the threshold grid joins the unpivoted stream as a broadcast —
+    # shuffling the |features|×n stream on feature (3 keys) would be a
+    # skew disaster at scale
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == [
+            "l_discount", "l_extendedprice", "l_quantity", "l_returnflag",
+        ]
+
+
+def test_pq_centroids_broadcast_all_subspaces_one_plan(spark, sf_dir):
+    plan = _executed_plan(spark, "pq_codebook_audit", sf_dir)
+    # every centroid table (k×d rows) joins the point stream as a
+    # broadcast; all M subspaces ride the same exchanges
+    assert plan.count("SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    # point scans read (embedding, vec_id); the seed pick prunes to
+    # vec_id alone
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["embedding", "vec_id"] in schemas
+    assert all(set(c) <= {"embedding", "vec_id"} for c in schemas)
+
+
+def test_bradley_terry_mining_pruned_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "brand_bradley_terry", sf_dir)
+    # the driver-side MM iterate re-enters as a local relation; the
+    # only data-sized work is the keyed mining joins
+    assert "CartesianProduct" not in plan
+    schemas = _scan_schemas(plan)
+    assert ["l_orderkey", "l_partkey", "l_quantity"] in [sorted(c) for c in schemas]
+
+
+def test_negative_sampling_cdf_probe_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "popularity_negative_samples", sf_dir)
+    # the range join against the vocab CDF must be a broadcast
+    # nested-loop probe (map-side binary search), never a shuffled
+    # cartesian of draws × vocab
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_kneser_ney_marginals_broadcast_one_text_scan_col(spark, sf_dir):
+    plan = _executed_plan(spark, "kneser_ney_bigram_lm", sf_dir)
+    # cf/cont marginals broadcast back onto the count table; the corpus
+    # scan reads exactly the text column
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") == 0
+    assert _scan_schemas(plan) and all(c == ["text"] for c in _scan_schemas(plan))
+
+
+def test_ips_rollups_broadcast_events_pruned(spark, sf_dir):
+    plan = _executed_plan(spark, "ips_offpolicy_value", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") == 0
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["event_type", "ts", "value"]
+
+
+def test_fd_audit_is_join_free(spark, sf_dir):
+    plan = _executed_plan(spark, "functional_dependency_audit", sf_dir)
+    # pure two-level aggregation per candidate — any join operator
+    # would mean the rollup shape regressed
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    # each candidate's scan reads exactly its (X, Y) column pair
+    assert all(len(c) == 2 for c in _scan_schemas(plan))
+
+
+def test_recursive_reach_uses_native_union_loop(spark, sf_dir):
+    plan = _executed_plan(spark, "recursive_trade_reach", sf_dir)
+    # the WITH RECURSIVE surface must lower to Spark 4's native
+    # UnionLoop operator, not a hand-unrolled union
+    assert "UnionLoop" in plan
