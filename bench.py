@@ -122,6 +122,8 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "ips_offpolicy_value",
     "popularity_negative_samples",
+    "winnowing_fingerprint_pairs",
+    "revenue_diff_in_diff",
 ]
 
 

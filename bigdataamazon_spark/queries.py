@@ -16674,3 +16674,152 @@ def popularity_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative",
         )
     )
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                             || ' ' || l[i+3] || ' ' || l[i+4]), 1, 15))::BIGINT
+               AS h
+      FROM toks, unnest(range(1, len(l) - 3)) AS t(i)
+      WHERE len(l) >= 5
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM winnowed a JOIN winnowed b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS plagiarism algorithm; the third member of the local-
+    fingerprint family next to MinHash's set-resemblance and SimHash's
+    global signature): hash every 5-gram, slide a w=4 window over
+    consecutive gram hashes, keep each window's MINIMUM (guaranteeing
+    any shared run of >= w+k-1 tokens shares a fingerprint — the
+    locality property random sampling lacks), dedupe, and pair
+    documents sharing >= 3 fingerprints. The hash is the dedup
+    ladder's engine-portable 60-bit md5 prefix; the window min is an
+    ordered frame per doc (one doc-keyed shuffle); the pair join keys
+    on fingerprint hash like the LSH bucket join — sum of bucket^2,
+    never corpus^2. Set-of-minima winnowing (vs positional) keeps the
+    fingerprint SET identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(text.word_ngrams(text.tokens(F.col("text")), 5)).alias(
+            "pos", "gram"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winnowed = materialize_shared(
+        grams.select("doc_id", F.min("h").over(wmin).alias("fp")).distinct()
+    )
+    a = winnowed.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = winnowed.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "revenue_diff_in_diff",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o_orderdate >= DATE '1995-01-01' THEN 1 ELSE 0 END
+               AS post,
+             count(*) AS n, avg(o_totalprice) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS BIGINT)
+             AS n_treat_pre,
+           CAST(max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS BIGINT)
+             AS n_treat_post,
+           round(max(CASE WHEN treated = 1 AND post = 0 THEN y END), 4)
+             AS y_treat_pre,
+           round(max(CASE WHEN treated = 1 AND post = 1 THEN y END), 4)
+             AS y_treat_post,
+           round(max(CASE WHEN treated = 0 AND post = 0 THEN y END), 4)
+             AS y_ctrl_pre,
+           round(max(CASE WHEN treated = 0 AND post = 1 THEN y END), 4)
+             AS y_ctrl_post,
+           round((max(CASE WHEN treated = 1 AND post = 1 THEN y END)
+                  - max(CASE WHEN treated = 1 AND post = 0 THEN y END))
+                 - (max(CASE WHEN treated = 0 AND post = 1 THEN y END)
+                    - max(CASE WHEN treated = 0 AND post = 0 THEN y END)), 4)
+             AS did_estimate
+    FROM cells
+    """,
+)
+def revenue_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (the workhorse quasi-
+    experimental design, beyond ref): average order value for a
+    deterministic treated cohort (even nation keys) vs control, before
+    and after a 1995-01-01 policy date; the DiD estimate is the
+    treated delta minus the control delta — the parallel-trends
+    counterfactual correction. Shape: ONE broadcast-dim join + one
+    4-cell aggregate; the pivot to a single report row folds the tiny
+    cell table with conditional max — no second pass over facts. Cell
+    means are sums of DOUBLEs over exact partitions, so round-4 values
+    agree cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+            F.when(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"), 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("y"))
+    )
+
+    def cell(tr: int, po: int, col: str):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    return cells.agg(
+        cell(1, 0, "n").alias("n_treat_pre"),
+        cell(1, 1, "n").alias("n_treat_post"),
+        F.round(cell(1, 0, "y"), 4).alias("y_treat_pre"),
+        F.round(cell(1, 1, "y"), 4).alias("y_treat_post"),
+        F.round(cell(0, 0, "y"), 4).alias("y_ctrl_pre"),
+        F.round(cell(0, 1, "y"), 4).alias("y_ctrl_post"),
+        F.round(
+            (cell(1, 1, "y") - cell(1, 0, "y"))
+            - (cell(0, 1, "y") - cell(0, 0, "y")),
+            4,
+        ).alias("did_estimate"),
+    )

@@ -1114,3 +1114,21 @@ def test_recursive_reach_uses_native_union_loop(spark, sf_dir):
     # the WITH RECURSIVE surface must lower to Spark 4's native
     # UnionLoop operator, not a hand-unrolled union
     assert "UnionLoop" in plan
+
+
+def test_winnowing_pair_join_keys_on_fingerprint(spark, sf_dir):
+    plan = _executed_plan(spark, "winnowing_fingerprint_pairs", sf_dir)
+    # the pair join must key on the fingerprint hash (bucketed, like
+    # LSH) — never a per-doc cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_did_is_one_dim_join_one_agg(spark, sf_dir):
+    plan = _executed_plan(spark, "revenue_diff_in_diff", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 0
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["o_custkey", "o_orderdate", "o_totalprice"] in schemas
