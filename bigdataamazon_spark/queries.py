@@ -15639,7 +15639,8 @@ _RECURSIVE_REACH_SQL = """
 WITH RECURSIVE e AS (
   SELECT src, dst FROM (
     SELECT src, dst,
-           row_number() OVER (ORDER BY rev DESC, src ASC, dst ASC) AS rnk
+           row_number() OVER (PARTITION BY src
+                              ORDER BY rev DESC, dst ASC) AS rnk
     FROM (
       SELECT sn.n_name AS src, cn.n_name AS dst,
              sum(l_extendedprice * (1 - l_discount)) AS rev
@@ -15649,10 +15650,10 @@ WITH RECURSIVE e AS (
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation cn ON c_nationkey = cn.n_nationkey
-      WHERE sn.n_name <> cn.n_name
+      WHERE sn.n_name <> cn.n_name AND l_shipdate >= DATE '1997-01-01'
       GROUP BY sn.n_name, cn.n_name
     ) t
-  ) r WHERE rnk <= 40
+  ) r WHERE rnk <= 2
 ),
 reach(node, hops) AS (
   SELECT CAST('NATION_0' AS VARCHAR(30)) AS node, 0 AS hops
@@ -15669,13 +15670,21 @@ FROM reach GROUP BY node
 @register("recursive_trade_reach", _RECURSIVE_REACH_SQL)
 def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native recursive SQL (Spark 4 WITH RECURSIVE): minimum-hop
-    reachability from NATION_0 over the top-40 trade corridors — the
+    reachability from NATION_0 over per-source top trade corridors — the
     SAME ANSI text runs verbatim on Spark and the DuckDB oracle (the
-    sql_interface_revenue discipline extended to iteration). This pins
+    sql_interface_revenue discipline extended to iteration). Corridors
+    are the top-2 PER SOURCE nation, so every node has out-edges at
+    every scale factor and the recursion genuinely expands. This pins
     the engine's recursive-CTE surface; unbounded-scale graph closure
     still belongs to operators/graph.py's checkpointed loops (the
     recursion here is dims-bounded: <= 25 nodes x 4 hops, and the hops
-    guard caps the UNION ALL fan regardless of density)."""
+    guard caps the UNION ALL fan regardless of density). Measured
+    caveat that justifies that split: Spark 4's UnionLoop RE-EVALUATES
+    the corridor CTE on every iteration (~one corridor-aggregate cost
+    per hop), so the edge build carries a pushed shipdate filter to
+    bound the per-iteration cost — for data-sized iteration counts the
+    checkpointed relational loop, not WITH RECURSIVE, is the scale
+    path."""
     from .catalog import load_catalog
 
     load_catalog(spark, sf_dir)
