@@ -124,6 +124,8 @@ HEADLINE = [
     "popularity_negative_samples",
     "winnowing_fingerprint_pairs",
     "revenue_diff_in_diff",
+    "colbert_maxsim_topk",
+    "ate_stratified",
 ]
 
 

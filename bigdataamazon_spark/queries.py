@@ -16832,3 +16832,191 @@ def revenue_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+_COLBERT_TERMS = ("vector", "hash", "dup", "scan")
+
+_COLBERT_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+           regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+vvec AS (
+  SELECT tok, d.d,
+         CASE WHEN ('0x' || substr(md5(tok), d.d, 1))::INT >= 8
+              THEN 1 ELSE -1 END AS v
+  FROM vocab, (SELECT unnest(range(1, 9)) AS d) d
+),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _COLBERT_TERMS)}),
+qvec AS (
+  SELECT term, d.d,
+         CASE WHEN ('0x' || substr(md5(term), d.d, 1))::INT >= 8
+              THEN 1 ELSE -1 END AS v
+  FROM q, (SELECT unnest(range(1, 9)) AS d) d
+),
+sim AS (
+  SELECT qv.term, vv.tok,
+         sum(qv.v * vv.v) / 8.0 AS s
+  FROM qvec qv JOIN vvec vv ON qv.d = vv.d
+  GROUP BY qv.term, vv.tok
+),
+per_term AS (
+  SELECT t.doc_id, s.term, max(s.s) AS best
+  FROM toks t JOIN sim s ON s.tok = t.tok
+  GROUP BY t.doc_id, s.term
+)
+SELECT doc_id, round(sum(best), 4) AS maxsim_score
+FROM per_term
+GROUP BY doc_id
+HAVING count(*) = {len(_COLBERT_TERMS)}
+ORDER BY maxsim_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("colbert_maxsim_topk", _COLBERT_ORACLE)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020) as relational algebra: every token carries an
+    embedding, a document's score for a query is
+    ``sum over query tokens of max over doc tokens of sim`` — the
+    multi-vector scoring that beats single-vector cosine on phrase
+    queries. Token embeddings here are deterministic 8-dim sign
+    vectors from md5 nibbles (exact +-1 ints, so similarities are
+    exact quarters and the check is hash-exact; a real pipeline swaps
+    in learned vectors via the same (token, dim, v) table). Shape for
+    100 TB: similarities are computed on the DISTINCT VOCAB x |q|
+    (dim-sized, broadcast), never per occurrence; the per-(doc, term)
+    max and per-doc sum roll up from the distinct (doc, token) table
+    with two keyed aggs; top-10 is TakeOrdered. Docs must match every
+    query term (HAVING = |q|), mirroring ColBERT's full-query
+    interaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize_shared(
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+        ).distinct()
+    )
+    vocab = toks.select("tok").distinct()
+    dims = spark.range(1, 9).select(F.col("id").cast("int").alias("d"))
+
+    def sign_vec(col: str, out: str):
+        return (
+            F.when(
+                F.conv(F.substring(F.md5(F.col(col)), F.col("d"), 1), 16, 10)
+                .cast("int")
+                >= 8,
+                1,
+            )
+            .otherwise(-1)
+            .alias(out)
+        )
+
+    vvec = vocab.crossJoin(F.broadcast(dims)).select("tok", "d", sign_vec("tok", "v"))
+    q = spark.createDataFrame([(t,) for t in _COLBERT_TERMS], ["term"])
+    qvec = q.crossJoin(F.broadcast(dims)).select("term", "d", sign_vec("term", "qv"))
+    sim = (
+        vvec.join(F.broadcast(qvec), "d")
+        .groupBy("term", "tok")
+        .agg((F.sum(F.col("qv") * F.col("v")) / 8.0).alias("s"))
+    )
+    per_term = (
+        toks.join(F.broadcast(sim), "tok")
+        .groupBy("doc_id", "term")
+        .agg(F.max("s").alias("best"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("best"), 4).alias("maxsim_score"),
+            F.count(F.lit(1)).alias("nq"),
+        )
+        .filter(F.col("nq") == len(_COLBERT_TERMS))
+        .select("doc_id", "maxsim_score")
+        .orderBy(F.desc("maxsim_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ate_stratified",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS stratum,
+             CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             o_totalprice AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (
+      SELECT stratum, treated, count(*) AS n, avg(y) AS ybar
+      FROM base GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT stratum,
+             max(CASE WHEN treated = 1 THEN n END) AS n_treat,
+             max(CASE WHEN treated = 0 THEN n END) AS n_ctrl,
+             max(CASE WHEN treated = 1 THEN ybar END) AS y_treat,
+             max(CASE WHEN treated = 0 THEN ybar END) AS y_ctrl
+      FROM cells GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           round((n_treat + n_ctrl) * 1.0 /
+                 (SELECT sum(n_treat + n_ctrl) FROM wide), 6) AS stratum_weight,
+           round(n_treat * 1.0 / (n_treat + n_ctrl), 6) AS propensity,
+           round(y_treat - y_ctrl, 4) AS stratum_ate,
+           round((y_treat - y_ctrl) * (n_treat + n_ctrl) /
+                 (SELECT sum(n_treat + n_ctrl) FROM wide), 4)
+             AS weighted_contribution
+    FROM wide
+    """,
+)
+def ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimation (the
+    post-stratification / subclassification design, Cochran 1968 —
+    the observational-causal companion to ``revenue_diff_in_diff``):
+    within each market segment the treated/control order-value gap is
+    an apples-to-apples contrast, and the population ATE is the
+    stratum-size-weighted sum of the per-stratum gaps; the propensity
+    column exposes how treatment assignment varies by stratum (what
+    naive pooling confounds on). One broadcast-dim join, one
+    (stratum, treated) aggregate, and the report folds from the
+    10-row cell table — scan-bound at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("stratum"),
+            F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("ybar"))
+    )
+    wide = materialize_shared(
+        cells.groupBy("stratum").agg(
+            F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n_treat"),
+            F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n_ctrl"),
+            F.max(F.when(F.col("treated") == 1, F.col("ybar"))).alias("y_treat"),
+            F.max(F.when(F.col("treated") == 0, F.col("ybar"))).alias("y_ctrl"),
+        )
+    )
+    tot = wide.agg(F.sum(F.col("n_treat") + F.col("n_ctrl")).alias("n_all"))
+    n_s = F.col("n_treat") + F.col("n_ctrl")
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_treat",
+            "n_ctrl",
+            F.round(n_s * 1.0 / F.col("n_all"), 6).alias("stratum_weight"),
+            F.round(F.col("n_treat") * 1.0 / n_s, 6).alias("propensity"),
+            F.round(F.col("y_treat") - F.col("y_ctrl"), 4).alias("stratum_ate"),
+            F.round(
+                (F.col("y_treat") - F.col("y_ctrl")) * n_s / F.col("n_all"), 4
+            ).alias("weighted_contribution"),
+        )
+    )

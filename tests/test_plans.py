@@ -1132,3 +1132,14 @@ def test_did_is_one_dim_join_one_agg(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 0
     schemas = [sorted(c) for c in _scan_schemas(plan)]
     assert ["o_custkey", "o_orderdate", "o_totalprice"] in schemas
+
+
+def test_colbert_sim_table_broadcasts(spark, sf_dir):
+    plan = _executed_plan(spark, "colbert_maxsim_topk", sf_dir)
+    # the (term, token) similarity table joins the doc-token stream as
+    # a broadcast; scoring never shuffles per occurrence
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
