@@ -17020,3 +17020,284 @@ def ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_contribution"),
         )
     )
+
+
+@register(
+    "kn_doc_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM toks, unnest(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cf AS (SELECT w1, sum(c) AS cf, count(*) AS n1f FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1p FROM c12 GROUP BY 1),
+    t AS (SELECT count(*) AS tt FROM c12),
+    kn AS (
+      SELECT w1, w2,
+             round(greatest(c - 0.75, 0.0) / cf
+                   + (0.75 * n1f / cf) * (n1p * 1.0 / tt), 6) AS p
+      FROM c12 JOIN cf USING (w1) JOIN cont USING (w2) CROSS JOIN t
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(kn.p)), 4) AS kn_nll
+    FROM bg JOIN kn USING (w1, w2)
+    GROUP BY bg.doc_id
+    """,
+)
+def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the
+    Kneser-Ney model (``kneser_ney_bigram_lm``'s table applied back to
+    the corpus — entries compose): the bigram upgrade of the unigram
+    ``doc_perplexity_scores`` quality signal, and the shape of every
+    'score the corpus with a small LM' filtering stage. The KN table
+    is rounded to 6 BEFORE the ln so both engines take logs of
+    bit-identical probabilities; per-doc NLL is one join of the doc
+    bigram stream against the (w1,w2) model (dim-sized relative to
+    token instances — broadcast at this scale, co-partitioned keyed
+    join at 100 TB) plus one doc-keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bg = materialize_shared(
+        docs.select(
+            "doc_id", F.explode(text.word_ngrams(toks, 2)).alias("b")
+        ).select(
+            "doc_id",
+            F.split(F.col("b"), " ").getItem(0).alias("w1"),
+            F.split(F.col("b"), " ").getItem(1).alias("w2"),
+        )
+    )
+    c12 = materialize_shared(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    cf = c12.groupBy("w1").agg(
+        F.sum("c").alias("cf"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    kn = (
+        c12.join(F.broadcast(cf), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cf")
+                + (0.75 * F.col("n1f") / F.col("cf"))
+                * (F.col("n1p") * 1.0 / F.col("tt")),
+                6,
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(kn, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("p"))), 4).alias("kn_nll"),
+        )
+    )
+
+
+@register(
+    "source_loo_contribution",
+    """
+    WITH d AS (
+      SELECT source, lang, n_chars, md5(text) AS h FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+             sum(n_chars) AS chars
+      FROM d GROUP BY 1
+    ),
+    g AS (SELECT sum(n) AS n, sum(en) AS en, sum(chars) AS chars FROM per_src),
+    ht AS (SELECT h, count(*) AS c FROM d GROUP BY h),
+    gdup AS (
+      SELECT coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS gd FROM ht
+    ),
+    hs AS (SELECT h, source, count(*) AS cs FROM d GROUP BY 1, 2),
+    corr AS (
+      SELECT hs.source,
+             sum(CASE WHEN ht.c >= 2 THEN ht.c ELSE 0 END) AS sub_g,
+             sum(CASE WHEN ht.c - hs.cs >= 2 THEN ht.c - hs.cs ELSE 0 END)
+               AS add_g
+      FROM hs JOIN ht USING (h) GROUP BY 1
+    )
+    SELECT p.source,
+           CAST(p.n AS BIGINT) AS n_docs,
+           round((g.en - p.en) * 1.0 / (g.n - p.n), 6) AS en_frac_without,
+           round((g.chars - p.chars) * 1.0 / (g.n - p.n), 2)
+             AS mean_chars_without,
+           round((gdup.gd - coalesce(c.sub_g, 0) + coalesce(c.add_g, 0)) * 1.0
+                 / (g.n - p.n), 6) AS dup_rate_without,
+           round((g.en - p.en) * 1.0 / (g.n - p.n) - g.en * 1.0 / g.n, 6)
+             AS en_frac_delta
+    FROM per_src p CROSS JOIN g CROSS JOIN gdup
+    LEFT JOIN corr c ON c.source = p.source
+    """,
+)
+def source_loo_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation per source (the group-Shapley
+    degenerate case every curation pipeline actually runs: 'what does
+    dropping this crawl/source do to the corpus metrics?'). The trick
+    is that NOTHING is recomputed per source — every LOO metric folds
+    from sufficient statistics: per-source count/en/char sums
+    subtract from the global sums, and even the duplicate-rate (which
+    couples sources through shared content) corrects algebraically
+    from the (content-hash, source) count table: removing source s
+    turns a hash's dup contribution from [c>=2]*c into
+    [c-cs>=2]*(c-cs), both computable from one keyed join of
+    dim-sized aggregates. |sources|+1 passes would be the naive
+    plan; this is ~2 aggregates regardless of source count."""
+    d = materialize_shared(
+        load_table(spark, sf_dir, "documents").select(
+            "source",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+        )
+    )
+    per_src = materialize_shared(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    g = per_src.agg(
+        F.sum("n").alias("gn"), F.sum("en").alias("gen"), F.sum("chars").alias("gchars")
+    )
+    ht = materialize_shared(d.groupBy("h").agg(F.count(F.lit(1)).alias("c")))
+    gdup = ht.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)), F.lit(0)
+        ).alias("gd")
+    )
+    hs = d.groupBy("h", "source").agg(F.count(F.lit(1)).alias("cs"))
+    corr = (
+        hs.join(ht, "h")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("sub_g"),
+            F.sum(
+                F.when(
+                    F.col("c") - F.col("cs") >= 2, F.col("c") - F.col("cs")
+                ).otherwise(0)
+            ).alias("add_g"),
+        )
+    )
+    rem = F.col("gn") - F.col("n")
+    en_without = (F.col("gen") - F.col("en")) * 1.0 / rem
+    return (
+        per_src.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gdup))
+        .join(corr, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(en_without, 6).alias("en_frac_without"),
+            F.round((F.col("gchars") - F.col("chars")) * 1.0 / rem, 2).alias(
+                "mean_chars_without"
+            ),
+            F.round(
+                (
+                    F.col("gd")
+                    - F.coalesce(F.col("sub_g"), F.lit(0))
+                    + F.coalesce(F.col("add_g"), F.lit(0))
+                )
+                * 1.0
+                / rem,
+                6,
+            ).alias("dup_rate_without"),
+            F.round(en_without - F.col("gen") * 1.0 / F.col("gn"), 6).alias(
+                "en_frac_delta"
+            ),
+        )
+    )
+
+
+_MATRYOSHKA_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+tnormed AS (
+  SELECT vec_id, vec[1:16] AS vec,
+         sqrt(list_dot_product(vec[1:16], vec[1:16])) AS nrm
+  FROM base
+),
+exact_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+trunc_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM tnormed a JOIN tnormed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+spine AS (SELECT DISTINCT src FROM exact_topk),
+hits AS (
+  SELECT e.src, count(*) AS h
+  FROM exact_topk e JOIN trunc_topk t ON e.src = t.src AND e.dst = t.dst
+  GROUP BY 1
+)
+SELECT s.src, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.h, 0) / 5.0, 4) AS recall_at_5
+FROM spine s LEFT JOIN hits h ON s.src = h.src
+"""
+
+
+@register("matryoshka_truncation_recall", _MATRYOSHKA_ORACLE)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): how
+    much cosine top-5 recall survives keeping only the FIRST 16 of 64
+    embedding dims — the measurement behind serving shorter prefixes
+    of nested-representation embeddings (4x less memory and GEMM per
+    probe; these synthetic embeddings aren't MRL-trained, so the
+    honest low recall here is the null baseline an MRL model must
+    beat). Both sides run the production exact-GEMM operator — the
+    truncated side just slices the array column — and per-query recall
+    joins them, the ``ann_recall_audit`` shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = materialize_shared(
+        similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select("src", "dst")
+    )
+    temb = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc = similarity.cosine_topk(temb, "vec_id", "embedding", k=5).select(
+        "src", "dst"
+    )
+    spine = exact.select("src").distinct()
+    hits = (
+        exact.join(trunc, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return spine.join(hits, "src", "left").select(
+        "src",
+        F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+    )
