@@ -17301,3 +17301,316 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
         F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
     )
+
+
+_DBSCAN_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM normed a JOIN normed b
+    ON a.vec_id < b.vec_id
+   AND list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.3
+),
+und AS (SELECT s AS a, d AS b FROM pairs UNION SELECT d, s FROM pairs),
+deg AS (SELECT a, count(*) AS c FROM und GROUP BY 1),
+core AS (SELECT a FROM deg WHERE c >= 4),
+ce AS (
+  SELECT u.a, u.b FROM und u
+  JOIN core x ON u.a = x.a JOIN core y ON u.b = y.a
+),
+reach AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.a, c.b FROM reach r JOIN ce c ON r.b = c.a
+),
+lbl AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+clbl AS (
+  SELECT c.a AS node, coalesce(l.label, c.a) AS label
+  FROM core c LEFT JOIN lbl l ON l.node = c.a
+),
+border AS (
+  SELECT u.a AS node, min(cl.label) AS label
+  FROM und u JOIN clbl cl ON u.b = cl.node
+  WHERE u.a NOT IN (SELECT a FROM core)
+  GROUP BY u.a
+)
+SELECT e.vec_id,
+       CAST(CASE WHEN c.label IS NOT NULL THEN c.label
+                 WHEN bo.label IS NOT NULL THEN bo.label
+                 ELSE -1 END AS BIGINT) AS cluster,
+       CASE WHEN c.label IS NOT NULL THEN 'core'
+            WHEN bo.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM base e
+LEFT JOIN clbl c ON c.node = e.vec_id
+LEFT JOIN border bo ON bo.node = e.vec_id
+"""
+
+
+@register("dbscan_embedding_clusters", _DBSCAN_ORACLE)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    embedding column — the clusterer that finds arbitrary-shape groups
+    and an explicit NOISE class, where k-means (``kmeans_embedding_
+    clusters``) forces every point into a ball. eps is cosine>=0.3,
+    minPts=4; cluster id = min core vec_id of the density-connected
+    component. Decomposes into three already-scale-proven stages:
+    the eps-neighbor EDGE TABLE (here the guarded exact threshold
+    scan; at 100 TB the LSH/IVF bucketed pair generators produce the
+    same (src,dst) stream), core selection (one degree agg), and the
+    checkpointed min-label closure from operators/graph.py restricted
+    to core-core edges — border points attach by one more keyed join,
+    noise never shuffles anywhere. The oracle runs the textbook
+    all-pairs + recursive-CTE closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_threshold_pairs(
+        emb, "vec_id", "embedding", 0.3
+    ).select("src", "dst")
+    und = materialize_shared(
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    core = materialize_shared(
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 4)
+        .select(F.col("src").alias("node"))
+    )
+    core_edges = (
+        und.join(core.select(F.col("node").alias("src")), "src")
+        .join(core.select(F.col("node").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    cc = graph.connected_components(core_edges)
+    # core points whose eps-neighbors are all non-core never enter the
+    # closure — they are their own single-core cluster
+    clbl = materialize_shared(
+        core.join(cc, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+    )
+    border = (
+        und.join(core.select(F.col("node").alias("src")), "src", "left_anti")
+        .join(
+            clbl.select(F.col("node").alias("dst"), F.col("label")), "dst"
+        )
+        .groupBy("src")
+        .agg(F.min("label").alias("blabel"))
+        .select(F.col("src").alias("node"), "blabel")
+    )
+    return (
+        emb.select("vec_id")
+        .join(clbl.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .join(border.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("blabel"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster"),
+            F.when(F.col("label").isNotNull(), F.lit("core"))
+            .when(F.col("blabel").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+
+
+@register(
+    "adamic_adar_link_prediction",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    cop AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    thr AS (SELECT quantile_cont(c, 0.95) AS p FROM cop),
+    edges AS (SELECT u, v FROM cop, thr WHERE c >= p),
+    und AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+    wedges AS (
+      SELECT x.a AS u, y.a AS v, x.b AS w
+      FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+    ),
+    scored AS (
+      SELECT w.u, w.v, sum(1.0 / ln(deg.d)) AS aa, count(*) AS n_common
+      FROM wedges w JOIN deg ON deg.a = w.w
+      WHERE deg.d >= 2
+      GROUP BY w.u, w.v
+    ),
+    nonedges AS (
+      SELECT s.u, s.v, s.aa, s.n_common FROM scored s
+      LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+      WHERE e.u IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(aa, 6) AS aa_score
+    FROM nonedges
+    ORDER BY aa DESC, u ASC, v ASC LIMIT 50
+    """,
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by Adamic-Adar (2003): for supplier pairs NOT
+    yet linked in the thinned co-supply graph (same 95th-percentile
+    edge rule as ``supplier_cosupply_triangles``), score candidate
+    links by sum(1/ln(deg(w))) over common neighbors w — the inverted
+    'rare shared neighbors count more' weighting behind people-you-
+    may-know features. One wedge self-join (the triangle-counting
+    workhorse, bounded by sum(deg^2) after thinning), a broadcast
+    degree join, an anti-join against existing edges, and a global
+    top-50 via TakeOrderedAndProject — no per-pair recomputation,
+    no driver loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    cop = materialize_shared(
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = cop.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = materialize_shared(
+        cop.crossJoin(F.broadcast(thr))
+        .where(F.col("c") >= F.col("p"))
+        .select("u", "v")
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.b") == F.col("y.b"))
+        .where(F.col("x.a") < F.col("y.a"))
+        .select(
+            F.col("x.a").alias("u"), F.col("y.a").alias("v"), F.col("x.b").alias("w")
+        )
+    )
+    scored = (
+        wedges.join(
+            F.broadcast(deg.filter(F.col("d") >= 2).withColumnRenamed("a", "w")),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return (
+        scored.join(edges, ["u", "v"], "left_anti")
+        .orderBy(F.desc("aa"), F.asc("u"), F.asc("v"))
+        .limit(50)
+        .select(
+            F.col("u").cast("bigint"),
+            F.col("v").cast("bigint"),
+            F.col("n_common").cast("bigint"),
+            F.round("aa", 6).alias("aa_score"),
+        )
+    )
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH binned AS (
+      SELECT n_name, c_mktsegment,
+             least(CAST(floor((c_acctbal + 1000.0) / 1400.0) AS INTEGER), 4)
+               AS band
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    g AS (SELECT band, count(*) * 1.0 AS gc FROM binned GROUP BY 1),
+    gt AS (SELECT sum(gc) AS gn FROM g),
+    grp AS (
+      SELECT n_name, c_mktsegment, band, count(*) * 1.0 AS c
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    gsz AS (
+      SELECT n_name, c_mktsegment, sum(c) AS n FROM grp GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT s.n_name, s.c_mktsegment, s.n, g.band,
+             g.gc / gt.gn AS pg,
+             coalesce(x.c, 0) / s.n AS pq
+      FROM gsz s CROSS JOIN g CROSS JOIN gt
+      LEFT JOIN grp x ON x.n_name = s.n_name
+                     AND x.c_mktsegment = s.c_mktsegment
+                     AND x.band = g.band
+    ),
+    cum AS (
+      SELECT n_name, c_mktsegment, n,
+             sum(pq - pg) OVER (
+               PARTITION BY n_name, c_mktsegment ORDER BY band
+             ) AS cd
+      FROM spine
+    )
+    SELECT n_name, c_mktsegment, CAST(n AS BIGINT) AS n_members,
+           round(sum(abs(cd)) / 4.0, 6) AS emd,
+           sum(abs(cd)) / 4.0 > 0.2 AS violates_t
+    FROM cum GROUP BY n_name, c_mktsegment, n
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li et al. 2007) — the third rung of the anonymity
+    ladder after ``customer_k_anonymity`` and ``customer_l_diversity``:
+    a quasi-identifier group (nation x mktsegment) leaks if the
+    DISTRIBUTION of the sensitive value (acctbal, 5 equi-width bands)
+    within the group sits far from the global one. Distance is the
+    ordered-bin Earth Mover's Distance, which for 1-D histograms
+    folds to sum|cumulative difference|/(B-1) — so the whole audit is
+    one small group-by-band matrix crossed with a broadcast global
+    histogram and a 5-row-per-group window, no per-group solver.
+    Groups with EMD > t=0.2 are flagged."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    binned = materialize_shared(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "n_name",
+            "c_mktsegment",
+            F.least(
+                F.floor((F.col("c_acctbal") + 1000.0) / 1400.0).cast("int"),
+                F.lit(4),
+            ).alias("band"),
+        )
+    )
+    g = binned.groupBy("band").agg((F.count(F.lit(1)) * 1.0).alias("gc"))
+    gt = g.agg(F.sum("gc").alias("gn"))
+    grp = binned.groupBy("n_name", "c_mktsegment", "band").agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    gsz = grp.groupBy("n_name", "c_mktsegment").agg(F.sum("c").alias("n"))
+    spine = (
+        gsz.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gt))
+        .join(grp, ["n_name", "c_mktsegment", "band"], "left")
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "n",
+            "band",
+            (F.col("gc") / F.col("gn")).alias("pg"),
+            (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("n")).alias("pq"),
+        )
+    )
+    w = Window.partitionBy("n_name", "c_mktsegment").orderBy("band")
+    cum = spine.withColumn("cd", F.sum(F.col("pq") - F.col("pg")).over(w))
+    return cum.groupBy("n_name", "c_mktsegment", "n").agg(
+        F.round(F.sum(F.abs(F.col("cd"))) / 4.0, 6).alias("emd"),
+        (F.sum(F.abs(F.col("cd"))) / 4.0 > 0.2).alias("violates_t"),
+    ).select(
+        "n_name",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_members"),
+        "emd",
+        "violates_t",
+    )
