@@ -17614,3 +17614,333 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd",
         "violates_t",
     )
+
+
+@register(
+    "rdd_discontinuity_estimate",
+    """
+    WITH od AS (
+      SELECT o_orderkey, o_totalprice AS x, avg(l_discount) AS y
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_totalprice BETWEEN 200000 AND 300000
+      GROUP BY 1, 2
+    ),
+    sides AS (
+      SELECT CASE WHEN x >= 250000 THEN 'right' ELSE 'left' END AS side,
+             x - 250000 AS xc, y
+      FROM od
+    ),
+    fits AS (
+      SELECT side, count(*) AS n,
+             sum(xc) AS sx, sum(y) AS sy, sum(xc * y) AS sxy,
+             sum(xc * xc) AS sxx
+      FROM sides GROUP BY 1
+    ),
+    ab AS (
+      SELECT side, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+      FROM fits
+    )
+    SELECT r.n AS n_right, l.n AS n_left,
+           round(r.intercept, 6) AS limit_right,
+           round(l.intercept, 6) AS limit_left,
+           round(r.intercept - l.intercept, 6) AS rdd_estimate
+    FROM ab r JOIN ab l ON r.side = 'right' AND l.side = 'left'
+    """,
+)
+def rdd_discontinuity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity (Thistlethwaite-Campbell 1960):
+    does crossing the 250k order-value threshold shift the mean line
+    discount? Local linear fits on each side of the cutoff inside a
+    +/-50k bandwidth; the causal estimate is the gap between the two
+    intercepts AT the cutoff (centering x at c makes the intercept the
+    boundary limit). Joins the causal family (``revenue_diff_in_diff``,
+    ``ate_stratified``, ``cuped_variance_reduction``) with the
+    design that needs no control group. Each side's OLS folds to five
+    sufficient-statistic sums in ONE aggregate pass over the bandwidth
+    sliver (filter pushed to the orders scan), so the full estimator is
+    two rows joined — nothing driver-side, nothing iterative."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").between(200000, 300000)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.avg("l_discount").alias("y"))
+        .select(
+            F.when(F.col("o_totalprice") >= 250000, F.lit("right"))
+            .otherwise(F.lit("left"))
+            .alias("side"),
+            (F.col("o_totalprice") - 250000).alias("xc"),
+            "y",
+        )
+    )
+    fits = od.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fits.select(
+        "side", "n", ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept")
+    )
+    r = ab.filter(F.col("side") == "right").select(
+        F.col("n").alias("n_right"), F.col("intercept").alias("ir")
+    )
+    l = ab.filter(F.col("side") == "left").select(
+        F.col("n").alias("n_left"), F.col("intercept").alias("il")
+    )
+    return r.crossJoin(F.broadcast(l)).select(
+        "n_right",
+        "n_left",
+        F.round("ir", 6).alias("limit_right"),
+        F.round("il", 6).alias("limit_left"),
+        F.round(F.col("ir") - F.col("il"), 6).alias("rdd_estimate"),
+    )
+
+
+@register(
+    "image_phash_neardup",
+    f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id, {_MM_DIGEST_BYTES} FROM h),
+    ph AS (
+      SELECT doc_id,
+             b0::BIGINT * 16777216 + b1 * 65536 + b2 * 256 + b3 AS h_hi,
+             b4::BIGINT * 16777216 + b5 * 65536 + b6 * 256 + b7 AS h_lo,
+             b0 * 256 + b1 AS band0, b2 * 256 + b3 AS band1,
+             b4 * 256 + b5 AS band2, b6 * 256 + b7 AS band3
+      FROM b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, x.doc_id AS dst,
+             a.h_hi AS ahi, a.h_lo AS alo, x.h_hi AS bhi, x.h_lo AS blo
+      FROM ph a JOIN ph x
+        ON a.doc_id < x.doc_id
+       AND (a.band0 = x.band0 OR a.band1 = x.band1
+            OR a.band2 = x.band2 OR a.band3 = x.band3)
+    )
+    SELECT src, dst,
+           CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+                AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6
+    """,
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, Hamming-BANDED (the image twin of
+    MinHash-LSH; with a 64-bit pHash and radius 6, two near-dup images
+    must agree exactly on at least one of four 16-bit bands — pigeonhole
+    — so candidates come from 4 equi-joins on band keys, never an
+    all-pairs scan, unlike the documented all-pairs shortcut in
+    ``simhash_neardup_pairs``). The hash kernel is the multimodal fake
+    seam (pure function of the blob digest, oracle-replayable;
+    the real dHash-over-resized-luma kernel slots behind the same
+    mapInPandas signature when PIL is importable — operators/
+    multimodal.py policy). With random-digest fakes only exact payload
+    duplicates land within radius 6 — the plumbing under test is the
+    banding, verification, and dedup output, which is decode-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    ph = materialize_shared(
+        blobs.select(
+            "doc_id",
+            F.conv(F.substring(F.hex("blob"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h_hi"),
+            F.conv(F.substring(F.hex("blob"), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h_lo"),
+        )
+    )
+    bands = ph.select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.shiftright("h_hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(1).alias("bi"), F.col("h_hi").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(2).alias("bi"), F.shiftright("h_lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(3).alias("bi"), F.col("h_lo").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+            )
+        ).alias("band"),
+    ).select("doc_id", "h_hi", "h_lo", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("src"), F.col("h_hi").alias("ahi"),
+        F.col("h_lo").alias("alo"), "bi", "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("dst"), F.col("h_hi").alias("bhi"),
+        F.col("h_lo").alias("blo"), "bi", "bv",
+    )
+    ham = F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))) + F.bit_count(
+        F.col("alo").bitwiseXOR(F.col("blo"))
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "ahi", "alo", "bhi", "blo")
+        .distinct()
+        .select("src", "dst", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@register(
+    "rocchio_prf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+    q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    df1 AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    r1 AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.nd - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    top10 AS (
+      SELECT doc_id FROM r1 ORDER BY score DESC, doc_id ASC LIMIT 10
+    ),
+    cand AS (
+      SELECT tf.term, sum(tf.tf) AS rtf FROM tf
+      WHERE tf.doc_id IN (SELECT doc_id FROM top10)
+        AND tf.term NOT IN (SELECT term FROM q)
+      GROUP BY 1
+    ),
+    cdf AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM cand) GROUP BY 1
+    ),
+    exp5 AS (
+      SELECT c.term, 0.5 AS w
+      FROM cand c JOIN cdf USING (term) CROSS JOIN stats
+      ORDER BY c.rtf * ln((stats.nd - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+               DESC, c.term ASC
+      LIMIT 5
+    ),
+    q2 AS (
+      SELECT term, 1.0 AS w FROM q UNION ALL SELECT term, w FROM exp5
+    ),
+    df2 AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q2) GROUP BY 1
+    ),
+    r2 AS (
+      SELECT tf.doc_id,
+             sum(q2.w * ln((stats.nd - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN q2 USING (term) JOIN df2 USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM r2)
+    WHERE rnk <= 20
+    """,
+)
+def rocchio_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio 1971 applied blind, the
+    query-expansion pass behind 'searchers never type the right
+    words'): round-1 BM25 top-10 is ASSUMED relevant, the 5 highest
+    tf-x-idf terms in those docs (query terms excluded, deterministic
+    tie-break) join the query at half weight, and round 2 re-ranks the
+    corpus with the expanded weighted query. Both rounds score ONLY
+    postings of their query terms against the one shared tf relation
+    (a single tokenize pass, persisted); the feedback set is 10 rows,
+    the expansion vocabulary is bounded by those 10 docs, and every
+    intermediate (top-10, candidates, expanded query) is broadcast —
+    corpus-sized data is never reshuffled between rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = materialize_shared(
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = materialize_shared(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("nd"))
+    idf = F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+    def bm25_scores(query_df):
+        dfreq = (
+            tf.join(F.broadcast(query_df.select("term")), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        return (
+            tf.join(F.broadcast(query_df), "term")
+            .join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * idf * tf_norm).alias("score"))
+        )
+
+    q1 = spark.createDataFrame(
+        [(t, 1.0) for t in _BM25_TERMS], ["term", "w"]
+    )
+    top10 = (
+        bm25_scores(q1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    cand = (
+        tf.join(F.broadcast(top10), "doc_id")
+        .join(F.broadcast(q1.select("term")), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("rtf"))
+    )
+    cdf = (
+        tf.join(F.broadcast(cand.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    exp5 = (
+        cand.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .orderBy(F.desc(F.col("rtf") * idf), F.asc("term"))
+        .limit(5)
+        .select("term", F.lit(0.5).alias("w"))
+    )
+    q2 = q1.unionAll(exp5)
+    top = (
+        bm25_scores(q2).orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
