@@ -167,6 +167,82 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    iters: int = 4,
+) -> DataFrame:
+    """(node, hub, authority) after a FIXED number of weighted HITS
+    rounds (Kleinberg 1999), L1-normalized each half-step so every
+    round is SQL-replayable (same fixed-round discipline as
+    :func:`pagerank`): a_k(j) = norm Σ_{i→j} h_{k-1}(i)·w_ij,
+    h_k(i) = norm Σ_{i→j} a_k(j)·w_ij. Nodes without in-edges get
+    authority 0; without out-edges, hub 0.
+
+    Per round: two keyed joins + two node aggs + two one-row broadcast
+    normalizers — the rank frontier is node-sized, the edge table is
+    scanned twice per round from a persisted cache, never rebuilt.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = materialize_shared(
+        edges.select(
+            F.col(src).alias("esrc"),
+            F.col(dst).alias("edst"),
+            w.cast("double").alias("w"),
+        )
+    )
+    nodes = materialize_shared(
+        e.select(F.col("esrc").alias("node"))
+        .union(e.select(F.col("edst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    h = nodes.withColumn("v", F.lit(1.0 / n))
+    a = None
+    for _ in range(iters):
+        # the normalizer references the raw-score subtree TWICE (sum +
+        # divide); without a lineage cut per half-step the plan tree
+        # quadruples every round — checkpoint keeps it constant-size
+        # (the frame is node-sized, the same discipline as
+        # connected_components' per-round labels)
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "esrc"), "esrc")
+            .groupBy("edst")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        a = nodes.join(
+            a_raw.withColumnRenamed("edst", "node"), "node", "left"
+        ).crossJoin(F.broadcast(a_tot)).select(
+            "node",
+            (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot")).alias("v"),
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "edst"), "edst")
+            .groupBy("esrc")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        h = nodes.join(
+            h_raw.withColumnRenamed("esrc", "node"), "node", "left"
+        ).crossJoin(F.broadcast(h_tot)).select(
+            "node",
+            (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot")).alias("v"),
+        )
+    return nodes.join(
+        h.withColumnRenamed("v", "hub"), "node", "left"
+    ).join(a.withColumnRenamed("v", "authority"), "node", "left").select(
+        "node",
+        F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+        F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+    )
+
+
 def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Per-node triangle counts over an undirected graph given as ordered
     edges (src < dst, deduplicated). Closes ordered wedges u<v<w with two

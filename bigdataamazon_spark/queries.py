@@ -17944,3 +17944,151 @@ def rocchio_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+_HITS_ITER_SQL = """
+    a{k}r AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h{j}.v * e.w) AS raw
+      FROM e JOIN h{j} ON h{j}.node = e.src GROUP BY 1
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT nodes.node,
+             coalesce(a{k}r.raw, 0.0) / (SELECT sum(raw) FROM a{k}r) AS v
+      FROM nodes LEFT JOIN a{k}r USING (node)
+    ),
+    h{k}r AS MATERIALIZED (
+      SELECT e.src AS node, sum(a{k}.v * e.w) AS raw
+      FROM e JOIN a{k} ON a{k}.node = e.dst GROUP BY 1
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT nodes.node,
+             coalesce(h{k}r.raw, 0.0) / (SELECT sum(raw) FROM h{k}r) AS v
+      FROM nodes LEFT JOIN h{k}r USING (node)
+    )"""
+
+_HITS_ORACLE = (
+    "WITH e AS MATERIALIZED (" + _PAGERANK_EDGE_SQL + "),\n"
+    "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+    "nn AS (SELECT count(*) AS n FROM nodes),\n"
+    "h0 AS (SELECT node, 1.0 / nn.n AS v FROM nodes CROSS JOIN nn),"
+    + ",".join(_HITS_ITER_SQL.format(k=k, j=k - 1) for k in range(1, 5))
+    + """
+    SELECT nodes.node AS nation,
+           round(coalesce(h4.v, 0.0), 7) AS hub,
+           round(coalesce(a4.v, 0.0), 7) AS authority
+    FROM nodes LEFT JOIN h4 USING (node) LEFT JOIN a4 USING (node)
+    """
+)
+
+
+@register("hits_authority_scores", _HITS_ORACLE)
+def hits_authority_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999; 4 fixed rounds,
+    L1-normalized) over the revenue-weighted nation trade graph —
+    PageRank's bipartite-role sibling: an exporter nation is a strong
+    HUB if it ships to strong importers, an importer a strong
+    AUTHORITY if it buys from strong exporters; the two scores
+    separate roles a single centrality conflates. Same fixed-round
+    loop-with-persisted-edges harness as operators/graph.pagerank; the
+    oracle replays the identical 4 rounds as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src"))
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst"))
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    return graph.hits(edges, weight="w", iters=4).select(
+        F.col("node").alias("nation"),
+        F.round("hub", 7).alias("hub"),
+        F.round("authority", 7).alias("authority"),
+    )
+
+
+@register(
+    "quality_rater_agreement",
+    """
+    WITH r AS (
+      SELECT CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 40
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) * 1.0 AS n11,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) * 1.0 AS n00,
+             sum(a) * 1.0 AS na, sum(b) * 1.0 AS nb
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((n11 + n00) / n, 6) AS p_observed,
+           round((na * nb + (n - na) * (n - nb)) / (n * n), 6) AS p_chance,
+           round(((n11 + n00) / n - (na * nb + (n - na) * (n - nb)) / (n * n))
+                 / (1.0 - (na * nb + (n - na) * (n - nb)) / (n * n)), 6)
+             AS cohens_kappa
+    FROM cells
+    """,
+)
+def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa, 1960) between two
+    independent document-quality raters — here two cheap heuristics
+    (length-in-band vs word-count floor), but the identical aggregate
+    audits agreement between any two quality FILTERS or two LLM
+    judges before one is trusted to gate a corpus: kappa corrects raw
+    agreement for the agreement two biased raters get by chance, the
+    correction naive 'X% agree' dashboards omit. The whole statistic
+    folds to one pass of four conditional counts — no per-pair work,
+    no shuffle beyond the single agg."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+            >= 40,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = r.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        (F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)) * 1.0).alias("n11"),
+        (F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)) * 1.0).alias("n00"),
+        (F.sum("a") * 1.0).alias("na"),
+        (F.sum("b") * 1.0).alias("nb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        F.col("na") * F.col("nb")
+        + (F.col("n") - F.col("na")) * (F.col("n") - F.col("nb"))
+    ) / (F.col("n") * F.col("n"))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+    )
