@@ -1143,3 +1143,83 @@ def test_colbert_sim_table_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     for cols in _scan_schemas(plan):
         assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_dbscan_pair_stage_never_cartesian(spark, sf_dir):
+    plan = _executed_plan(spark, "dbscan_embedding_clusters", sf_dir)
+    # eps-neighbors come from the guarded GEMM edge table; the cluster
+    # assembly is keyed joins — an all-pairs operator anywhere means
+    # the density stage regressed to n^2
+    assert "CartesianProduct" not in plan
+    # pair/degree stages read (vec_id, embedding); the final spine
+    # join-back prunes to vec_id alone
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) in (["embedding", "vec_id"], ["vec_id"])
+
+
+def test_adamic_adar_topk_and_equi_joins(spark, sf_dir):
+    plan = _executed_plan(spark, "adamic_adar_link_prediction", sf_dir)
+    # global top-50 must be TakeOrdered, wedge closure equi-join only
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert all(s == ["l_orderkey", "l_suppkey"] for s in schemas)
+
+
+def test_t_closeness_broadcasts_histograms(spark, sf_dir):
+    plan = _executed_plan(spark, "t_closeness_audit", sf_dir)
+    # global band histogram + nation dim broadcast; customer scan
+    # pruned to the QI pair + sensitive column
+    assert plan.count("SortMergeJoin") == 0
+    assert ["c_acctbal", "c_mktsegment", "c_nationkey"] in [
+        sorted(c) for c in _scan_schemas(plan)
+    ]
+
+
+def test_rdd_bandwidth_filter_reaches_orders_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "rdd_discontinuity_estimate", sf_dir)
+    # the +/-50k bandwidth is the whole point at scale: the orders scan
+    # must carry the totalprice range predicate
+    assert "o_totalprice" in plan and "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_totalprice,200000" in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["l_discount", "l_orderkey"] in schemas
+
+
+def test_phash_candidates_banded_not_allpairs(spark, sf_dir):
+    plan = _executed_plan(spark, "image_phash_neardup", sf_dir)
+    # candidates come from the 16-bit band equi-join (pigeonhole), so
+    # no all-pairs operator may appear anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_rocchio_rounds_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "rocchio_prf_search", sf_dir)
+    # both retrieval rounds end in TakeOrdered; feedback/expansion
+    # frames broadcast — no all-pairs anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kn_doc_nll_broadcasts_model(spark, sf_dir):
+    plan = _executed_plan(spark, "kn_doc_perplexity", sf_dir)
+    # the (w1,w2) KN table and its marginals broadcast onto the doc
+    # bigram stream; corpus scan reads only the text column
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_kappa_is_join_free_single_agg(spark, sf_dir):
+    plan = _executed_plan(spark, "quality_rater_agreement", sf_dir)
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert _scan_schemas(plan) == [["text", "n_chars"]] or _scan_schemas(
+        plan
+    ) == [["n_chars", "text"]]
