@@ -12377,7 +12377,7 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if best is None or score > best[1]:
                     best = (c, score)
             selected.append(best[0])
-            out.append((step, best[0], round(best[1], 6)))
+            out.append((step, best[0], best[1]))
         return pd.DataFrame(out, columns=["rank", "doc_id", "mmr_score"])
 
     return (
@@ -18091,4 +18091,334 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("p_observed"),
         F.round(pe, 6).alias("p_chance"),
         F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+def _facility_step_sql(i: int) -> str:
+    prev = f"sel{i - 1}"
+    return f"""
+    g{i} AS MATERIALIZED (
+      SELECT s.b AS doc_id, sum(greatest(s.sim - cur.m, 0.0)) AS gain
+      FROM simsx s JOIN cur{i - 1} cur ON cur.v = s.a
+      WHERE s.b NOT IN (SELECT doc_id FROM {prev})
+      GROUP BY 1
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT {i} AS step, doc_id, gain FROM g{i}
+      ORDER BY round(gain, 6) DESC, doc_id ASC LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT step, doc_id, gain FROM {prev}
+      UNION ALL SELECT step, doc_id, gain FROM p{i}
+    ),
+    cur{i} AS MATERIALIZED (
+      SELECT cur.v, greatest(cur.m, coalesce(s.sim, 0.0)) AS m
+      FROM cur{i - 1} cur
+      LEFT JOIN simsx s ON s.a = cur.v
+                       AND s.b = (SELECT doc_id FROM p{i})
+    )"""
+
+
+_FACILITY_ORACLE = (
+    """
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      ORDER BY n_chars DESC, doc_id ASC LIMIT 30
+    ),
+    ctoks AS MATERIALIZED (
+      SELECT DISTINCT d.doc_id, t.word
+      FROM documents d JOIN cand USING (doc_id),
+           unnest(string_split(d.text, ' ')) t(word)
+      WHERE t.word <> ''
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY 1),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM ctoks a JOIN ctoks b ON a.word = b.word AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    simsx AS MATERIALIZED (
+      SELECT i.a, i.b,
+             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS sim
+      FROM inter i
+      JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      UNION ALL SELECT doc_id, doc_id, 1.0 FROM cand
+    ),
+    cur0 AS MATERIALIZED (SELECT doc_id AS v, 0.0 AS m FROM cand),
+    sel0 AS MATERIALIZED (
+      SELECT 0 AS step, CAST(NULL AS BIGINT) AS doc_id, 0.0 AS gain WHERE false
+    ),"""
+    + ",".join(_facility_step_sql(i) for i in range(1, 9))
+    + """
+    SELECT CAST(step AS INTEGER) AS rank, doc_id, round(gain, 6) AS gain
+    FROM sel8
+    """
+)
+
+
+@register("facility_location_selection", _FACILITY_ORACLE)
+def facility_location_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data selection by facility location (the query-FREE
+    sibling of ``mmr_diversified_search``, and the greedy behind
+    coreset/exemplar corpus selection): from the 30 longest docs, pick
+    8 that maximize sum over the pool of max-similarity-to-selected —
+    the 1-1/e-approximate representative subset. The candidate pool is
+    k-bounded BY CONSTRUCTION (at 100 TB the pool comes from a
+    cluster/stratum stage, e.g. ``kmeans_embedding_clusters``
+    per-cluster tops — selection cost never scales with the corpus);
+    pool Jaccards are relational, and only the genuinely sequential
+    8-step greedy runs in one bounded Arrow hop. Oracle unrolls the
+    same argmax steps as MATERIALIZED CTEs."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = materialize_shared(
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(30).select("doc_id")
+    )
+    ctoks = (
+        docs.join(cand, "doc_id")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ctoks.select(F.col("doc_id").alias("a"), "word")
+    b = ctoks.select(F.col("doc_id").alias("b"), "word")
+    sims = (
+        a.join(b, "word")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    tagged = cand.select(
+        F.lit("pool").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.lit(0.0).alias("val"),
+    ).unionAll(sims.select(F.lit("sim").alias("kind"), "a", "b", F.col("sim").alias("val")))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pool = sorted(int(r.a) for r in pdf[pdf["kind"] == "pool"].itertuples())
+        sim = {
+            (int(r.a), int(r.b)): float(r.val)
+            for r in pdf[pdf["kind"] == "sim"].itertuples()
+        }
+        for v in pool:
+            sim[(v, v)] = 1.0
+        cur = {v: 0.0 for v in pool}
+        selected: list[int] = []
+        out = []
+        for step in range(1, 9):
+            best = None
+            for c in pool:
+                if c in selected:
+                    continue
+                gain = round(
+                    sum(max(sim.get((v, c), 0.0) - cur[v], 0.0) for v in pool),
+                    6,
+                )
+                if best is None or gain > best[1]:
+                    best = (c, gain)
+            selected.append(best[0])
+            for v in pool:
+                cur[v] = max(cur[v], sim.get((v, best[0]), 0.0))
+            out.append((step, best[0], best[1]))
+        return pd.DataFrame(out, columns=["rank", "doc_id", "gain"])
+
+    return tagged.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda pdf: greedy(pdf), "rank int, doc_id bigint, gain double"
+    )
+
+
+_JL_ORACLE = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS d),
+projs AS (SELECT unnest(range(0, 16)) AS j),
+signs AS (
+  SELECT d, j,
+         CASE WHEN ('0x' || substr(md5('jl:' || d || ':' || j), 1, 1))::INT < 8
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM dims CROSS JOIN projs
+),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+comp AS (
+  SELECT b.vec_id, s.j, sum(s.s * b.vec[s.d + 1]) AS pv
+  FROM base b, signs s
+  GROUP BY 1, 2
+),
+pvec AS (
+  SELECT vec_id, list(pv ORDER BY j) AS vec FROM comp GROUP BY 1
+),
+pnormed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM pvec
+),
+fnormed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+exact_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM fnormed a JOIN fnormed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+jl_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM pnormed a JOIN pnormed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+spine AS (SELECT DISTINCT src FROM exact_topk),
+hits AS (
+  SELECT e.src, count(*) AS h
+  FROM exact_topk e JOIN jl_topk t ON e.src = t.src AND e.dst = t.dst
+  GROUP BY 1
+)
+SELECT s.src, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.h, 0) / 5.0, 4) AS recall_at_5
+FROM spine s LEFT JOIN hits h ON s.src = h.src
+"""
+
+
+@register("jl_projection_recall", _JL_ORACLE)
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection audit — the
+    DATA-INDEPENDENT 64->16 compression next to the learned-prefix
+    ``matryoshka_truncation_recall``: project onto 16 deterministic
+    +/-1 vectors (sign = md5 nibble of 'jl:d:j', reproducible on both
+    engines) and measure cosine top-5 recall vs the full-dim exact
+    top-5. Unlike prefix truncation, SRP mixes ALL input dims, so on
+    isotropic synthetic embeddings it preserves far more neighborhood
+    structure — the honest contrast the pair of audits exists to show.
+    The projection is one broadcast sign-matrix join over the
+    posexploded vectors (a 1024-row dim table, map-side) and both
+    top-k sides run the production GEMM operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = (
+        spark.range(64)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("j")))
+        .select(
+            "d",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("jl"), F.col("d"), F.col("j"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                < 8,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        )
+    )
+    comp = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("d", "x")
+        )
+        .join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x").cast("double")).alias("pv"))
+    )
+    pvec = comp.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "pv"))
+        ).alias("z")
+    ).select(
+        "vec_id",
+        F.transform("z", lambda e: e.pv.cast("float")).alias("embedding"),
+    )
+    exact = materialize_shared(
+        similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select("src", "dst")
+    )
+    jl = similarity.cosine_topk(pvec, "vec_id", "embedding", k=5).select("src", "dst")
+    spine = exact.select("src").distinct()
+    hits = (
+        exact.join(jl, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return spine.join(hits, "src", "left").select(
+        "src",
+        F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+@register(
+    "char_entropy_filter",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) * 1.0 AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
+    ent AS (
+      SELECT cc.doc_id,
+             -sum((cc.n / tot.t) * log2(cc.n / tot.t)) AS h,
+             max(tot.t) AS t
+      FROM cc JOIN tot USING (doc_id) GROUP BY 1
+    )
+    SELECT doc_id, CAST(t AS BIGINT) AS n_chars_counted,
+           round(h, 4) AS char_entropy_bits,
+           h < 3.5 AS low_entropy
+    FROM ent
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (the CCNet/Gopher-family
+    gibberish detector): Shannon entropy of each doc's character
+    distribution — repeated-char spam and binary-ish noise score low,
+    natural language sits ~4.0-4.5 bits. Flag below 3.5. Per-doc
+    alphabet is ~100 symbols, so the whole filter is a (doc, char)
+    count (combiner-friendly, the same explode shape as
+    ``word_frequency``), a doc-keyed rollup, and a zero-shuffle log2
+    fold. At 100 TB this is scan-bound, like the other textops
+    gates it composes with in ``curated_corpus``."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    ent = (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(p * F.log2(p))).alias("h"),
+            F.max("t").alias("t"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        F.col("t").cast("bigint").alias("n_chars_counted"),
+        F.round("h", 4).alias("char_entropy_bits"),
+        (F.col("h") < 3.5).alias("low_entropy"),
     )
