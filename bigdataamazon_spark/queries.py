@@ -18422,3 +18422,261 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 4).alias("char_entropy_bits"),
         (F.col("h") < 3.5).alias("low_entropy"),
     )
+
+
+@register(
+    "brier_score_decomposition",
+    """
+    WITH train AS (
+      SELECT o_orderpriority AS bin,
+             avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS f
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    ),
+    eval AS (
+      SELECT o_orderpriority AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    per_bin AS (
+      SELECT e.bin, count(*) * 1.0 AS n, avg(e.y) AS o, max(t.f) AS f,
+             sum((t.f - e.y) * (t.f - e.y)) AS se
+      FROM eval e JOIN train t USING (bin) GROUP BY 1
+    ),
+    g AS (
+      SELECT sum(n) AS nn, sum(n * o) / sum(n) AS obar,
+             sum(se) / sum(n) AS brier,
+             sum(n * (f - o) * (f - o)) / sum(n) AS rel,
+             sum(n * (o - (SELECT sum(n * o) / sum(n) FROM per_bin))
+                   * (o - (SELECT sum(n * o) / sum(n) FROM per_bin)))
+               / sum(n) AS res
+      FROM per_bin
+    )
+    SELECT CAST(nn AS BIGINT) AS n_eval,
+           round(brier, 6) AS brier,
+           round(rel, 6) AS reliability,
+           round(res, 6) AS resolution,
+           round(obar * (1.0 - obar), 6) AS uncertainty,
+           round(rel - res + obar * (1.0 - obar), 6) AS decomposed_brier
+    FROM g
+    """,
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score — the diagnostic
+    BEHIND ``regression_calibration_bins``: a probability forecaster
+    splits exactly into reliability (calibration error, want 0),
+    resolution (how much the bins separate outcomes, want large), and
+    irreducible outcome uncertainty, with brier = rel − res + unc as a
+    built-in checksum (emitted as `decomposed_brier`; the driver hash
+    locks the identity). Forecaster = per-priority completion rate fit
+    on the even-key half, scored on the odd half — a train/eval split
+    with zero leakage by construction. Two grouped aggs + a 5-row
+    fold; scan-bound at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    train = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(F.col("o_orderpriority").alias("bin"))
+        .agg(F.avg(y).alias("f"))
+    )
+    ev = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderpriority").alias("bin"), y.alias("y")
+    )
+    per_bin = (
+        ev.join(F.broadcast(train), "bin")
+        .groupBy("bin")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            F.avg("y").alias("o"),
+            F.max("f").alias("f"),
+            F.sum((F.col("f") - F.col("y")) * (F.col("f") - F.col("y"))).alias("se"),
+        )
+    )
+    stats = per_bin.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("o")) / F.sum("n")).alias("obar"),
+        (F.sum("se") / F.sum("n")).alias("brier"),
+        (
+            F.sum(F.col("n") * (F.col("f") - F.col("o")) * (F.col("f") - F.col("o")))
+            / F.sum("n")
+        ).alias("rel"),
+        F.sum(F.col("n") * F.col("o")).alias("sno"),
+    )
+    # resolution needs obar, computed in the same 5-row fold: join the
+    # 1-row stats back onto per_bin (broadcast) for the second moment
+    res = (
+        per_bin.crossJoin(F.broadcast(stats.select("obar")))
+        .agg(
+            (
+                F.sum(
+                    F.col("n") * (F.col("o") - F.col("obar")) * (F.col("o") - F.col("obar"))
+                )
+                / F.sum("n")
+            ).alias("res")
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(res))
+        .select(
+            F.col("nn").cast("bigint").alias("n_eval"),
+            F.round("brier", 6).alias("brier"),
+            F.round("rel", 6).alias("reliability"),
+            F.round("res", 6).alias("resolution"),
+            F.round(F.col("obar") * (1.0 - F.col("obar")), 6).alias("uncertainty"),
+            F.round(
+                F.col("rel") - F.col("res") + F.col("obar") * (1.0 - F.col("obar")), 6
+            ).alias("decomposed_brier"),
+        )
+    )
+
+
+@register(
+    "markov_next_event_accuracy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    tr AS (
+      SELECT cur, nxt, count(*) AS c FROM seq
+      WHERE nxt IS NOT NULL AND user_id % 2 = 0 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT cur, nxt AS predicted
+      FROM (SELECT cur, nxt, row_number() OVER (
+              PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rnk FROM tr)
+      WHERE rnk = 1
+    ),
+    ev AS (
+      SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL AND user_id % 2 = 1
+    )
+    SELECT ev.cur AS event_type, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(avg(CASE WHEN ev.nxt = p.predicted THEN 1.0 ELSE 0.0 END), 6)
+             AS top1_accuracy
+    FROM ev JOIN pred p ON p.cur = ev.cur
+    GROUP BY 1, 2
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, evaluated honestly:
+    the transition matrix (``priority_transition_matrix``'s event
+    sibling) is FIT on even user_ids and its top-1 prediction per
+    state (deterministic tie-break) is SCORED on odd users — the
+    sequence-model baseline every session-recommendation pipeline
+    must beat before anything fancier ships. One user-keyed window
+    builds both halves' transition streams from the same pass; the
+    fitted argmax table is 5 rows, broadcast onto the eval stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = materialize_shared(
+        e.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        ).filter(F.col("nxt").isNotNull())
+    )
+    tr = (
+        seq.filter(F.col("user_id") % 2 == 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rw = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (
+        tr.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    ev = seq.filter(F.col("user_id") % 2 == 1)
+    return (
+        ev.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(
+                F.avg(F.when(F.col("nxt") == F.col("predicted"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("top1_accuracy"),
+        )
+    )
+
+
+@register(
+    "burrows_delta_sources",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT source, w, count(*) * 1.0 AS c FROM toks
+           WHERE w <> '' GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS t FROM tf GROUP BY 1),
+    top20 AS (
+      SELECT w FROM (SELECT w, sum(c) AS tc FROM tf GROUP BY 1)
+      ORDER BY tc DESC, w ASC LIMIT 20
+    ),
+    rf AS (
+      SELECT s.source, t.w, coalesce(tf.c, 0) / s.t AS f
+      FROM stot s CROSS JOIN top20 t
+      LEFT JOIN tf ON tf.source = s.source AND tf.w = t.w
+    ),
+    z AS (
+      SELECT source, w,
+             (f - avg(f) OVER (PARTITION BY w))
+               / stddev_pop(f) OVER (PARTITION BY w) AS z
+      FROM rf
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) stylometric distance between corpus
+    sources — the authorship-attribution statistic repurposed as a
+    provenance diagnostic: two crawls/dumps with suspiciously LOW
+    delta over the most-frequent-word profile are stylistic
+    near-clones (template farms, mirrored scrapes) that per-doc
+    near-dup misses. z-score each source's relative frequency of the
+    global top-20 words, delta = mean |z difference| per source pair.
+    The profile matrix is |sources| x 20 — the pair join runs on a
+    dim-sized frame; everything corpus-sized is one token count."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = materialize_shared(
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg((F.count(F.lit(1)) * 1.0).alias("c"))
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").alias("t"))
+    top20 = (
+        tf.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w"))
+        .limit(20)
+        .select("w")
+    )
+    rf = (
+        stot.crossJoin(F.broadcast(top20))
+        .join(tf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("t")).alias("f"),
+        )
+    )
+    zw = Window.partitionBy("w")
+    z = rf.select(
+        "source",
+        "w",
+        ((F.col("f") - F.avg("f").over(zw)) / F.stddev_pop("f").over(zw)).alias("z"),
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+    )
