@@ -18680,3 +18680,217 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
     )
+
+
+@register(
+    "xml_roundtrip_orders_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def xml_roundtrip_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2b XML scan (Spark 4 native XML source — no external package):
+    orders round-trip through an XML directory (explicit rowTag,
+    explicit read schema — no inference pass, same S2 contract as the
+    CSV/JSONL/ORC round-trips) and aggregate; the oracle aggregates
+    the original parquet, so the XML boundary itself is what's
+    value-checked. Scalar string/double columns only; idempotent
+    overwrite under /tmp."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_xml_roundtrip_orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.option("rowTag", "order").schema(schema).format("xml").load(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_GBM_GRID = (
+    ("qty", 10.0), ("qty", 20.0), ("qty", 30.0), ("qty", 40.0),
+    ("disc", 0.02), ("disc", 0.04), ("disc", 0.06), ("disc", 0.08),
+)
+
+_GBM_GRID_SQL = ", ".join(f"('{f}', {t})" for f, t in _GBM_GRID)
+
+
+def _gbm_round_sql(m: int) -> str:
+    prev = f"pred{m - 1}"
+    return f"""
+    r{m} AS MATERIALIZED (
+      SELECT p.k, p.x1, p.x2, p.f, p.y - p.f AS r FROM {prev} p
+    ),
+    sc{m} AS MATERIALIZED (
+      SELECT g.feat, g.thr,
+             count(*) FILTER (lhs) AS nl, count(*) FILTER (NOT lhs) AS nr,
+             avg(r) FILTER (lhs) AS ml, avg(r) FILTER (NOT lhs) AS mr
+      FROM (
+        SELECT g.feat, g.thr, r.r,
+               CASE WHEN g.feat = 'qty' THEN r.x1 < g.thr
+                    ELSE r.x2 < g.thr END AS lhs
+        FROM grid g CROSS JOIN r{m} r
+      ) AS g
+      GROUP BY 1, 2
+      HAVING count(*) FILTER (lhs) > 0 AND count(*) FILTER (NOT lhs) > 0
+    ),
+    best{m} AS MATERIALIZED (
+      SELECT feat, thr, nl, nr, round(ml, 4) AS lv, round(mr, 4) AS rv
+      FROM sc{m}
+      ORDER BY nl * ml * ml + nr * mr * mr DESC, feat ASC, thr ASC
+      LIMIT 1
+    ),
+    pred{m} AS MATERIALIZED (
+      SELECT r.k, r.x1, r.x2, r.r + r.f AS y,
+             r.f + CASE WHEN (b.feat = 'qty' AND r.x1 < b.thr)
+                          OR (b.feat = 'disc' AND r.x2 < b.thr)
+                   THEN b.lv ELSE b.rv END AS f
+      FROM r{m} r CROSS JOIN best{m} b
+    )"""
+
+
+_GBM_ORACLE = (
+    f"""
+    WITH grid(feat, thr) AS (VALUES {_GBM_GRID_SQL}),
+    base AS MATERIALIZED (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             l_quantity AS x1, l_discount AS x2,
+             l_extendedprice / 1000.0 AS y
+      FROM lineitem
+    ),
+    f0 AS MATERIALIZED (SELECT round(avg(y), 4) AS f FROM base),
+    pred0 AS MATERIALIZED (
+      SELECT b.k, b.x1, b.x2, b.y, f0.f FROM base b CROSS JOIN f0
+    ),"""
+    + ",".join(_gbm_round_sql(m) for m in range(1, 4))
+    + """
+    SELECT m AS round, feat AS feature, thr AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           lv AS left_value, rv AS right_value
+    FROM (
+      SELECT 1 AS m, * FROM best1
+      UNION ALL SELECT 2, * FROM best2
+      UNION ALL SELECT 3, * FROM best3
+    )
+    """
+)
+
+
+@register("gradient_boosted_stumps", _GBM_ORACLE)
+def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting with depth-1 trees (Friedman 2001, squared
+    loss, lr=1): three boosting rounds on lineitem (features quantity/
+    discount, target price in k-units), each round fitting the best
+    stump to the CURRENT residuals over a fixed candidate-threshold
+    grid — the iterated form of the registered ``decision_stump_audit``
+    node search. Per round ONE conditional-agg pass computes every
+    candidate's split stats (map-side combined, the grid is 8 rows —
+    cost is a single scan however many candidates), the argmin alone
+    comes to the driver (the BPE/Bradley-Terry one-row-per-round
+    pattern), and leaf values are ROUNDED before updating predictions
+    so residuals stay bit-identical across engines. The oracle unrolls
+    the same three rounds as MATERIALIZED CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    base = materialize_shared(li)
+    f0 = round(base.agg(F.avg("y")).collect()[0][0], 4)
+    pred = F.lit(f0)
+    out_rows = []
+    for m in range(1, 4):
+        r = F.col("y") - pred
+        aggs = []
+        for feat, thr in _GBM_GRID:
+            lhs = (F.col("x1") < thr) if feat == "qty" else (F.col("x2") < thr)
+            tag = f"{feat}_{str(thr).replace('.', '_')}"
+            aggs += [
+                F.count(F.when(lhs, 1)).alias(f"nl_{tag}"),
+                F.count(F.when(~lhs, 1)).alias(f"nr_{tag}"),
+                F.avg(F.when(lhs, r)).alias(f"ml_{tag}"),
+                F.avg(F.when(~lhs, r)).alias(f"mr_{tag}"),
+            ]
+        row = base.agg(*aggs).collect()[0].asDict()
+        best = None
+        for feat, thr in _GBM_GRID:
+            tag = f"{feat}_{str(thr).replace('.', '_')}"
+            nl, nr = row[f"nl_{tag}"], row[f"nr_{tag}"]
+            if not nl or not nr:
+                continue
+            ml, mr = row[f"ml_{tag}"], row[f"mr_{tag}"]
+            score = nl * ml * ml + nr * mr * mr
+            if best is None or score > best[0]:
+                best = (score, feat, thr, nl, nr, round(ml, 4), round(mr, 4))
+        _, feat, thr, nl, nr, lv, rv = best
+        lhs = (F.col("x1") < thr) if feat == "qty" else (F.col("x2") < thr)
+        pred = pred + F.when(lhs, F.lit(lv)).otherwise(F.lit(rv))
+        out_rows.append((m, feat, float(thr), int(nl), int(nr), lv, rv))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, feature string, threshold double, n_left bigint, "
+        "n_right bigint, left_value double, right_value double",
+    )
+
+
+@register(
+    "neyman_allocation_plan",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum, count(*) AS nh,
+             stddev_pop(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(nh * sd) AS z FROM s)
+    SELECT stratum, CAST(nh AS BIGINT) AS n_population,
+           round(sd, 4) AS stddev,
+           round(nh * sd / tot.z, 6) AS neyman_share,
+           round(1000.0 * nh * sd / tot.z, 2) AS n_sampled_of_1000,
+           round(1000.0 * nh / (SELECT sum(nh) FROM s), 2)
+             AS proportional_n
+    FROM s CROSS JOIN tot
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (1934) for stratified sampling: split
+    a 1000-row sample budget across order-priority strata proportional
+    to N_h*sigma_h — the variance-minimizing design that beats the
+    proportional allocation shown alongside (high-variance strata get
+    oversampled). This is the PLANNING stage in front of the
+    deterministic samplers (``docs_stratified_fixed_n``/
+    ``docs_mixture_sample``): one grouped moment pass + a broadcast
+    scalar, scan-bound at any size."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"), F.stddev_pop("o_totalprice").alias("sd")
+    )
+    tot = s.agg(
+        F.sum(F.col("nh") * F.col("sd")).alias("z"), F.sum("nh").alias("nn")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("n_population"),
+        F.round("sd", 4).alias("stddev"),
+        F.round(F.col("nh") * F.col("sd") / F.col("z"), 6).alias("neyman_share"),
+        F.round(1000.0 * F.col("nh") * F.col("sd") / F.col("z"), 2).alias(
+            "n_sampled_of_1000"
+        ),
+        F.round(1000.0 * F.col("nh") / F.col("nn"), 2).alias("proportional_n"),
+    )
