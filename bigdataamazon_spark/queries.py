@@ -18894,3 +18894,234 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(1000.0 * F.col("nh") / F.col("nn"), 2).alias("proportional_n"),
     )
+
+
+_KNN_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+topk AS (
+  SELECT src, src_label, dst_label FROM (
+    SELECT a.vec_id AS src, a.label AS src_label, b.label AS dst_label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT src, src_label, dst_label, count(*) AS c FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT src, src_label, dst_label AS predicted
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY c DESC, dst_label ASC) AS rnk FROM votes)
+  WHERE rnk = 1
+)
+SELECT src_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN predicted = src_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN predicted = src_label THEN 1.0 ELSE 0.0 END), 6)
+         AS knn_accuracy
+FROM pred GROUP BY 1
+"""
+
+
+@register("knn_label_accuracy", _KNN_ORACLE)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification audit (k=5, cosine, majority vote with
+    deterministic tie-break): predict each vector's label from its
+    neighbors' labels and score per-class leave-one-out accuracy —
+    the 'are these embeddings any good for this label?' probe that
+    precedes training anything, and the evaluation loop around the
+    same top-k operator the ANN entries serve. Neighbor generation is
+    the production GEMM top-k (LSH/IVF swap in past the guard); the
+    vote is one (src, label) count + rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select(
+        "src", "dst"
+    )
+    lbl = emb.select("vec_id", "label")
+    joined = (
+        topk.join(
+            F.broadcast(lbl.select(F.col("vec_id").alias("src"),
+                                   F.col("label").alias("src_label"))),
+            "src",
+        )
+        .join(
+            F.broadcast(lbl.select(F.col("vec_id").alias("dst"),
+                                   F.col("label").alias("dst_label"))),
+            "dst",
+        )
+    )
+    votes = joined.groupBy("src", "src_label", "dst_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst_label"))
+    pred = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("src", "src_label", F.col("dst_label").alias("predicted"))
+    )
+    hit = F.when(F.col("predicted") == F.col("src_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("src_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.avg(hit * 1.0), 6).alias("knn_accuracy"),
+    )
+
+
+@register(
+    "simpsons_paradox_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS grp, count(*) AS n,
+             sum(l_discount) AS sx, sum(l_extendedprice / 1000.0) AS sy,
+             sum(l_discount * l_extendedprice / 1000.0) AS sxy,
+             sum(l_discount * l_discount) AS sxx
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxy) AS sxy, sum(sxx) AS sxx
+      FROM s
+    ),
+    slopes AS (
+      SELECT s.grp, s.n,
+             (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+               AS slope_grp,
+             (g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx)
+               AS slope_all
+      FROM s CROSS JOIN g
+    )
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_lines,
+           round(slope_grp, 4) AS group_slope,
+           round(slope_all, 4) AS overall_slope,
+           sign(slope_grp) <> sign(slope_all) AS sign_flipped
+    FROM slopes
+    """,
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox detector: the discount->price OLS slope fit
+    WITHIN each return-flag group vs the slope on the pooled data — a
+    sign flip means the aggregate trend is a stratification artifact,
+    the classic trap in any dashboard that drops a grouping column.
+    Both slope sets fold from ONE pass of per-group sufficient
+    statistics (the group moments SUM to the global moments — the
+    pooled fit costs nothing extra); scan-bound at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_discount").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    s = materialize_shared(
+        li.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    g = s.agg(
+        F.sum("n").alias("gn"), F.sum("sx").alias("gsx"), F.sum("sy").alias("gsy"),
+        F.sum("sxy").alias("gsxy"), F.sum("sxx").alias("gsxx"),
+    )
+    slope_g = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    slope_a = (F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy")) / (
+        F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx")
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(slope_g, 4).alias("group_slope"),
+        F.round(slope_a, 4).alias("overall_slope"),
+        (F.signum(slope_g) != F.signum(slope_a)).alias("sign_flipped"),
+    )
+
+
+@register(
+    "mcnemar_filter_comparison",
+    """
+    WITH r AS (
+      SELECT (lang = 'en') AS truth,
+             (n_chars BETWEEN 200 AND 2000) AS pa,
+             (length(text) - length(replace(text, ' ', '')) + 1 >= 40) AS pb
+      FROM documents
+    ),
+    cells AS (
+      SELECT
+        sum(CASE WHEN (pa = truth) AND (pb <> truth) THEN 1 ELSE 0 END) * 1.0
+          AS n10,
+        sum(CASE WHEN (pa <> truth) AND (pb = truth) THEN 1 ELSE 0 END) * 1.0
+          AS n01,
+        count(*) AS n
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n10 AS BIGINT) AS only_a_correct,
+           CAST(n01 AS BIGINT) AS only_b_correct,
+           round((abs(n10 - n01) - 1.0) * (abs(n10 - n01) - 1.0)
+                 / (n10 + n01), 6) AS mcnemar_chi2,
+           (abs(n10 - n01) - 1.0) * (abs(n10 - n01) - 1.0) / (n10 + n01)
+             > 3.841459 AS significant_at_05
+    FROM cells
+    """,
+)
+def mcnemar_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947, continuity-corrected) between the
+    two quality raters from ``quality_rater_agreement``, now scored
+    against a label (lang='en'): because both classifiers judge the
+    SAME documents, only the discordant cells carry information — the
+    paired test that must replace the naive two-proportion z-test
+    whenever two filters/models are evaluated on one dataset. One
+    3-counter agg; chi2 vs the 3.84 critical value emitted as the
+    decision."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        F.col("n_chars").between(200, 2000).alias("pa"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1 >= 40
+        ).alias("pb"),
+    )
+    cells = r.agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("pa") == F.col("truth"))
+                    & (F.col("pb") != F.col("truth")),
+                    1,
+                ).otherwise(0)
+            )
+            * 1.0
+        ).alias("n10"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("pa") != F.col("truth"))
+                    & (F.col("pb") == F.col("truth")),
+                    1,
+                ).otherwise(0)
+            )
+            * 1.0
+        ).alias("n01"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = (F.abs(F.col("n10") - F.col("n01")) - 1.0) * (
+        F.abs(F.col("n10") - F.col("n01")) - 1.0
+    ) / (F.col("n10") + F.col("n01"))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n10").cast("bigint").alias("only_a_correct"),
+        F.col("n01").cast("bigint").alias("only_b_correct"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        (chi2 > 3.841459).alias("significant_at_05"),
+    )
