@@ -19125,3 +19125,248 @@ def mcnemar_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("mcnemar_chi2"),
         (chi2 > 3.841459).alias("significant_at_05"),
     )
+
+
+@register(
+    "search_result_snippets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lower(word) AS word, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    qpos AS (
+      SELECT doc_id, word, pos FROM toks
+      WHERE word IN ('vector', 'hash', 'dup', 'scan')
+    ),
+    windows AS (
+      SELECT a.doc_id, a.pos AS start,
+             count(*) AS n_hits, count(DISTINCT b.word) AS n_terms
+      FROM qpos a JOIN qpos b
+        ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 20
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, start, n_terms, n_hits FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id
+          ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rnk
+        FROM windows
+      ) WHERE rnk = 1
+    )
+    SELECT doc_id, CAST(start AS BIGINT) AS snippet_start,
+           CAST(n_terms AS BIGINT) AS n_terms_covered,
+           CAST(n_hits AS BIGINT) AS n_hits_in_window
+    FROM best
+    """,
+)
+def search_result_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet selection (the highlighting stage AFTER ranking): for
+    every doc matching the standing 4-term query, find the best
+    20-token window — most distinct query terms, then most hits, then
+    earliest — the keyword-in-context algorithm behind every result
+    page. The optimal window can always be anchored AT a query-term
+    hit, so candidates are the term positions themselves: a term-
+    filtered posting self-join bounded by hits-per-doc squared (tiny),
+    never a scan over all n-token windows. Costs scale with the query
+    terms' posting lists, exactly like ``phrase_search_positional``."""
+    docs = load_table(spark, sf_dir, "documents")
+    qpos = materialize_shared(
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word")
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", F.lower("word").alias("word"), (F.col("pos0") + 1).alias("pos"))
+        .filter(F.col("word").isin("vector", "hash", "dup", "scan"))
+    )
+    a = qpos.select("doc_id", F.col("pos").alias("start"))
+    b = qpos.select("doc_id", F.col("word").alias("bw"), F.col("pos").alias("bpos"))
+    windows = (
+        a.join(b, "doc_id")
+        .filter((F.col("bpos") >= F.col("start")) & (F.col("bpos") < F.col("start") + 20))
+        .groupBy("doc_id", "start")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("bw").alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("start")
+    )
+    return (
+        windows.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("snippet_start"),
+            F.col("n_terms").cast("bigint").alias("n_terms_covered"),
+            F.col("n_hits").cast("bigint").alias("n_hits_in_window"),
+        )
+    )
+
+
+@register(
+    "cosupply_degree_assortativity",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    cop AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT quantile_cont(c, 0.95) AS p FROM cop),
+    edges AS (SELECT u, v FROM cop, thr WHERE c >= p),
+    und AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a, count(*) * 1.0 AS d FROM und GROUP BY 1),
+    dd AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.a = und.a JOIN deg db ON db.a = und.b
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM dd
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the thinned co-supply
+    graph: the Pearson correlation of endpoint degrees over edges —
+    positive means hubs link hubs (social-network-like), negative
+    means hub-and-spoke (infrastructure-like); the one-number
+    structure probe that tells you whether degree-ordering
+    optimizations (triangles, wedges) will pay off. One degree agg,
+    two broadcast joins onto the edge list, one moment fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    cop = materialize_shared(
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = cop.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = cop.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    und = materialize_shared(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+    )
+    deg = und.groupBy("a").agg((F.count(F.lit(1)) * 1.0).alias("d"))
+    dd = (
+        und.join(F.broadcast(deg.select(F.col("a"), F.col("d").alias("x"))), "a")
+        .join(
+            F.broadcast(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+            ),
+            "b",
+        )
+        .select("x", "y")
+    )
+    m = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+@register(
+    "heaps_law_fit",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    per_doc AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+    firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+    new_per_doc AS (SELECT fd AS doc_id, count(*) AS nv FROM firsts GROUP BY 1),
+    curve AS (
+      SELECT p.doc_id,
+             sum(p.nt) OVER (ORDER BY p.doc_id) AS n_tokens,
+             sum(coalesce(n.nv, 0)) OVER (ORDER BY p.doc_id) AS vocab
+      FROM per_doc p LEFT JOIN new_per_doc n USING (doc_id)
+    ),
+    pts AS (
+      SELECT ln(n_tokens) AS x, ln(vocab) AS y FROM curve
+      WHERE doc_id % 10 = 9
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+                 4) AS heaps_k
+    FROM m
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^beta over the corpus vocabulary
+    growth curve — the companion corpus law to ``token_zipf_fit``, and
+    the estimator behind 'how big will the vocab be at 100 TB?'
+    tokenizer planning. New-vocabulary arrivals are each word's FIRST
+    document (one min-agg — no per-prefix distinct counting); the
+    growth curve is a prefix sum over doc order, sampled every 10th
+    doc, and the log-log OLS folds from five sums. The global ordered
+    prefix scan is the one genuinely serial stage (same honest note
+    as the SPRT monitor); everything feeding it is combiner-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    new_per_doc = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nt").over(w).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("vocab"),
+        )
+        .filter(F.col("doc_id") % 10 == 9)
+    )
+    pts = curve.select(
+        F.log("n_tokens").alias("x"), F.log("vocab").alias("y")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 4).alias(
+            "heaps_k"
+        ),
+    )
