@@ -19370,3 +19370,172 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_k"
         ),
     )
+
+
+@register(
+    "hill_tail_index",
+    """
+    WITH topk AS (
+      SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rnk
+      FROM orders
+      QUALIFY rnk <= 101
+    ),
+    xmin AS (SELECT x AS m FROM topk WHERE rnk = 101)
+    SELECT CAST(100 AS BIGINT) AS k,
+           round(xmin.m, 2) AS x_min,
+           round(1.0 / avg(ln(t.x / xmin.m)), 4) AS hill_alpha
+    FROM topk t CROSS JOIN xmin
+    WHERE t.rnk <= 100
+    GROUP BY xmin.m
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) tail-index estimator over the top-100 order values:
+    alpha = 1/mean(ln(x_i/x_(k+1))) — the standard measure of HOW
+    heavy a heavy tail is (alpha<2: infinite variance, sampling and
+    sketching assumptions break). Complements the descriptive
+    ``revenue_pareto_ratio``/``customer_revenue_gini`` with the
+    estimator skew-mitigation choices should key off. The only
+    corpus-sized work is one TakeOrdered top-101; the estimator folds
+    on 100 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = materialize_shared(
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(101)
+        .select(
+            F.col("o_totalprice").alias("x"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+            .alias("rnk"),
+        )
+    )
+    xmin = topk.filter(F.col("rnk") == 101).select(F.col("x").alias("m"))
+    return (
+        topk.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(xmin))
+        .groupBy("m")
+        .agg(
+            F.lit(100).cast("bigint").alias("k"),
+            F.round(1.0 / F.avg(F.log(F.col("x") / F.col("m"))), 4).alias(
+                "hill_alpha"
+            ),
+        )
+        .select("k", F.round("m", 2).alias("x_min"), "hill_alpha")
+    )
+
+
+@register(
+    "sorted_neighborhood_fuzzy_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    seq AS (
+      SELECT name,
+             lead(name, 1) OVER (ORDER BY name) AS n1,
+             lead(name, 2) OVER (ORDER BY name) AS n2,
+             lead(name, 3) OVER (ORDER BY name) AS n3,
+             lead(name, 4) OVER (ORDER BY name) AS n4
+      FROM names
+    ),
+    cand AS (
+      SELECT name AS a, n1 AS b FROM seq WHERE n1 IS NOT NULL
+      UNION ALL SELECT name, n2 FROM seq WHERE n2 IS NOT NULL
+      UNION ALL SELECT name, n3 FROM seq WHERE n3 IS NOT NULL
+      UNION ALL SELECT name, n4 FROM seq WHERE n4 IS NOT NULL
+    )
+    SELECT a AS name_a, b AS name_b,
+           CAST(levenshtein(a, b) AS INTEGER) AS edit_distance
+    FROM cand
+    WHERE levenshtein(a, b) <= 4
+    """,
+)
+def sorted_neighborhood_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo 1995) — the
+    THIRD candidate-generation strategy in the entity-resolution
+    family, next to Ed-Join prefix filtering (``part_name_fuzzy_
+    pairs``) and block keys (``part_entity_resolution``): sort the
+    (deduplicated) names once, slide a w=5 window, verify only
+    within-window pairs with edit distance <= 4. Candidates are
+    4 per name regardless of data size — O(n) verification after one
+    sort. The global sort window range-partitions at scale with w-row
+    boundary overlap (the standard distributed SNM refinement); the
+    lead() form IS that plan on Spark."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    w = Window.orderBy("name")
+    seq = names.select(
+        "name",
+        *[F.lead("name", i).over(w).alias(f"n{i}") for i in range(1, 5)],
+    )
+    cand = None
+    for i in range(1, 5):
+        c = seq.filter(F.col(f"n{i}").isNotNull()).select(
+            F.col("name").alias("a"), F.col(f"n{i}").alias("b")
+        )
+        cand = c if cand is None else cand.unionAll(c)
+    ed = F.levenshtein(F.col("a"), F.col("b"))
+    return (
+        cand.filter(ed <= 4)
+        .select(
+            F.col("a").alias("name_a"),
+            F.col("b").alias("name_b"),
+            ed.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+@register(
+    "langid_confusion_matrix",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0 / len(l) AS r_en,
+             len(list_filter(l, x -> x IN ('der','die','das','und'))) * 1.0 / len(l) AS r_de,
+             len(list_filter(l, x -> x IN ('el','la','los','que'))) * 1.0 / len(l) AS r_es,
+             len(list_filter(l, x -> x IN ('le','la','les','et'))) * 1.0 / len(l) AS r_fr
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und'
+                  WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                  WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                  WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                  ELSE 'fr' END AS guessed
+      FROM r
+    ),
+    cm AS (SELECT lang, guessed, count(*) AS n FROM pred GROUP BY 1, 2)
+    SELECT lang AS true_lang, guessed, CAST(n AS BIGINT) AS n_docs,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6)
+             AS frac_of_true_class
+    FROM cm
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID operator
+    against the corpus's labeled ``lang`` column — the per-class
+    error breakdown (which languages leak into which) that a single
+    accuracy number hides, and the eval loop every classifier entry
+    should close (``language_guess`` ships the predictions; this
+    scores them). One groupBy over the prediction stream + one
+    class-partitioned window for row-normalized rates."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = textops.language_guess(d).select("doc_id", "lang_guess")
+    cm = (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        F.col("lang").alias("true_lang"),
+        F.col("lang_guess").alias("guessed"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias(
+            "frac_of_true_class"
+        ),
+    )
