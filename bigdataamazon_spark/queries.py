@@ -19539,3 +19539,162 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_true_class"
         ),
     )
+
+
+@register(
+    "james_stein_brand_means",
+    """
+    WITH g AS (
+      SELECT p_brand, count(*) * 1.0 AS n, avg(p_retailprice) AS m,
+             var_pop(p_retailprice) AS v
+      FROM part GROUP BY 1
+    ),
+    pool AS (
+      SELECT sum(n * m) / sum(n) AS gm,
+             sum(n * v) / sum(n) AS s2w,
+             sum(n) AS nn, count(*) AS k
+      FROM g
+    ),
+    between_v AS (
+      SELECT greatest(
+               sum(g.n * (g.m - pool.gm) * (g.m - pool.gm)) / sum(g.n)
+                 - pool.s2w * pool.k / pool.nn,
+               0.0) AS s2b
+      FROM g CROSS JOIN pool GROUP BY pool.s2w, pool.k, pool.nn
+    )
+    SELECT g.p_brand, CAST(g.n AS BIGINT) AS n_parts,
+           round(g.m, 4) AS raw_mean,
+           round(b.s2b / (b.s2b + pool.s2w / g.n), 6) AS shrinkage_weight,
+           round(pool.gm + b.s2b / (b.s2b + pool.s2w / g.n) * (g.m - pool.gm),
+                 4) AS shrunk_mean
+    FROM g CROSS JOIN pool CROSS JOIN between_v b
+    """,
+)
+def james_stein_brand_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-brand mean
+    prices toward the grand mean: weight = s2_between/(s2_between +
+    s2_within/n_h), so small noisy groups shrink hard and large groups
+    barely move — the estimator every per-group leaderboard needs
+    before ranking groups by raw means. Variance components come from
+    ONE grouped-moment pass (the method-of-moments between-variance
+    subtracts the within-noise share, floored at 0); the shrinkage is
+    a broadcast fold over |groups| rows."""
+    p = load_table(spark, sf_dir, "part")
+    g = materialize_shared(
+        p.groupBy("p_brand").agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            F.avg("p_retailprice").alias("m"),
+            F.var_pop("p_retailprice").alias("v"),
+        )
+    )
+    pool = g.agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        (F.sum(F.col("n") * F.col("v")) / F.sum("n")).alias("s2w"),
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    bet = (
+        g.crossJoin(F.broadcast(pool))
+        .agg(
+            F.greatest(
+                F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
+                / F.sum("n")
+                - F.first("s2w") * F.first("k") / F.first("nn"),
+                F.lit(0.0),
+            ).alias("s2b")
+        )
+    )
+    w = F.col("s2b") / (F.col("s2b") + F.col("s2w") / F.col("n"))
+    return (
+        g.crossJoin(F.broadcast(pool))
+        .crossJoin(F.broadcast(bet))
+        .select(
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_parts"),
+            F.round("m", 4).alias("raw_mean"),
+            F.round(w, 6).alias("shrinkage_weight"),
+            F.round(F.col("gm") + w * (F.col("m") - F.col("gm")), 4).alias(
+                "shrunk_mean"
+            ),
+        )
+    )
+
+
+def _weiszfeld_round_sql(m: int) -> str:
+    prev = f"c{m - 1}"
+    return f"""
+    d{m} AS MATERIALIZED (
+      SELECT p.vec_id,
+             greatest(sqrt(sum((p.x - c.c) * (p.x - c.c))), 1e-9) AS dist
+      FROM pts p JOIN {prev} c USING (dim) GROUP BY 1
+    ),
+    c{m} AS MATERIALIZED (
+      SELECT p.dim, round(sum(p.x / d.dist) / sum(1.0 / d.dist), 6) AS c
+      FROM pts p JOIN d{m} d USING (vec_id) GROUP BY 1
+    )"""
+
+
+_GEOMEDIAN_ORACLE = (
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS d(i)
+    ),
+    c0 AS MATERIALIZED (
+      SELECT dim, round(avg(x), 6) AS c FROM pts GROUP BY 1
+    ),"""
+    + ",".join(_weiszfeld_round_sql(m) for m in range(1, 4))
+    + """
+    SELECT c3.dim, c3.c AS geometric_median, c0.c AS mean
+    FROM c3 JOIN c0 USING (dim)
+    """
+)
+
+
+@register("embedding_geometric_median", _GEOMEDIAN_ORACLE)
+def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding cloud by Weiszfeld iteration
+    (3 fixed rounds from the rounded mean) — the d-dimensional robust
+    center that a handful of outlier vectors can't drag, where the
+    arithmetic mean (emitted alongside) can be moved arbitrarily; the
+    robust-statistics anchor for embedding-drift monitoring and
+    poisoned-batch detection. Per round: one per-vector distance agg +
+    one per-dim weighted mean — two combiner-friendly shuffles on a
+    d-fanned table, centroid ROUNDED each round so both engines
+    iterate on identical coordinates (the k-means discipline); the
+    oracle unrolls the same rounds as MATERIALIZED CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = materialize_shared(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim0", "xf")).select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    c = pts.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("c"))
+    c0 = materialize_shared(c)
+    c = c0
+    for _ in range(3):
+        d = (
+            pts.join(F.broadcast(c), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.greatest(
+                    F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))),
+                    F.lit(1e-9),
+                ).alias("dist")
+            )
+        )
+        c = (
+            pts.join(d, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("x") / F.col("dist")) / F.sum(1.0 / F.col("dist")), 6
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return c.join(c0.withColumnRenamed("c", "mean"), "dim").select(
+        "dim", F.col("c").alias("geometric_median"), "mean"
+    )
