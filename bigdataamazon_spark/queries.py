@@ -19698,3 +19698,185 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(c0.withColumnRenamed("c", "mean"), "dim").select(
         "dim", F.col("c").alias("geometric_median"), "mean"
     )
+
+
+@register(
+    "quality_score_auc",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    scored AS (
+      SELECT doc_id, (lang = 'en') AS pos,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0
+               / len(l) AS score
+      FROM t
+    ),
+    ranked AS (
+      SELECT pos, score,
+             row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn
+      FROM scored
+    ),
+    avgr AS (
+      SELECT pos, avg(rn) OVER (PARTITION BY score) AS ar FROM ranked
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN pos THEN ar ELSE 0 END) AS rpos,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 AS n1,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) * 1.0 AS n0
+      FROM avgr
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_positive, CAST(n0 AS BIGINT) AS n_negative,
+           round((rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+    FROM agg
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the English-marker ratio as a detector of lang='en',
+    computed EXACTLY by the rank-sum (Mann-Whitney U) identity with
+    midranks for ties — no threshold sweep, no curve materialization:
+    AUC = (R_pos − n1(n1+1)/2)/(n1·n0). This is the scalable form —
+    one global sort-rank (TakeOrdered-class at any size since only
+    rank sums survive), one tie-averaging window, one 3-counter fold —
+    and the missing single-number eval next to the confusion-matrix
+    and kappa entries."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 1.0
+            / F.size(toks)
+        ).alias("score"),
+    )
+    ranked = scored.select(
+        "pos",
+        "score",
+        F.row_number().over(Window.orderBy(F.asc("score"), F.asc("doc_id"))).alias("rn"),
+    )
+    avgr = ranked.select(
+        "pos", F.avg("rn").over(Window.partitionBy("score")).alias("ar")
+    )
+    agg = avgr.agg(
+        F.sum(F.when(F.col("pos"), F.col("ar")).otherwise(0.0)).alias("rpos"),
+        (F.sum(F.when(F.col("pos"), 1).otherwise(0)) * 1.0).alias("n1"),
+        (F.sum(F.when(F.col("pos"), 0).otherwise(1)) * 1.0).alias("n0"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_positive"),
+        F.col("n0").cast("bigint").alias("n_negative"),
+        F.round(
+            (F.col("rpos") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_KNN_OUTLIER_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+kth AS (
+  SELECT src, score FROM (
+    SELECT a.vec_id AS src,
+           round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS score,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk = 5
+)
+SELECT src AS vec_id, round(1.0 - score, 6) AS knn_distance
+FROM kth
+ORDER BY 1.0 - score DESC, src ASC LIMIT 20
+"""
+
+
+@register("knn_distance_outliers", _KNN_OUTLIER_ORACLE)
+def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection by k-NN distance (the standard
+    density baseline under LOF): a vector whose 5th-nearest cosine
+    neighbor is still far away sits in no local cluster — the
+    poisoned-batch / garbage-embedding screen a vector pipeline runs
+    before indexing. Top-20 by 5th-NN distance; neighbor generation
+    is the guarded production GEMM (IVF/LSH past the guard), the
+    score is one filter on its rank column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kth = (
+        similarity.cosine_topk(emb, "vec_id", "embedding", k=5)
+        .filter(F.col("rank") == 5)
+        .select(F.col("src").alias("vec_id"), (1.0 - F.col("score")).alias("knn_distance"))
+    )
+    return (
+        kth.orderBy(F.desc("knn_distance"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("knn_distance", 6).alias("knn_distance"))
+    )
+
+
+@register(
+    "shingle_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src, dst,
+           round(c * 1.0 / x.sz, 6) AS containment,
+           round(c * 1.0 / (x.sz + y.sz - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes x ON x.doc_id = src JOIN sizes y ON y.doc_id = dst
+    WHERE c * 1.0 / x.sz >= 0.8
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B|/|A| >= 0.8 —
+    catches a document QUOTED INSIDE a larger one, which symmetric
+    Jaccard dilutes below any usable threshold (the jaccard column is
+    emitted to show exactly that gap). Same (doc, shingle-id) tables
+    and equi-join candidate shape as ``neardup_clusters``'s exact-
+    Jaccard stage (8-byte sid shuffles, Σdf² bounded); only the
+    normalization differs, and it's per-pair arithmetic. This is the
+    train/eval quotation screen that containment-based decontamination
+    (Brown et al.) runs at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False), distinct=True)
+    sizes = sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sids.select(F.col("doc_id").alias("src"), "sid")
+    b = sids.select(F.col("doc_id").alias("dst"), "sid")
+    shared = (
+        a.join(b, "sid")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("xsz")), "src")
+        .join(sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("ysz")), "dst")
+        .filter(F.col("c") * 1.0 / F.col("xsz") >= 0.8)
+    )
+    return out.select(
+        "src",
+        "dst",
+        F.round(F.col("c") * 1.0 / F.col("xsz"), 6).alias("containment"),
+        F.round(
+            F.col("c") * 1.0 / (F.col("xsz") + F.col("ysz") - F.col("c")), 6
+        ).alias("jaccard"),
+    )
