@@ -19880,3 +19880,217 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * 1.0 / (F.col("xsz") + F.col("ysz") - F.col("c")), 6
         ).alias("jaccard"),
     )
+
+
+@register(
+    "durbin_watson_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) / 1e6 AS y
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY d) * 1.0 AS t FROM daily
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(t * y) AS sty, sum(t * t) AS stt
+      FROM idx
+    ),
+    resid AS (
+      SELECT i.t,
+             i.y - ((m.sy - (m.n * m.sty - m.st * m.sy)
+                             / (m.n * m.stt - m.st * m.st) * m.st) / m.n)
+                 - (m.n * m.sty - m.st * m.sy) / (m.n * m.stt - m.st * m.st)
+                   * i.t AS e
+      FROM idx i CROSS JOIN m
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM resid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(CASE WHEN ep IS NOT NULL
+                          THEN (e - ep) * (e - ep) ELSE 0 END)
+                 / sum(e * e), 4) AS durbin_watson,
+           sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep) ELSE 0 END)
+             / sum(e * e) < 1.5 AS positive_autocorrelation
+    FROM lagd
+    """,
+)
+def durbin_watson_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the residuals of the
+    daily-revenue linear trend — the regression diagnostic that says
+    whether ``q6_forecast_revenue``-style trend extrapolations are
+    even allowed to quote OLS errors (DW<<2: residuals are
+    autocorrelated, the CI is fiction, reach for the EWMA/Holt
+    entries instead). Trend fit folds from one sufficient-statistics
+    pass; residuals and the lag-1 window run over the day-sized
+    series, not the orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum("o_totalprice") / 1e6).alias("y")
+    )
+    idx = materialize_shared(
+        daily.select(
+            "y", (F.row_number().over(Window.orderBy("d")) * 1.0).alias("t")
+        )
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"), F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sy") - slope * F.col("st")) / F.col("n")
+    resid = idx.crossJoin(F.broadcast(m)).select(
+        "t", (F.col("y") - intercept - slope * F.col("t")).alias("e")
+    )
+    lagd = resid.select(
+        "e", F.lag("e").over(Window.orderBy("t")).alias("ep")
+    )
+    num = F.sum(
+        F.when(
+            F.col("ep").isNotNull(), (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+        ).otherwise(0.0)
+    )
+    dw = num / F.sum(F.col("e") * F.col("e"))
+    return lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(dw, 4).alias("durbin_watson"),
+        (dw < 1.5).alias("positive_autocorrelation"),
+    )
+
+
+@register(
+    "trending_parts_decay",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    s AS (
+      SELECT l_partkey,
+             sum(power(2.0, -date_diff('day', o_orderdate, mx.m) / 90.0))
+               AS decayed,
+             count(*) AS n_lines
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey CROSS JOIN mx
+      GROUP BY 1, mx.m
+    )
+    SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines,
+           round(decayed, 6) AS decayed_score
+    FROM s
+    ORDER BY decayed DESC, l_partkey ASC LIMIT 25
+    """,
+)
+def trending_parts_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed popularity ranking (90-day half-life): each
+    order line contributes 2^(-age/90d), so the ranking answers
+    'trending NOW' where the raw count answers 'popular ever' — the
+    freshness-weighted score behind every trending-items feature, and
+    unlike a sliding window it needs NO cutoff choice and stays
+    mergeable (partial sums of exponentials combine). One broadcast
+    of the max date, one combiner-friendly agg, TakeOrdered top-25."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    age_days = F.datediff(F.col("m"), F.col("o_orderdate"))
+    s = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -age_days / 90.0)).alias("decayed"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        s.orderBy(F.desc("decayed"), F.asc("l_partkey"))
+        .limit(25)
+        .select(
+            "l_partkey",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.round("decayed", 6).alias("decayed_score"),
+        )
+    )
+
+
+@register(
+    "cosupply_clustering_coefficient",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    cop AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT quantile_cont(c, 0.95) AS p FROM cop),
+    edges AS (SELECT u, v FROM cop, thr WHERE c >= p),
+    und AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    tcount AS (
+      SELECT s, count(*) AS t FROM (
+        SELECT x AS s FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT CAST(deg.a AS BIGINT) AS s_suppkey,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tcount.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(tcount.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering_coeff
+    FROM deg LEFT JOIN tcount ON tcount.s = deg.a
+    WHERE deg.d >= 2
+    """,
+)
+def cosupply_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2T/(d(d−1)) per supplier on the
+    thinned co-supply graph — the per-node 'how clique-like is my
+    neighborhood' companion to the global ``cosupply_degree_
+    assortativity`` and the per-node ``supplier_cosupply_triangles``
+    it composes (same ordered-wedge triangle closure, same in-plan
+    thinning; one extra degree join and a ratio). Community-structure
+    screening before running the heavier LPA/components entries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    cop = materialize_shared(
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = cop.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = materialize_shared(
+        cop.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    tcount = graph.triangle_counts(edges).select(
+        F.col("node").alias("a"), F.col("n_triangles").alias("t")
+    )
+    return (
+        deg.join(tcount, "a", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("a").cast("bigint").alias("s_suppkey"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
