@@ -1223,3 +1223,73 @@ def test_kappa_is_join_free_single_agg(spark, sf_dir):
     assert _scan_schemas(plan) == [["text", "n_chars"]] or _scan_schemas(
         plan
     ) == [["n_chars", "text"]]
+
+
+def test_knn_eval_no_allpairs_label_broadcast(spark, sf_dir):
+    plan = _executed_plan(spark, "knn_label_accuracy", sf_dir)
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert set(cols) <= {"vec_id", "embedding", "label"}
+
+
+def test_auc_is_one_rank_pass(spark, sf_dir):
+    plan = _executed_plan(spark, "quality_score_auc", sf_dir)
+    # rank-sum AUC: no joins at all — a curve materialization would
+    # show up as extra operators
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+               "CartesianProduct"):
+        assert op not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "lang", "text"]
+
+
+def test_containment_join_keys_on_shingle_id(spark, sf_dir):
+    plan = _executed_plan(spark, "shingle_containment_pairs", sf_dir)
+    # candidates come from the sid equi-join — never all doc pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_trending_topk_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "trending_parts_decay", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["l_orderkey", "l_partkey"] in schemas
+    assert ["o_orderdate", "o_orderkey"] in schemas
+
+
+def test_hill_topk_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "hill_tail_index", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["o_orderkey", "o_totalprice"] in schemas
+
+
+def test_snippets_candidates_posting_anchored(spark, sf_dir):
+    plan = _executed_plan(spark, "search_result_snippets", sf_dir)
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_geomedian_scans_pruned(spark, sf_dir):
+    plan = _executed_plan(spark, "embedding_geometric_median", sf_dir)
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["embedding", "vec_id"]
+
+
+def test_clustering_coeff_equi_joins_pruned(spark, sf_dir):
+    plan = _executed_plan(spark, "cosupply_clustering_coefficient", sf_dir)
+    assert "CartesianProduct" not in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert all(s == ["l_orderkey", "l_suppkey"] for s in schemas)
+
+
+def test_durbin_watson_date_filter_pushed(spark, sf_dir):
+    plan = _executed_plan(spark, "durbin_watson_revenue_trend", sf_dir)
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["o_orderdate", "o_totalprice"] in schemas
