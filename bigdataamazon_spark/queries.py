@@ -20094,3 +20094,71 @@ def cosupply_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "quality_lift_deciles",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    scored AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0
+               / len(l) AS score
+      FROM t
+    ),
+    binned AS (
+      SELECT pos, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile, count(*) AS n, sum(pos) AS np FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) * 1.0 AS tn, sum(np) * 1.0 AS tp FROM per)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n AS BIGINT) AS n_docs, CAST(np AS BIGINT) AS n_positive,
+           round(sum(np) OVER (ORDER BY decile) / tot.tp, 6)
+             AS cum_capture_rate,
+           round((np * 1.0 / n) / (tot.tp / tot.tn), 4) AS lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def quality_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the en-marker score (the operational view
+    behind ``quality_score_auc``): rank docs by score, cut into
+    deciles, and report per-decile lift and cumulative capture of the
+    positive class — 'keep the top 30% of the corpus, keep X% of the
+    English' is exactly how a quality-score threshold gets chosen in a
+    curation budget meeting. One rank window + a 10-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 1.0
+            / F.size(toks)
+        ).alias("score"),
+    )
+    binned = scored.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    tot = per.agg(
+        (F.sum("n") * 1.0).alias("tn"), (F.sum("np") * 1.0).alias("tp")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("np").cast("bigint").alias("n_positive"),
+        F.round(F.sum("np").over(wc) / F.col("tp"), 6).alias("cum_capture_rate"),
+        F.round((F.col("np") * 1.0 / F.col("n")) / (F.col("tp") / F.col("tn")), 4).alias(
+            "lift"
+        ),
+    )
