@@ -20162,3 +20162,211 @@ def quality_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift"
         ),
     )
+
+
+@register(
+    "lexical_diversity_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS v
+      FROM t WHERE len(l) >= 2
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+           round(v * 1.0 / n, 6) AS ttr,
+           round(v / sqrt(n), 6) AS root_ttr,
+           round(ln(v) / ln(n), 6) AS herdan_c
+    FROM m
+    """,
+)
+def lexical_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity panel per document — raw type-token ratio,
+    Guiraud's root TTR (length-corrected), and Herdan's C (log-log,
+    the most length-stable of the three): the vocabulary-richness
+    quality gates that catch keyword-stuffed and template text which
+    length/stopword heuristics pass. Pure per-row array expressions —
+    zero shuffles, whole-stage codegen, composes into the
+    ``curated_corpus`` ladder like the other textops gates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("v"),
+    ).filter(F.col("n") >= 2)
+    return m.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        F.round(F.col("v") * 1.0 / F.col("n"), 6).alias("ttr"),
+        F.round(F.col("v") / F.sqrt(F.col("n")), 6).alias("root_ttr"),
+        F.round(F.log("v") / F.log("n"), 6).alias("herdan_c"),
+    )
+
+
+@register(
+    "source_keyness_logodds",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    tf AS (SELECT source, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2),
+    prior AS (SELECT w, sum(c) AS a0 FROM tf GROUP BY 1),
+    tot AS (
+      SELECT sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS n0,
+             sum(CASE WHEN source = 'src1' THEN c ELSE 0 END) AS n1,
+             sum(c) AS na
+      FROM tf
+    ),
+    wide AS (
+      SELECT p.w, p.a0,
+             coalesce(sum(CASE WHEN tf.source = 'src0' THEN c END), 0) AS c0,
+             coalesce(sum(CASE WHEN tf.source = 'src1' THEN c END), 0) AS c1
+      FROM prior p LEFT JOIN tf ON tf.w = p.w GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT w, c0, c1,
+             ln((c0 + a0 * 0.01) * 1.0 / (tot.n0 + tot.na * 0.01 - c0 - a0 * 0.01))
+               - ln((c1 + a0 * 0.01) * 1.0 / (tot.n1 + tot.na * 0.01 - c1 - a0 * 0.01))
+               AS delta,
+             1.0 / (c0 + a0 * 0.01) + 1.0 / (c1 + a0 * 0.01) AS var
+      FROM wide CROSS JOIN tot
+    )
+    SELECT w AS word, CAST(c0 AS BIGINT) AS count_src0,
+           CAST(c1 AS BIGINT) AS count_src1,
+           round(delta / sqrt(var), 4) AS z_logodds
+    FROM scored
+    ORDER BY abs(delta / sqrt(var)) DESC, w ASC LIMIT 30
+    """,
+)
+def source_keyness_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness between two sources by log-odds with an informative
+    Dirichlet prior (Monroe-Colaresi-Quinn 2008) — the statistic that
+    replaces raw PMI/frequency-diff for 'what words make source A
+    A-ish': the corpus-wide prior damps rare-word noise and the
+    variance term z-scores the shift. Top-30 by |z|. One token count,
+    marginals from rollups of it, a 30-row TakeOrdered — the same
+    shape a 100 TB source-vs-source drill-down runs."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tf = materialize_shared(
+        d.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = tf.groupBy("w").agg(
+        F.sum("c").alias("a0"),
+        F.coalesce(
+            F.sum(F.when(F.col("source") == "src0", F.col("c"))), F.lit(0)
+        ).alias("c0"),
+        F.coalesce(
+            F.sum(F.when(F.col("source") == "src1", F.col("c"))), F.lit(0)
+        ).alias("c1"),
+    )
+    tot = tf.agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("c")).otherwise(0)).alias("n1"),
+        F.sum("c").alias("na"),
+    )
+    a = F.col("a0") * 0.01
+    delta = F.log(
+        (F.col("c0") + a) * 1.0 / (F.col("n0") + F.col("na") * 0.01 - F.col("c0") - a)
+    ) - F.log(
+        (F.col("c1") + a) * 1.0 / (F.col("n1") + F.col("na") * 0.01 - F.col("c1") - a)
+    )
+    var = 1.0 / (F.col("c0") + a) + 1.0 / (F.col("c1") + a)
+    z = delta / F.sqrt(var)
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c0").cast("bigint").alias("count_src0"),
+            F.col("c1").cast("bigint").alias("count_src1"),
+            F.round(z, 4).alias("z_logodds"),
+            F.abs(z).alias("_az"),
+        )
+        .orderBy(F.desc("_az"), F.asc("word"))
+        .limit(30)
+        .drop("_az")
+    )
+
+
+_CENTROID_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pts AS (
+  SELECT vec_id, label, d.i AS dim, vec[d.i] AS x
+  FROM base, unnest(range(1, 65)) AS d(i)
+),
+cent AS (
+  SELECT label AS clabel, dim, round(avg(x), 6) AS c
+  FROM pts GROUP BY 1, 2
+),
+dists AS (
+  SELECT p.vec_id, p.label, c.clabel,
+         sum((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM pts p JOIN cent c USING (dim)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) AS rnk FROM dists)
+  WHERE rnk = 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN predicted = label THEN 1.0 ELSE 0.0 END), 6)
+         AS centroid_accuracy
+FROM pred GROUP BY 1
+"""
+
+
+@register("nearest_centroid_accuracy", _CENTROID_ORACLE)
+def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy per label —
+    the HIGH-BIAS contrast to ``knn_label_accuracy``'s high-variance
+    vote, and together the two-line sanity check on embedding quality
+    (centroid >> kNN: labels are blobby; kNN >> centroid: labels are
+    multi-modal). Centroids ROUNDED to 6 so both engines rank the
+    same distances. Cost: one k×d centroid agg + a k-fan distance
+    join — linear in n·k·d, no pairwise anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = materialize_shared(
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim0", "xf")
+        ).select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    cent = pts.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    dists = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("clabel"))
+    pred = (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("predicted"))
+    )
+    hit = F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.avg(hit * 1.0), 6).alias("centroid_accuracy"),
+    )
