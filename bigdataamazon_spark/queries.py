@@ -20370,3 +20370,225 @@ def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_correct"),
         F.round(F.avg(hit * 1.0), 6).alias("centroid_accuracy"),
     )
+
+
+@register(
+    "odds_ratio_promo",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus = 'F' AS y FROM orders
+    ),
+    exp AS (
+      SELECT l_orderkey AS o_orderkey, max(l_discount) >= 0.05 AS treated
+      FROM lineitem GROUP BY 1
+    ),
+    cells AS (
+      SELECT sum(CASE WHEN treated AND y THEN 1 ELSE 0 END) * 1.0 AS a,
+             sum(CASE WHEN treated AND NOT y THEN 1 ELSE 0 END) * 1.0 AS b,
+             sum(CASE WHEN NOT treated AND y THEN 1 ELSE 0 END) * 1.0 AS c,
+             sum(CASE WHEN NOT treated AND NOT y THEN 1 ELSE 0 END) * 1.0 AS d
+      FROM o JOIN exp USING (o_orderkey)
+    )
+    SELECT CAST(a AS BIGINT) AS n_treated_pos, CAST(b AS BIGINT) AS n_treated_neg,
+           CAST(c AS BIGINT) AS n_control_pos, CAST(d AS BIGINT) AS n_control_neg,
+           round(a * d / (b * c), 6) AS odds_ratio,
+           round(exp(ln(a * d / (b * c))
+                     - 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)), 6) AS ci_low,
+           round(exp(ln(a * d / (b * c))
+                     + 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)), 6) AS ci_high,
+           exp(ln(a * d / (b * c)) - 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)) > 1.0
+             OR exp(ln(a * d / (b * c)) + 1.959964 * sqrt(1/a + 1/b + 1/c + 1/d)) < 1.0
+             AS significant_at_05
+    FROM cells
+    """,
+)
+def odds_ratio_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio with the Woolf log-normal CI for a 2x2 exposure/
+    outcome table (deep-discount orders vs completion) — the
+    epidemiology-standard effect measure the A/B entries
+    (``ab_conversion_ztest``) quote when the outcome is rare and risk
+    ratios mislead. One join + one 4-cell agg; the CI folds from the
+    cells (shared z literal with the other 95% entries)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderstatus") == "F").alias("y")
+    )
+    ex = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg((F.max("l_discount") >= 0.05).alias("treated"))
+    )
+    t, y = F.col("treated"), F.col("y")
+    cells = o.join(ex, "o_orderkey").agg(
+        (F.sum(F.when(t & y, 1).otherwise(0)) * 1.0).alias("a"),
+        (F.sum(F.when(t & ~y, 1).otherwise(0)) * 1.0).alias("b"),
+        (F.sum(F.when(~t & y, 1).otherwise(0)) * 1.0).alias("c"),
+        (F.sum(F.when(~t & ~y, 1).otherwise(0)) * 1.0).alias("d"),
+    )
+    orr = F.col("a") * F.col("d") / (F.col("b") * F.col("c"))
+    se = F.sqrt(1 / F.col("a") + 1 / F.col("b") + 1 / F.col("c") + 1 / F.col("d"))
+    lo, hi = F.exp(F.log(orr) - 1.959964 * se), F.exp(F.log(orr) + 1.959964 * se)
+    return cells.select(
+        F.col("a").cast("bigint").alias("n_treated_pos"),
+        F.col("b").cast("bigint").alias("n_treated_neg"),
+        F.col("c").cast("bigint").alias("n_control_pos"),
+        F.col("d").cast("bigint").alias("n_control_neg"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lo, 6).alias("ci_low"),
+        F.round(hi, 6).alias("ci_high"),
+        ((lo > 1.0) | (hi < 1.0)).alias("significant_at_05"),
+    )
+
+
+@register(
+    "markov_order_lr_test",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT e1, e2, e3, count(*) * 1.0 AS n FROM seq
+      WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    pair23 AS (SELECT e2, e3, sum(n) AS n23 FROM tri GROUP BY 1, 2),
+    m2 AS (SELECT e2, sum(n) AS n2 FROM tri GROUP BY 1),
+    pair12 AS (SELECT e1, e2, sum(n) AS n12 FROM tri GROUP BY 1, 2),
+    g AS (
+      SELECT sum(2.0 * t.n * ln((t.n / p12.n12) / (p23.n23 / m2.n2))) AS g2,
+             count(*) AS cells
+      FROM tri t
+      JOIN pair12 p12 USING (e1, e2)
+      JOIN pair23 p23 USING (e2, e3)
+      JOIN m2 USING (e2)
+    )
+    SELECT round(g2, 4) AS g2_statistic,
+           CAST(cells AS BIGINT) AS n_observed_cells,
+           CAST(80 AS BIGINT) AS df,
+           g2 > 101.879 AS reject_first_order_at_05
+    FROM g
+    """,
+)
+def markov_order_lr_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov model-order selection by likelihood ratio: does the
+    event stream need SECOND-order memory, or is the first-order
+    chain (``markov_next_event_accuracy``'s model) sufficient?
+    G2 = 2*sum n(abc)*ln[P(c|ab)/P(c|b)], chi-square with
+    k^2(k-1)^2 = 80 df for k=5 states (critical 101.879 at 0.05) —
+    the Anderson-Goodman test every 'just use a Markov chain' pipeline
+    should run once. One windowed trigram count; every marginal is a
+    rollup of it; the statistic folds in one pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = materialize_shared(
+        seq.groupBy("e1", "e2", "e3").agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    pair23 = tri.groupBy("e2", "e3").agg(F.sum("n").alias("n23"))
+    m2 = tri.groupBy("e2").agg(F.sum("n").alias("n2"))
+    pair12 = tri.groupBy("e1", "e2").agg(F.sum("n").alias("n12"))
+    g = (
+        tri.join(F.broadcast(pair12), ["e1", "e2"])
+        .join(F.broadcast(pair23), ["e2", "e3"])
+        .join(F.broadcast(m2), "e2")
+        .agg(
+            F.sum(
+                2.0
+                * F.col("n")
+                * F.log(
+                    (F.col("n") / F.col("n12")) / (F.col("n23") / F.col("n2"))
+                )
+            ).alias("g2"),
+            F.count(F.lit(1)).alias("cells"),
+        )
+    )
+    return g.select(
+        F.round("g2", 4).alias("g2_statistic"),
+        F.col("cells").cast("bigint").alias("n_observed_cells"),
+        F.lit(80).cast("bigint").alias("df"),
+        (F.col("g2") > 101.879).alias("reject_first_order_at_05"),
+    )
+
+
+@register(
+    "anonymity_generalization_ladder",
+    """
+    WITH lvl0 AS (
+      SELECT 0 AS level, 'nation+segment' AS qi, count(*) AS n_groups,
+             min(c) AS min_k,
+             CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+               AS rows_below_k5
+      FROM (SELECT count(*) AS c FROM customer JOIN nation
+            ON n_nationkey = c_nationkey GROUP BY n_name, c_mktsegment)
+    ),
+    lvl1 AS (
+      SELECT 1, 'region+segment', count(*), min(c),
+             CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name, c_mktsegment)
+    ),
+    lvl2 AS (
+      SELECT 2, 'segment only', count(*), min(c),
+             CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)
+    )
+    SELECT CAST(level AS INTEGER) AS level, qi,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(min_k AS BIGINT) AS min_k,
+           rows_below_k5,
+           min_k >= 5 AS satisfies_k5
+    FROM (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+          UNION ALL SELECT * FROM lvl2)
+    """,
+)
+def anonymity_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder search for k-anonymity (the decision
+    ``customer_k_anonymity`` only diagnoses): walk the quasi-identifier
+    hierarchy nation+segment → region+segment → segment-only and report
+    each level's minimum group size and how many rows a k=5 release
+    would have to suppress — pick the first level with min_k >= 5, the
+    minimal-information-loss release. Three grouped counts unioned
+    into one plan; dims broadcast; scan-bound."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+
+    def level(i, qi, grouped):
+        return grouped.agg(
+            F.lit(i).cast("int").alias("level"),
+            F.lit(qi).alias("qi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("c").cast("bigint").alias("min_k"),
+            F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_k5"),
+            (F.min("c") >= 5).alias("satisfies_k5"),
+        )
+
+    l0 = level(
+        0,
+        "nation+segment",
+        cn.groupBy("n_name", "c_mktsegment").agg(F.count(F.lit(1)).alias("c")),
+    )
+    l1 = level(
+        1,
+        "region+segment",
+        cn.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    l2 = level(
+        2,
+        "segment only",
+        c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("c")),
+    )
+    return l0.unionAll(l1).unionAll(l2)
