@@ -20592,3 +20592,217 @@ def anonymity_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFra
         c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("c")),
     )
     return l0.unionAll(l1).unionAll(l2)
+
+
+@register(
+    "parts_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, r,
+             sum(r) OVER (ORDER BY r DESC, l_partkey ASC) AS cum,
+             sum(r) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum / tot <= 0.8 THEN 'A'
+                  WHEN cum / tot <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(r), 2) AS revenue,
+           round(sum(r) / max(tot2), 6) AS revenue_share
+    FROM (SELECT c.*, (SELECT sum(r) FROM rev) AS tot2 FROM classed c)
+    GROUP BY abc
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue, class A =
+    the prefix holding 80% of revenue, B to 95%, C the long tail —
+    the operational bucketing downstream of the ``revenue_pareto_
+    ratio``/``customer_revenue_gini`` diagnostics (A-parts get the
+    expensive treatment, C-parts get batch policies; same logic
+    allocates cache tiers or curation effort). One revenue agg, one
+    part-sized ordered prefix scan, a 3-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = materialize_shared(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("r")
+        )
+    )
+    wcum = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    classed = (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "tot",
+            F.when(F.sum("r").over(wcum) / F.col("tot") <= 0.8, "A")
+            .when(F.sum("r").over(wcum) / F.col("tot") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
+    )
+
+
+@register(
+    "daily_volatility_estimators",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, value, ts, event_id FROM events
+      WHERE event_type = 'purchase' AND value > 0
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY day ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e
+    ),
+    ohlc AS (
+      SELECT day,
+             max(CASE WHEN ra = 1 THEN value END) AS o,
+             max(value) AS h, min(value) AS l,
+             max(CASE WHEN rd = 1 THEN value END) AS c,
+             count(*) AS n
+      FROM rn GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(sqrt(avg(ln(c / o) * ln(c / o))), 6) AS close_open_vol,
+           round(sqrt(avg(ln(h / l) * ln(h / l) / (4.0 * ln(2.0)))), 6)
+             AS parkinson_vol,
+           round(sqrt(avg(0.5 * ln(h / l) * ln(h / l)
+                          - (2.0 * ln(2.0) - 1.0) * ln(c / o) * ln(c / o))), 6)
+             AS garman_klass_vol
+    FROM ohlc
+    """,
+)
+def daily_volatility_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based volatility estimators over the daily purchase-value
+    OHLC bars (composing ``events_ohlc_daily``'s bar construction):
+    naive close/open vol next to Parkinson (1980, high-low range,
+    ~5x more efficient) and Garman-Klass (1980, range + drift
+    correction) — the variance-of-a-stream estimators that beat
+    sampling the close alone, which is exactly the telemetry question
+    'how volatile was this metric today' with only bar summaries
+    retained. Two day-keyed windows + one day-sized fold."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    wa = Window.partitionBy("day").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    rn = e.select(
+        F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    ).select(
+        "day",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    ohlc = (
+        rn.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("o"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    co = F.log(F.col("c") / F.col("o"))
+    hl = F.log(F.col("h") / F.col("l"))
+    import math
+
+    ln2 = math.log(2.0)
+    return ohlc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sqrt(F.avg(co * co)), 6).alias("close_open_vol"),
+        F.round(F.sqrt(F.avg(hl * hl / (4.0 * ln2))), 6).alias("parkinson_vol"),
+        F.round(
+            F.sqrt(F.avg(0.5 * hl * hl - (2.0 * ln2 - 1.0) * co * co)), 6
+        ).alias("garman_klass_vol"),
+    )
+
+
+@register(
+    "embedding_drift_report",
+    """
+    WITH pts AS (
+      SELECT vec_id, label, vec_id % 2 AS half, d.i AS dim,
+             CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS d(i)
+    ),
+    cent AS (
+      SELECT label, half, dim, avg(x) AS c FROM pts GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+             AS centroid_cosine,
+           round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS centroid_l2_shift,
+           round(sqrt(sum(ca * ca)) / sqrt(sum(cb * cb)), 6) AS norm_ratio
+    FROM paired GROUP BY 1
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split each label's vectors into two
+    deterministic halves (stand-ins for 'last week vs this week' or
+    'model v1 vs v2' batches) and compare per-label centroids —
+    cosine, L2 shift, norm ratio. Identical distributions give cosine
+    ~1 / ratio ~1; an encoder change or poisoned batch moves them —
+    the cheap tripwire that runs BEFORE the expensive re-index
+    (``embedding_geometric_median`` is its robust sibling). One k×2×d
+    centroid agg + a d-sized fold per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select("label", "half", F.col("dim0").alias("dim"), F.col("xf").cast("double").alias("x"))
+    cent = pts.groupBy("label", "half", "dim").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))),
+                6,
+            ).alias("centroid_l2_shift"),
+            F.round(
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                / F.sqrt(F.sum(F.col("cb") * F.col("cb"))),
+                6,
+            ).alias("norm_ratio"),
+        )
+    )
