@@ -20806,3 +20806,165 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_ratio"),
         )
     )
+
+
+@register(
+    "permutation_test_revenue",
+    """
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             o_orderpriority = '1-URGENT' AS treated
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_orderkey % 10 = 0
+    ),
+    obs AS (
+      SELECT avg(CASE WHEN treated THEN o_totalprice END)
+             - avg(CASE WHEN NOT treated THEN o_totalprice END) AS d
+      FROM s
+    ),
+    perms AS (SELECT unnest(range(0, 200)) AS p),
+    reassigned AS (
+      SELECT p.p, s.o_totalprice,
+             ('0x' || substr(md5(s.o_orderkey || ':' || p.p), 1, 1))::INT < 8
+               AS t
+      FROM s CROSS JOIN perms p
+    ),
+    null_dist AS (
+      SELECT p, avg(CASE WHEN t THEN o_totalprice END)
+                - avg(CASE WHEN NOT t THEN o_totalprice END) AS d
+      FROM reassigned GROUP BY 1
+    )
+    SELECT CAST(200 AS BIGINT) AS n_permutations,
+           round(obs.d, 4) AS observed_diff,
+           round(avg(CASE WHEN abs(n.d) >= abs(obs.d) THEN 1.0 ELSE 0.0 END),
+                 6) AS p_value
+    FROM null_dist n CROSS JOIN obs
+    GROUP BY obs.d
+    """,
+)
+def permutation_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test (Fisher's exact-null resampling,
+    200 deterministic md5-keyed relabelings) for the urgent-vs-low
+    mean order value gap — the assumption-free twin of the parametric
+    z/t entries and the bootstrap CI: the null distribution comes
+    from relabeling the POOLED sample, so no normality or equal-
+    variance assumptions. The 200x fan is one generated cross join
+    with map-side combined per-permutation aggregates (the
+    ``order_price_bootstrap_ci`` pattern); the observed stat is one
+    extra 2-cell agg on the same sliver."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & (F.col("o_orderkey") % 10 == 0)
+    )
+    s = materialize_shared(
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
+        )
+    )
+    obs = s.agg(
+        (
+            F.avg(F.when(F.col("treated"), F.col("o_totalprice")))
+            - F.avg(F.when(~F.col("treated"), F.col("o_totalprice")))
+        ).alias("d")
+    )
+    perms = spark.range(200).select(F.col("id").alias("p"))
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("p"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    null_dist = (
+        s.crossJoin(F.broadcast(perms))
+        .select("p", "o_totalprice", t.alias("t"))
+        .groupBy("p")
+        .agg(
+            (
+                F.avg(F.when(F.col("t"), F.col("o_totalprice")))
+                - F.avg(F.when(~F.col("t"), F.col("o_totalprice")))
+            ).alias("d")
+        )
+    )
+    return (
+        null_dist.crossJoin(F.broadcast(obs.withColumnRenamed("d", "od")))
+        .agg(
+            F.lit(200).cast("bigint").alias("n_permutations"),
+            F.round(F.first("od"), 4).alias("observed_diff"),
+            F.round(
+                F.avg(
+                    F.when(F.abs(F.col("d")) >= F.abs(F.col("od")), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+@register(
+    "marker_score_ece",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             least(len(list_filter(l, x -> x IN ('the','a','and','of'))) * 10.0
+                   / len(l), 0.999999) AS conf
+      FROM t
+    ),
+    binned AS (
+      SELECT CAST(floor(conf * 10) AS INTEGER) AS bin, y, conf FROM scored
+    ),
+    per AS (
+      SELECT bin, count(*) * 1.0 AS n, avg(y) AS acc, avg(conf) AS cf
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn FROM per)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(per.n * abs(per.acc - per.cf)) / max(tot.nn), 6) AS ece,
+           round(max(abs(per.acc - per.cf)), 6) AS mce
+    FROM per CROSS JOIN tot
+    """,
+)
+def marker_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error of the en-marker ratio
+    read as a probability (scaled x10 into [0,1), 10 equal-width
+    bins): ECE weights each bin's |accuracy − confidence| gap by
+    mass, MCE takes the worst bin — the classifier-side calibration
+    pair completing ``regression_calibration_bins`` and
+    ``brier_score_decomposition`` (Brier's reliability IS squared-
+    error ECE). One binned agg + a 10-row fold."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.least(
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 10.0
+            / F.size(toks),
+            F.lit(0.999999),
+        ).alias("conf"),
+    )
+    per = (
+        scored.select(
+            F.floor(F.col("conf") * 10).cast("int").alias("bin"), "y", "conf"
+        )
+        .groupBy("bin")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            F.avg("y").alias("acc"),
+            F.avg("conf").alias("cf"),
+        )
+    )
+    tot = per.agg(F.sum("n").alias("nn"))
+    return per.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("acc") - F.col("cf"))) / F.max("nn"), 6
+        ).alias("ece"),
+        F.round(F.max(F.abs(F.col("acc") - F.col("cf"))), 6).alias("mce"),
+    )
