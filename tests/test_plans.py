@@ -1293,3 +1293,47 @@ def test_durbin_watson_date_filter_pushed(spark, sf_dir):
     assert "PushedFilters" in plan and "o_orderdate" in plan
     schemas = [sorted(c) for c in _scan_schemas(plan)]
     assert ["o_orderdate", "o_totalprice"] in schemas
+
+
+def test_keyness_topk_take_ordered_single_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "source_keyness_logodds", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["source", "text"]
+
+
+def test_lexical_diversity_zero_shuffle(spark, sf_dir):
+    plan = _executed_plan(spark, "lexical_diversity_scores", sf_dir)
+    for op in ("Exchange", "BroadcastHashJoin", "SortMergeJoin"):
+        assert op not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_nearest_centroid_broadcasts_model(spark, sf_dir):
+    plan = _executed_plan(spark, "nearest_centroid_accuracy", sf_dir)
+    # the k×d centroid table broadcasts onto the point fan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    # the point fan is served from the persisted (vec,label,dim,x)
+    # cache, so visible parquet scans prune to at most these columns
+    for cols in _scan_schemas(plan):
+        assert set(cols) <= {"embedding", "label", "vec_id"}
+
+
+def test_permutation_fan_is_broadcast_generate(spark, sf_dir):
+    plan = _executed_plan(spark, "permutation_test_revenue", sf_dir)
+    # the 200-row permutation spine broadcasts into the sliver — the
+    # only nested-loop allowed is that tiny-side fan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
+
+
+def test_abc_prefix_scan_on_part_sized_frame(spark, sf_dir):
+    plan = _executed_plan(spark, "parts_abc_classification", sf_dir)
+    # the ordered prefix sum runs AFTER the per-part aggregate — the
+    # lineitem scan itself reads 3 columns and never sorts globally
+    assert "Window" in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert ["l_discount", "l_extendedprice", "l_partkey"] in schemas
