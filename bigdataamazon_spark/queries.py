@@ -20968,3 +20968,157 @@ def marker_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.round(F.max(F.abs(F.col("acc") - F.col("cf"))), 6).alias("mce"),
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    """
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT least(source_a, source_b) AS source_a,
+             greatest(source_a, source_b) AS source_b
+      FROM pairs
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM sym GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: exact-dup pairs bucketed by
+    (source, source) — the provenance view that turns per-doc dedup
+    into an ACQUISITION decision ('these two crawls are 40% mirrors of
+    each other; stop buying both'), complementing the stylometric
+    ``burrows_delta_sources`` signal with hard content overlap. The
+    pair join keys on the content hash (Σ per-hash count², the exact-
+    dedup shape), then folds to a |sources|² matrix."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    a = d.select(F.col("doc_id").alias("ida"), F.col("source").alias("sa"), "h")
+    b = d.select(F.col("doc_id").alias("idb"), F.col("source").alias("sb"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+@register(
+    "user_temporal_entropy",
+    """
+    WITH h AS (
+      SELECT user_id, extract(hour FROM ts) AS hr, count(*) * 1.0 AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, sum(n) AS t FROM h GROUP BY 1),
+    ent AS (
+      SELECT h.user_id,
+             -sum((h.n / tot.t) * log2(h.n / tot.t)) AS e,
+             max(tot.t) AS t
+      FROM h JOIN tot USING (user_id) GROUP BY 1
+    )
+    SELECT user_id, CAST(t AS BIGINT) AS n_events,
+           round(e, 4) AS hour_entropy_bits,
+           e < 2.0 AND t >= 50 AS bot_suspect
+    FROM ent WHERE t >= 20
+    """,
+)
+def user_temporal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-entropy bot screen: the Shannon entropy of each
+    user's hour-of-day activity histogram — humans spread across
+    waking hours (high entropy), schedulers and scrapers hammer a few
+    fixed hours (low entropy at high volume). The standard cheap
+    behavioral filter BEFORE expensive per-user models, and the
+    events-side sibling of ``char_entropy_filter``. One (user, hour)
+    count, one user rollup — both combiner-friendly."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy("user_id", F.hour("ts").alias("hr")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n")
+    )
+    tot = h.groupBy("user_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    ent = (
+        h.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log2(p))).alias("e"), F.max("t").alias("t"))
+        .filter(F.col("t") >= 20)
+    )
+    return ent.select(
+        "user_id",
+        F.col("t").cast("bigint").alias("n_events"),
+        F.round("e", 4).alias("hour_entropy_bits"),
+        ((F.col("e") < 2.0) & (F.col("t") >= 50)).alias("bot_suspect"),
+    )
+
+
+@register(
+    "fd_histogram_orders",
+    """
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3,
+             count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders
+    ),
+    w AS (
+      SELECT round(2.0 * (q3 - q1) / pow(n, 1.0 / 3.0), 2) AS bw, lo, hi, n
+      FROM q
+    ),
+    binned AS (
+      SELECT least(CAST(floor((o_totalprice - w.lo) / w.bw) AS INTEGER),
+                   CAST(floor((w.hi - w.lo) / w.bw) AS INTEGER)) AS bin,
+             w.bw, w.lo
+      FROM orders CROSS JOIN w
+    )
+    SELECT bin, round(lo + bin * bw, 2) AS bin_start,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM binned GROUP BY bin, bw, lo
+    """,
+)
+def fd_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis auto-binned histogram of order values — the
+    data-driven answer to 'how many buckets' that the fixed-width
+    ``orders_price_histogram`` hard-codes: width = 2·IQR·n^(−1/3),
+    robust to the heavy tail (``hill_tail_index``) that wrecks
+    Sturges/sqrt rules. Width is ROUNDED to 2 so both engines cut
+    identical bin edges; one quantile pass + one broadcast + one
+    binned count."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    w = q.select(
+        F.round(
+            2.0 * (F.col("q3") - F.col("q1")) / F.pow(F.col("n"), 1.0 / 3.0), 2
+        ).alias("bw"),
+        "lo",
+        "hi",
+    )
+    binned = o.crossJoin(F.broadcast(w)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("bw")).cast("int"),
+            F.floor((F.col("hi") - F.col("lo")) / F.col("bw")).cast("int"),
+        ).alias("bin"),
+        "bw",
+        "lo",
+    )
+    return binned.groupBy("bin", "bw", "lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * F.col("bw"), 2).alias("bin_start"),
+        "n_orders",
+    )
