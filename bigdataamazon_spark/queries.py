@@ -21122,3 +21122,145 @@ def fd_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + F.col("bin") * F.col("bw"), 2).alias("bin_start"),
         "n_orders",
     )
+
+
+@register(
+    "logrank_churn_test",
+    """
+    WITH life AS (
+      SELECT user_id, user_id % 2 AS g,
+             date_diff('day', min(ts), max(ts)) AS dur
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) * 1.0 AS nn,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) * 1.0 AS n1
+      FROM life
+    ),
+    bytime AS (
+      SELECT dur, count(*) * 1.0 AS d,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) * 1.0 AS d1
+      FROM life GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur, d, d1,
+             tot.nn - coalesce(sum(d) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+             tot.n1 - coalesce(sum(d1) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1r
+      FROM bytime CROSS JOIN tot
+    ),
+    s AS (
+      SELECT sum(d1) AS o1, sum(d * n1r / n) AS e1,
+             sum(CASE WHEN n > 1
+                 THEN d * (n1r / n) * (1 - n1r / n) * (n - d) / (n - 1)
+                 ELSE 0 END) AS v
+      FROM risk
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_g1,
+           round(e1, 4) AS expected_g1,
+           round((o1 - e1) * (o1 - e1) / v, 4) AS logrank_chi2,
+           (o1 - e1) * (o1 - e1) / v > 3.841459 AS reject_equal_survival
+    FROM s
+    """,
+)
+def logrank_churn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel-Cox) comparing two cohorts' survival
+    curves — the hypothesis test ``user_churn_survival``'s KM curves
+    need before anyone claims 'segment A churns faster': at every
+    distinct lifetime the observed group-1 deaths are compared with
+    the hypergeometric expectation given the shrinking risk sets.
+    Lifetimes are one user agg; risk sets fold from one time-ordered
+    prefix window over the TIME-sized death table (not the user
+    table); the statistic is a 3-sum fold."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("dur")
+    ).select((F.col("user_id") % 2).alias("g"), "dur")
+    tot = life.agg(
+        (F.count(F.lit(1)) * 1.0).alias("nn"),
+        (F.sum(F.when(F.col("g") == 1, 1).otherwise(0)) * 1.0).alias("n1"),
+    )
+    bytime = life.groupBy("dur").agg(
+        (F.count(F.lit(1)) * 1.0).alias("d"),
+        (F.sum(F.when(F.col("g") == 1, 1).otherwise(0)) * 1.0).alias("d1"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = bytime.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "d1",
+        (F.col("nn") - F.coalesce(F.sum("d").over(wprev), F.lit(0.0))).alias("n"),
+        (F.col("n1") - F.coalesce(F.sum("d1").over(wprev), F.lit(0.0))).alias("n1r"),
+    )
+    s = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * F.col("n1r") / F.col("n")).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * (F.col("n1r") / F.col("n"))
+                * (1 - F.col("n1r") / F.col("n"))
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v")
+    return s.select(
+        F.col("o1").cast("bigint").alias("observed_g1"),
+        F.round("e1", 4).alias("expected_g1"),
+        F.round(chi2, 4).alias("logrank_chi2"),
+        (chi2 > 3.841459).alias("reject_equal_survival"),
+    )
+
+
+@register(
+    "jarque_bera_price",
+    """
+    WITH m1 AS (SELECT avg(o_totalprice) AS mu, count(*) * 1.0 AS n FROM orders),
+    cm AS (
+      SELECT max(m1.n) AS n,
+             avg(pow(o_totalprice - m1.mu, 2)) AS m2,
+             avg(pow(o_totalprice - m1.mu, 3)) AS m3,
+             avg(pow(o_totalprice - m1.mu, 4)) AS m4
+      FROM orders CROSS JOIN m1
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 4) AS jarque_bera,
+           n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0) > 5.991465
+             AS reject_normality
+    FROM cm
+    """,
+)
+def jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order values — the moment-based
+    gate in front of every 'assume Gaussian' shortcut the parametric
+    entries take (z-tests, control limits, OLS CIs): JB = n/6·(S² +
+    K²/4) against chi-square(2). Central moments are computed TWO-PASS
+    (mean broadcast, then avg((x−mu)^k)) — the raw-moment expansion
+    cancels catastrophically at price⁴ magnitudes and is exactly the
+    float trap this engine's rounding discipline exists to avoid."""
+    o = load_table(spark, sf_dir, "orders")
+    m1 = o.agg(F.avg("o_totalprice").alias("mu"), (F.count(F.lit(1)) * 1.0).alias("n"))
+    x = F.col("o_totalprice") - F.col("mu")
+    cm = o.crossJoin(F.broadcast(m1)).agg(
+        F.max("n").alias("n"),
+        F.avg(x * x).alias("m2"),
+        F.avg(x * x * x).alias("m3"),
+        F.avg(x * x * x * x).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    jb = F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return cm.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jarque_bera"),
+        (jb > 5.991465).alias("reject_normality"),
+    )
