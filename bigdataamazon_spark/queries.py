@@ -21264,3 +21264,228 @@ def jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jarque_bera"),
         (jb > 5.991465).alias("reject_normality"),
     )
+
+
+@register(
+    "price_index_laspeyres",
+    """
+    WITH px AS (
+      SELECT l_partkey,
+             extract(year FROM o_orderdate) AS yr,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             sum(l_quantity) AS q
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE extract(year FROM o_orderdate) IN (1994, 1995)
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.l_partkey, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+      FROM px a JOIN px b ON a.l_partkey = b.l_partkey
+      WHERE a.yr = 1994 AND b.yr = 1995
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche,
+           round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                      * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher
+    FROM paired
+    """,
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-index numbers 1994→1995 over the common part basket:
+    Laspeyres (base-period weights), Paasche (current weights), and
+    the Fisher ideal (their geometric mean) — the index-number
+    machinery behind 'did prices actually rise or did the MIX shift',
+    which naive average-price deltas conflate. Unit prices fold from
+    one (part, year) aggregate; the basket join is part-keyed; three
+    weighted sums finish it."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    ).filter(F.col("yr").isin(1994, 1995))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    px = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "yr")
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+            F.sum("l_quantity").alias("q"),
+        )
+    )
+    a = px.filter(F.col("yr") == 1994).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b = px.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    paired = a.join(b, "l_partkey")
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@register(
+    "interarrival_exponential_fit",
+    """
+    WITH gaps AS (
+      SELECT date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               * 1.0 AS gap
+      FROM events WHERE user_id % 20 = 0
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL AND gap > 0),
+    lam AS (SELECT 1.0 / avg(gap) AS l, count(*) * 1.0 AS n FROM g),
+    ranked AS (
+      SELECT gap, lam.l, lam.n,
+             row_number() OVER (ORDER BY gap ASC) * 1.0 AS rn
+      FROM g CROSS JOIN lam
+    ),
+    ks AS (
+      SELECT max(abs(rn / n - (1.0 - exp(-l * gap)))) AS dplus,
+             max(abs((1.0 - exp(-l * gap)) - (rn - 1.0) / n)) AS dminus
+      FROM ranked
+    )
+    SELECT CAST(lam.n AS BIGINT) AS n_gaps,
+           round(lam.l * 3600.0, 6) AS events_per_hour,
+           round(greatest(ks.dplus, ks.dminus), 6) AS ks_statistic,
+           greatest(ks.dplus, ks.dminus) > 1.358 / sqrt(lam.n)
+             AS reject_exponential
+    FROM ks CROSS JOIN lam
+    """,
+)
+def interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-process check for a user sliver's event stream: MLE
+    exponential rate (1/mean gap) and the one-sample KS distance
+    between the empirical inter-arrival CDF and exp(λ) — the
+    assumption audit behind every 'X events/hour is anomalous' alert
+    (``daily_event_anomalies``'s z-scores presume it). Rejection here
+    (bursty humans usually do reject) is the documented argument for
+    the Fano/burstiness entries. Gaps are one user-keyed window; the
+    KS sup folds from one rank window over the gap-sized frame."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            F.lead("ts").over(w).cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long")
+        ).cast("double").alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    g = materialize_shared(gaps)
+    lam = g.agg(
+        (1.0 / F.avg("gap")).alias("l"), (F.count(F.lit(1)) * 1.0).alias("n")
+    )
+    wr = Window.orderBy(F.asc("gap"))
+    ranked = g.crossJoin(F.broadcast(lam)).select(
+        "gap", "l", "n", (F.row_number().over(wr) * 1.0).alias("rn")
+    )
+    cdf = 1.0 - F.exp(-F.col("l") * F.col("gap"))
+    ks = ranked.agg(
+        F.max(F.abs(F.col("rn") / F.col("n") - cdf)).alias("dplus"),
+        F.max(F.abs(cdf - (F.col("rn") - 1.0) / F.col("n"))).alias("dminus"),
+        F.max("l").alias("l"),
+        F.max("n").alias("n"),
+    )
+    ksstat = F.greatest(F.col("dplus"), F.col("dminus"))
+    return ks.select(
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(F.col("l") * 3600.0, 6).alias("events_per_hour"),
+        F.round(ksstat, 6).alias("ks_statistic"),
+        (ksstat > 1.358 / F.sqrt(F.col("n"))).alias("reject_exponential"),
+    )
+
+
+@register(
+    "retrieval_rank_agreement",
+    f"""
+    WITH bm AS MATERIALIZED ({{bm25}}),
+    tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf WHERE term <> '' GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) * 1.0 AS n FROM tfc),
+    dfq AS (
+      SELECT term, count(*) AS df FROM tfc
+      WHERE term IN ('vector', 'hash', 'dup', 'scan') GROUP BY 1
+    ),
+    tscore AS (
+      SELECT tfc.doc_id,
+             sum(tfc.tf * ln(nd.n / dfq.df)) AS s
+      FROM tfc JOIN dfq USING (term) CROSS JOIN nd
+      GROUP BY 1
+    ),
+    trank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r2
+      FROM tscore
+    ),
+    joined AS (
+      SELECT bm.rank AS r1, trank.r2
+      FROM bm JOIN trank USING (doc_id)
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0 THEN 1.0 ELSE -1.0 END
+               AS s
+      FROM joined a JOIN joined b ON a.r1 < b.r1
+    )
+    SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS n_common,
+           round(sum(s) / count(*), 6) AS kendall_tau
+    FROM pairs
+    """.replace("{bm25}", _ORACLES["bm25_search"]),
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between the BM25 top-20 and a plain tf-idf
+    ranking of the same docs — the ranker-agreement measure run before
+    swapping scorers in a serving stack ('the cheap ranker agrees at
+    tau=0.8; ship it for candidate generation'). The tau join is
+    k-bounded (20x20 concordance pairs, not corpus-sized); the tf-idf
+    leg scores only query-term postings like every retrieval entry."""
+    bm = materialize_shared(
+        _QUERIES["bm25_search"](spark, sf_dir).select("doc_id", "rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tfc = materialize_shared(
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = tfc.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], ["term"])
+    dfq = (
+        tfc.join(F.broadcast(q), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tscore = (
+        tfc.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("s"))
+    )
+    trank = tscore.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("s"), F.asc("doc_id"))).alias("r2"),
+    )
+    joined = materialize_shared(
+        bm.select("doc_id", F.col("rank").alias("r1")).join(trank, "doc_id")
+    )
+    a = joined.select(F.col("r1").alias("a1"), F.col("r2").alias("a2"))
+    b = joined.select(F.col("r1").alias("b1"), F.col("r2").alias("b2"))
+    pairs = a.join(b, F.col("a1") < F.col("b1")).select(
+        F.when(
+            (F.col("a1") - F.col("b1")) * (F.col("a2") - F.col("b2")) > 0, 1.0
+        )
+        .otherwise(-1.0)
+        .alias("s")
+    )
+    n_common = joined.count()
+    return pairs.agg(
+        F.lit(n_common).cast("bigint").alias("n_common"),
+        F.round(F.sum("s") / F.count(F.lit(1)), 6).alias("kendall_tau"),
+    )
