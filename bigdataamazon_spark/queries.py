@@ -21489,3 +21489,206 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_common).cast("bigint").alias("n_common"),
         F.round(F.sum("s") / F.count(F.lit(1)), 6).alias("kendall_tau"),
     )
+
+
+@register(
+    "recsys_coverage_metrics",
+    """
+    WITH recs AS MATERIALIZED ({cf}),
+    cat AS (SELECT count(*) * 1.0 AS n_parts FROM part),
+    cov AS (SELECT count(DISTINCT dst_part) * 1.0 AS n_rec FROM recs),
+    brands AS (
+      SELECT r.src_part, r.dst_part, p.p_brand
+      FROM recs r JOIN part p ON p.p_partkey = r.dst_part
+    ),
+    ild AS (
+      SELECT a.src_part,
+             avg(CASE WHEN a.p_brand <> b.p_brand THEN 1.0 ELSE 0.0 END) AS d
+      FROM brands a JOIN brands b
+        ON a.src_part = b.src_part AND a.dst_part < b.dst_part
+      GROUP BY 1
+    )
+    SELECT CAST(cov.n_rec AS BIGINT) AS n_distinct_recommended,
+           round(cov.n_rec / cat.n_parts, 6) AS catalog_coverage,
+           round((SELECT avg(d) FROM ild), 6) AS intra_list_brand_diversity
+    FROM cov CROSS JOIN cat
+    """.replace("{cf}", _ORACLES["part_cf_recommendations"]),
+)
+def recsys_coverage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender evaluation over the registered
+    item-item CF output: catalog coverage (what fraction of the
+    catalog EVER gets recommended — low coverage = popularity feedback
+    loop) and intra-list brand diversity (how same-y each slate is) —
+    the two metrics that catch a recommender accuracy alone rewards
+    for collapsing onto bestsellers. The rec table is k-bounded (20
+    sources x top-5), so the pairwise diversity join is 20x10 rows;
+    coverage is one distinct count against the part dim."""
+    recs = materialize_shared(
+        _QUERIES["part_cf_recommendations"](spark, sf_dir).select(
+            "src_part", "dst_part"
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    cat = part.agg((F.count(F.lit(1)) * 1.0).alias("n_parts"))
+    cov = recs.agg(F.countDistinct("dst_part").cast("double").alias("n_rec"))
+    brands = recs.join(
+        F.broadcast(
+            part.select(F.col("p_partkey").alias("dst_part"), "p_brand")
+        ),
+        "dst_part",
+    )
+    a = brands.select("src_part", F.col("dst_part").alias("da"), F.col("p_brand").alias("ba"))
+    b = brands.select("src_part", F.col("dst_part").alias("db"), F.col("p_brand").alias("bb"))
+    ild = (
+        a.join(b, "src_part")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("src_part")
+        .agg(
+            F.avg(
+                F.when(F.col("ba") != F.col("bb"), 1.0).otherwise(0.0)
+            ).alias("d")
+        )
+        .agg(F.avg("d").alias("ild"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(ild))
+        .select(
+            F.col("n_rec").cast("bigint").alias("n_distinct_recommended"),
+            F.round(F.col("n_rec") / F.col("n_parts"), 6).alias("catalog_coverage"),
+            F.round("ild", 6).alias("intra_list_brand_diversity"),
+        )
+    )
+
+
+@register(
+    "class_balanced_resample",
+    """
+    WITH cls AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tgt AS (SELECT max(n) AS t FROM cls),
+    fan AS (
+      SELECT d.doc_id, d.lang, r.rep, cls.n, tgt.t
+      FROM documents d
+      JOIN cls USING (lang) CROSS JOIN tgt,
+      unnest(range(0, CAST(ceil(tgt.t * 1.0 / cls.n) AS INTEGER))) AS r(rep)
+    ),
+    ranked AS (
+      SELECT lang, n, t,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id || ':' || rep), doc_id, rep) AS rk,
+             ('0x' || substr(md5(doc_id || ':' || rep), 1, 8))::BIGINT AS key
+      FROM fan
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_before,
+           CAST(count(*) AS BIGINT) AS n_after,
+           CAST(sum(key) AS BIGINT) AS selection_checksum
+    FROM ranked WHERE rk <= t
+    GROUP BY lang
+    """,
+)
+def class_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balancing oversample: every language class
+    is brought up to the majority class size by md5-ranked replication
+    (each (doc, replica) gets a reproducible key; the top target-n per
+    class survive) — the imbalanced-training-data fix that needs no
+    RNG, survives retries, and re-selects identically on any cluster,
+    like the other samplers in operators/sampling.py. The emitted
+    checksum hash-pins the exact selected multiset, not just the
+    counts. Replication is a bounded generator fan in the scan stage;
+    selection is one class-keyed rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    cls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = cls.agg(F.max("n").alias("t"))
+    fan = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("t") * 1.0 / F.col("n")).cast("int") - 1,
+                )
+            ).alias("rep"),
+        )
+    )
+    h = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("rep")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"), F.col("rep"))
+    ranked = fan.select(
+        "lang",
+        "n",
+        "t",
+        F.row_number().over(w).alias("rk"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("key"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.col("t"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_before"),
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum("key").cast("bigint").alias("selection_checksum"),
+        )
+    )
+
+
+@register(
+    "quality_score_average_precision",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    scored AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0
+               / len(l) AS score
+      FROM t
+    ),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ),
+    prec AS (
+      SELECT y, sum(y) OVER (ORDER BY rk) / rk AS p FROM ranked
+    )
+    SELECT CAST(sum(y) AS BIGINT) AS n_positive,
+           round(sum(CASE WHEN y = 1.0 THEN p ELSE 0 END) / sum(y), 6)
+             AS average_precision
+    FROM prec
+    """,
+)
+def quality_score_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the PR curve) of the en-marker
+    score — the metric that replaces ROC-AUC when positives are rare
+    (ROC-AUC stays rosy under 1:1000 imbalance; AP collapses, which
+    is the honest signal). AP = mean over positives of precision@its
+    rank: one global rank window + one prefix-precision window + a
+    fold, the same TakeOrdered-class shape as the AUC entry it
+    completes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 1.0
+            / F.size(toks)
+        ).alias("score"),
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rk"),
+    )
+    wp = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    prec = ranked.select("y", (F.sum("y").over(wp) / F.col("rk")).alias("p"))
+    return prec.agg(
+        F.sum("y").cast("bigint").alias("n_positive"),
+        F.round(
+            F.sum(F.when(F.col("y") == 1.0, F.col("p")).otherwise(0.0)) / F.sum("y"),
+            6,
+        ).alias("average_precision"),
+    )
