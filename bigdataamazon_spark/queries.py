@@ -21692,3 +21692,196 @@ def quality_score_average_precision(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("average_precision"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+               AS age_m,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort, count(*) AS n FROM firsts GROUP BY 1),
+    cum AS (
+      SELECT r.cohort, r.age_m, s.n,
+             sum(r.r) OVER (PARTITION BY r.cohort ORDER BY r.age_m) AS cum_r
+      FROM rev r JOIN sizes s USING (cohort)
+    )
+    SELECT CAST(cohort AS DATE) AS cohort_month, CAST(age_m AS INTEGER) AS age_months,
+           CAST(n AS BIGINT) AS cohort_size,
+           round(CAST(cum_r AS DOUBLE) / n, 2) AS cum_ltv_per_customer
+    FROM cum
+    WHERE cohort >= TIMESTAMP '1995-01-01' AND age_m <= 6
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per customer by acquisition cohort —
+    the REVENUE companion to ``signup_retention_cohorts``' counting
+    view, and the curve every 'payback period' decision reads off
+    (cohort quality shows up as curve separation long before totals
+    move). First-order assignment is one min-agg; the (cohort, age)
+    revenue matrix is one grouped agg; the running LTV is a window
+    over the cohort-month-sized matrix, never the orders scan."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = materialize_shared(
+        o.groupBy("o_custkey").agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+        )
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("age_m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cohort").orderBy("age_m")
+    cum = rev.join(sizes, "cohort").select(
+        "cohort", "age_m", "n", F.sum("r").over(w).alias("cum_r")
+    )
+    return cum.filter(
+        (F.col("cohort") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("age_m") <= 6)
+    ).select(
+        F.to_date("cohort").alias("cohort_month"),
+        F.col("age_m").cast("int").alias("age_months"),
+        F.col("n").cast("bigint").alias("cohort_size"),
+        F.round(F.col("cum_r").cast("double") / F.col("n"), 2).alias(
+            "cum_ltv_per_customer"
+        ),
+    )
+
+
+@register(
+    "embedding_norm_anomalies",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    med AS (SELECT median(nrm) AS m FROM n),
+    madt AS (
+      SELECT median(abs(n.nrm - med.m)) AS mad, max(med.m) AS m
+      FROM n CROSS JOIN med
+    )
+    SELECT vec_id, round(nrm, 6) AS norm,
+           round(0.6745 * (nrm - madt.m) / madt.mad, 4) AS robust_z
+    FROM n CROSS JOIN madt
+    WHERE abs(0.6745 * (nrm - madt.m) / madt.mad) > 3.5
+    """,
+)
+def embedding_norm_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-based embedding anomaly screen (Iglewicz-Hoaglin modified
+    z via median/MAD, cutoff 3.5): catches truncated, zeroed, or
+    exploded vectors by MAGNITUDE — the orthogonal failure mode to
+    ``knn_distance_outliers``' density screen, and cheap enough to run
+    on every batch (two median passes + a zero-shuffle filter; no
+    pairwise anything). The 0.6745 consistency constant makes the
+    score read like a Gaussian z."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = materialize_shared(
+        emb.select("vec_id", vector.l2_norm(F.col("embedding")).alias("nrm"))
+    )
+    med = n.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
+    madt = (
+        n.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("nrm") - F.col("m")), F.lit(0.5)).alias("mad"),
+            F.max("m").alias("m"),
+        )
+    )
+    z = 0.6745 * (F.col("nrm") - F.col("m")) / F.col("mad")
+    return (
+        n.crossJoin(F.broadcast(madt))
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "rle_encoding_audit",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus, l_partkey,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ),
+    lagged AS (
+      SELECT
+        CASE WHEN l_returnflag IS DISTINCT FROM
+          lag(l_returnflag) OVER (ORDER BY rn) THEN 1 ELSE 0 END AS c_rf,
+        CASE WHEN l_linestatus IS DISTINCT FROM
+          lag(l_linestatus) OVER (ORDER BY rn) THEN 1 ELSE 0 END AS c_ls,
+        CASE WHEN l_partkey IS DISTINCT FROM
+          lag(l_partkey) OVER (ORDER BY rn) THEN 1 ELSE 0 END AS c_pk
+      FROM s
+    ),
+    runs AS (
+      SELECT sum(c_rf) AS rf, sum(c_ls) AS ls, sum(c_pk) AS pk, count(*) AS n
+      FROM lagged
+    )
+    SELECT col, CAST(n_runs AS BIGINT) AS n_runs,
+           round(n * 1.0 / n_runs, 4) AS avg_run_length,
+           n * 1.0 / n_runs >= 4.0 AS rle_worthwhile
+    FROM runs,
+    LATERAL (VALUES ('l_returnflag', rf), ('l_linestatus', ls),
+                    ('l_partkey', pk)) AS t(col, n_runs)
+    """,
+)
+def rle_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability audit in storage order: average run
+    length per column under the table's natural (orderkey, linenumber)
+    sort — the layout statistic that decides whether re-sorting before
+    the parquet write buys RLE compression (avg run >= 4 pays; partkey
+    ~1 never will) — the planning twin of ``timeseries_delta_encoding_
+    audit`` and the z-order layout entry. One ordered lag pass; run
+    counts for ALL columns fold in the same window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    s = li.select(
+        *[
+            F.when(
+                ~F.col(c).eqNullSafe(F.lag(c).over(w)), 1
+            ).otherwise(0).alias(f"chg_{c}")
+            for c in ("l_returnflag", "l_linestatus", "l_partkey")
+        ]
+    )
+    runs = s.agg(
+        F.sum("chg_l_returnflag").alias("rf"),
+        F.sum("chg_l_linestatus").alias("ls"),
+        F.sum("chg_l_partkey").alias("pk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = None
+    for col, fld in (
+        ("l_returnflag", "rf"),
+        ("l_linestatus", "ls"),
+        ("l_partkey", "pk"),
+    ):
+        r = runs.select(
+            F.lit(col).alias("col"),
+            F.col(fld).cast("bigint").alias("n_runs"),
+            F.round(F.col("n") * 1.0 / F.col(fld), 4).alias("avg_run_length"),
+            (F.col("n") * 1.0 / F.col(fld) >= 4.0).alias("rle_worthwhile"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
