@@ -21885,3 +21885,213 @@ def rle_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+@register(
+    "f2_moment_sketch_audit",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) * 1.0 AS f FROM words WHERE w <> '' GROUP BY 1),
+    exact AS (SELECT sum(f * f) AS f2 FROM wf),
+    est AS (
+      SELECT r.j,
+             sum(CASE WHEN ('0x' || substr(md5(wf.w || ':' || r.j), 1, 1))::INT
+                           < 8
+                      THEN wf.f ELSE -wf.f END) AS z
+      FROM wf CROSS JOIN (SELECT unnest(range(0, 16)) AS j) r
+      GROUP BY 1
+    ),
+    sk AS (SELECT quantile_cont(CAST(z * z AS DOUBLE), 0.5) AS f2_est FROM est)
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_f2,
+           CAST(sk.f2_est AS BIGINT) AS sketch_f2,
+           round(abs(sk.f2_est - exact.f2) / exact.f2, 6) AS rel_error
+    FROM exact CROSS JOIN sk
+    """,
+)
+def f2_moment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch (Alon-Matias-Szegedy 1996) for the second frequency
+    moment F2 = sum(f²) of the word stream — the self-join-size /
+    skew statistic behind ``join_size_estimate_audit``, here estimated
+    from 16 deterministic +/-1 hash projections (median of z²) and
+    audited against the exact value. The sketch state is 16 numbers
+    regardless of vocabulary — at 100 TB the exact side is the
+    expensive one and the sketch is what ships; the md5-sign
+    projections are mergeable partials like the HLL/CMS entries."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = materialize_shared(
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg((F.count(F.lit(1)) * 1.0).alias("f"))
+    )
+    exact = wf.agg(F.sum(F.col("f") * F.col("f")).alias("f2"))
+    reps = spark.range(16).select(F.col("id").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("w"), F.col("j"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        < 8,
+        F.col("f"),
+    ).otherwise(-F.col("f"))
+    est = (
+        wf.crossJoin(F.broadcast(reps))
+        .groupBy("j")
+        .agg(F.sum(sign).alias("z"))
+    )
+    sk = est.agg(F.percentile(F.col("z") * F.col("z"), F.lit(0.5)).alias("f2_est"))
+    return exact.crossJoin(F.broadcast(sk)).select(
+        F.col("f2").cast("bigint").alias("exact_f2"),
+        F.col("f2_est").cast("bigint").alias("sketch_f2"),
+        F.round(F.abs(F.col("f2_est") - F.col("f2")) / F.col("f2"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+@register(
+    "covariate_balance_smd",
+    """
+    WITH o AS (
+      SELECT o_orderpriority = '1-URGENT' AS treated,
+             o_totalprice,
+             extract(month FROM o_orderdate) * 1.0 AS order_month,
+             o_custkey % 100 * 1.0 AS cust_bucket
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    m AS (
+      SELECT treated, count(*) AS n,
+             avg(o_totalprice) AS m1, var_pop(o_totalprice) AS v1,
+             avg(order_month) AS m2, var_pop(order_month) AS v2,
+             avg(cust_bucket) AS m3, var_pop(cust_bucket) AS v3
+      FROM o GROUP BY 1
+    ),
+    wide AS (
+      SELECT t.n AS nt, c.n AS nc,
+             t.m1 AS tm1, t.v1 AS tv1, c.m1 AS cm1, c.v1 AS cv1,
+             t.m2 AS tm2, t.v2 AS tv2, c.m2 AS cm2, c.v2 AS cv2,
+             t.m3 AS tm3, t.v3 AS tv3, c.m3 AS cm3, c.v3 AS cv3
+      FROM m t JOIN m c ON t.treated AND NOT c.treated
+    )
+    SELECT cov, round(smd, 6) AS smd, abs(smd) > 0.1 AS imbalanced
+    FROM wide, LATERAL (VALUES
+      ('o_totalprice', (tm1 - cm1) / sqrt((tv1 + cv1) / 2.0)),
+      ('order_month',  (tm2 - cm2) / sqrt((tv2 + cv2) / 2.0)),
+      ('cust_bucket',  (tm3 - cm3) / sqrt((tv3 + cv3) / 2.0))
+    ) AS t(cov, smd)
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table (standardized mean differences, the
+    |SMD|>0.1 rule) between the urgent 'treatment' and low-priority
+    'control' cohorts — the table every observational estimate
+    (``ate_stratified``, ``revenue_diff_in_diff``, the RDD entry) must
+    publish FIRST: imbalance here is the warning that the causal
+    entries' assumptions are doing real work. One grouped moment pass;
+    all SMDs fold from the two-row group table."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    base = o.select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("treated"),
+        F.col("o_totalprice").alias("x1"),
+        (F.month("o_orderdate") * 1.0).alias("x2"),
+        (F.col("o_custkey") % 100 * 1.0).alias("x3"),
+    )
+    m = base.groupBy("treated").agg(
+        *[f for i in (1, 2, 3) for f in (
+            F.avg(f"x{i}").alias(f"m{i}"),
+            F.var_pop(f"x{i}").alias(f"v{i}"),
+        )]
+    )
+    t = m.filter(F.col("treated")).drop("treated")
+    c = m.filter(~F.col("treated")).drop("treated")
+    wide = t.crossJoin(
+        F.broadcast(
+            c.select(*[F.col(x).alias("c" + x) for x in c.columns])
+        )
+    )
+    names = {"1": "o_totalprice", "2": "order_month", "3": "cust_bucket"}
+    rows = None
+    for i, nm in names.items():
+        smd = (F.col(f"m{i}") - F.col(f"cm{i}")) / F.sqrt(
+            (F.col(f"v{i}") + F.col(f"cv{i}")) / 2.0
+        )
+        r = wide.select(
+            F.lit(nm).alias("cov"),
+            F.round(smd, 6).alias("smd"),
+            (F.abs(smd) > 0.1).alias("imbalanced"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+@register(
+    "video_scene_change_rate",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx,
+             1 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT h.doc_id, f.frame_idx, h.n_frames,
+             ('0x' || substr(md5(hx || ':' || CAST(f.frame_idx AS VARCHAR)),
+                             1, 8))::BIGINT AS sig
+      FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_idx) f
+      WHERE f.frame_idx < h.n_frames
+    ),
+    deltas AS (
+      SELECT doc_id, n_frames,
+             bit_count(xor(sig, lag(sig) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx))) AS ham
+      FROM frames
+    )
+    SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN ham > 16 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scene_changes,
+           round(sum(CASE WHEN ham > 16 THEN 1 ELSE 0 END) * 1.0
+                 / (max(n_frames) - 1), 6) AS change_rate
+    FROM deltas WHERE ham IS NOT NULL
+    GROUP BY doc_id
+    HAVING max(n_frames) >= 2
+    """,
+)
+def video_scene_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over sampled video frames: hamming
+    distance between consecutive frame signatures, a change = >16/32
+    bits flipped — the shot-boundary statistic a video curation
+    pipeline uses to pick representative frames and drop static
+    clips. Composes the ``sample_frames`` fan-out (fake kernel
+    oracle-replayed; a real pipeline swaps in pHash-of-decoded-frame
+    behind the same seam) with one video-keyed lag window — temporal
+    analysis never leaves the executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(blobs, decode_mode="fake")
+    sig = F.conv(F.substring(F.lower(F.hex("frame")), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.bit_count(sig.bitwiseXOR(F.lag(sig).over(w))).alias("ham"),
+    ).filter(F.col("ham").isNotNull())
+    nf = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("ham") > 16, 1).otherwise(0)).alias("chg")
+        )
+        .join(nf, "doc_id")
+        .filter(F.col("n_frames") >= 2)
+        .select(
+            "doc_id",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("chg").cast("bigint").alias("n_scene_changes"),
+            F.round(F.col("chg") * 1.0 / (F.col("n_frames") - 1), 6).alias(
+                "change_rate"
+            ),
+        )
+    )
