@@ -22095,3 +22095,257 @@ def video_scene_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "obrien_fleming_boundaries",
+    """
+    WITH firsts AS (
+      SELECT user_id, user_id % 2 AS variant, min(ts) AS t0,
+             max(CASE WHEN event_type = 'purchase' AND value > 250
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT variant, conv,
+             CAST(ceil(row_number() OVER (ORDER BY t0, user_id) * 5.0
+                       / (SELECT count(*) FROM firsts)) AS INTEGER) AS bucket
+      FROM firsts
+    ),
+    per AS (
+      SELECT bucket,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) * 1.0 AS n0,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) * 1.0 AS c0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) * 1.0 AS n1,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) * 1.0 AS c1
+      FROM ranked GROUP BY 1
+    ),
+    looks AS (
+      SELECT bucket AS look,
+             sum(n0) OVER w AS n0, sum(c0) OVER w AS c0,
+             sum(n1) OVER w AS n1, sum(c1) OVER w AS c1
+      FROM per WINDOW w AS (ORDER BY bucket)
+    ),
+    z AS (
+      SELECT look, n0 + n1 AS n_users,
+             (c1 / n1 - c0 / n0)
+             / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                    * (1 / n0 + 1 / n1)) AS z
+      FROM looks
+    )
+    SELECT CAST(look AS INTEGER) AS look, CAST(n_users AS BIGINT) AS n_users,
+           round(z, 4) AS z_score, b.boundary,
+           abs(z) > b.boundary AS crossed
+    FROM z JOIN (VALUES (1, 4.562), (2, 3.226), (3, 2.634),
+                        (4, 2.281), (5, 2.040)) AS b(look, boundary)
+    USING (look)
+    """,
+)
+def obrien_fleming_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring with O'Brien-Fleming boundaries
+    (5 looks, overall alpha 0.05): the z statistic of the running A/B
+    experiment evaluated at 20/40/60/80/100% enrollment (users in
+    first-event order) against the canonical OBF thresholds — the
+    industry-standard peeking discipline between fixed-horizon
+    (``ab_conversion_ztest``) and fully-sequential (``ab_sprt_
+    decision``). One user agg + one enrollment-rank window + a 5-row
+    cumulative fold; boundaries are shared literals."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = materialize_shared(
+        e.groupBy("user_id").agg(
+            F.min("ts").alias("t0"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+                ).otherwise(0)
+            ).alias("conv"),
+        ).select((F.col("user_id") % 2).alias("variant"), "conv", "t0", "user_id")
+    )
+    ntot = firsts.count()
+    ranked = firsts.select(
+        "variant",
+        "conv",
+        F.ceil(
+            F.row_number().over(Window.orderBy("t0", "user_id")) * 5.0 / ntot
+        ).cast("int").alias("bucket"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)) * 1.0).alias("n0"),
+        (F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)) * 1.0).alias("c0"),
+        (F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)) * 1.0).alias("n1"),
+        (F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)) * 1.0).alias("c1"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    looks = per.select(
+        F.col("bucket").alias("look"),
+        F.sum("n0").over(w).alias("n0"),
+        F.sum("c0").over(w).alias("c0"),
+        F.sum("n1").over(w).alias("n1"),
+        F.sum("c1").over(w).alias("c1"),
+    )
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")) / F.sqrt(
+        pool * (1 - pool) * (1 / F.col("n0") + 1 / F.col("n1"))
+    )
+    bounds = spark.createDataFrame(
+        [(1, 4.562), (2, 3.226), (3, 2.634), (4, 2.281), (5, 2.040)],
+        ["look", "boundary"],
+    )
+    return (
+        looks.select(
+            F.col("look").cast("int").alias("look"),
+            (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+            F.round(z, 4).alias("z_score"),
+            F.abs(z).alias("_az"),
+        )
+        .join(F.broadcast(bounds), "look")
+        .select(
+            "look",
+            "n_users",
+            "z_score",
+            "boundary",
+            (F.col("_az") > F.col("boundary")).alias("crossed"),
+        )
+    )
+
+
+@register(
+    "bland_altman_quality_scores",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0
+               / len(l) AS s1,
+             len(list_filter(l, x -> x IN ('the','a','an','and','of','to','in')))
+               * 1.0 / len(l) AS s2
+      FROM t WHERE len(l) > 0
+    ),
+    d AS (SELECT s1 - s2 AS diff FROM s),
+    m AS (
+      SELECT count(*) * 1.0 AS n, avg(diff) AS md, stddev_pop(diff) AS sd
+      FROM d
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_docs,
+           round(m.md, 6) AS mean_diff,
+           round(m.md - 1.959964 * m.sd, 6) AS loa_low,
+           round(m.md + 1.959964 * m.sd, 6) AS loa_high,
+           round(avg(CASE WHEN d.diff < m.md - 1.959964 * m.sd
+                            OR d.diff > m.md + 1.959964 * m.sd
+                     THEN 1.0 ELSE 0.0 END), 6) AS frac_outside_loa
+    FROM d CROSS JOIN m
+    GROUP BY m.n, m.md, m.sd
+    """,
+)
+def bland_altman_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement (1986) between two CONTINUOUS quality
+    scores (narrow vs wide marker-word ratios) — the method-comparison
+    statistic for 'can the cheap score replace the expensive one',
+    where correlation famously misleads (two scores can correlate 0.99
+    and still disagree by a constant that flips every threshold
+    decision): mean difference + 1.96-SD limits of agreement + the
+    fraction outside them. Two aggregate passes over the per-doc diff
+    column, zero joins on corpus-sized frames."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    s = d.select(
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 1.0
+            / F.size(toks)
+        ).alias("s1"),
+        (
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: t.isin("the", "a", "an", "and", "of", "to", "in"),
+                )
+            )
+            * 1.0
+            / F.size(toks)
+        ).alias("s2"),
+    ).filter(F.size(toks) > 0)
+    diff = materialize_shared(s.select((F.col("s1") - F.col("s2")).alias("diff")))
+    m = diff.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.avg("diff").alias("md"),
+        F.stddev_pop("diff").alias("sd"),
+    )
+    lo = F.col("md") - 1.959964 * F.col("sd")
+    hi = F.col("md") + 1.959964 * F.col("sd")
+    return (
+        diff.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.round(F.max("md"), 6).alias("mean_diff"),
+            F.round(F.max(lo), 6).alias("loa_low"),
+            F.round(F.max(hi), 6).alias("loa_high"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("diff") < lo) | (F.col("diff") > hi), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("frac_outside_loa"),
+        )
+    )
+
+
+@register(
+    "monetary_unit_sample",
+    """
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+    ),
+    cum AS (
+      SELECT o_orderkey, v,
+             sum(v) OVER (ORDER BY o_orderkey) AS c,
+             sum(v) OVER () AS tot
+      FROM o
+    ),
+    sel AS (
+      SELECT o_orderkey, v, c,
+             floor(CAST(c AS DOUBLE) / (CAST(tot AS DOUBLE) / 100.0) + 0.5)
+               - floor(CAST(c - v AS DOUBLE) / (CAST(tot AS DOUBLE) / 100.0)
+                       + 0.5) AS hits
+      FROM cum
+    )
+    SELECT o_orderkey, round(CAST(v AS DOUBLE), 2) AS order_value,
+           CAST(hits AS INTEGER) AS n_sampling_points
+    FROM sel WHERE hits > 0
+    """,
+)
+def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-unit sampling (PPS systematic, the audit-sampling
+    standard): 100 sampling points spaced one interval apart across
+    the CUMULATIVE order value, so selection probability is
+    proportional to the amount — big-ticket orders are near-certain
+    picks, which is the property dollar-audits need and uniform
+    samplers (``events_uniform_sample``) lack; an order larger than
+    the interval can absorb multiple points (reported). Cumulative
+    values ride DECIMAL so both engines place points identically; one
+    key-ordered prefix window, zero joins."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    wc = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = o.select(
+        "o_orderkey",
+        "v",
+        F.sum("v").over(wc).alias("c"),
+        F.sum("v").over(wt).alias("tot"),
+    )
+    interval = F.col("tot").cast("double") / 100.0
+    hits = F.floor(F.col("c").cast("double") / interval + 0.5) - F.floor(
+        (F.col("c") - F.col("v")).cast("double") / interval + 0.5
+    )
+    return (
+        cum.select(
+            "o_orderkey",
+            F.round(F.col("v").cast("double"), 2).alias("order_value"),
+            hits.cast("int").alias("n_sampling_points"),
+        )
+        .filter(F.col("n_sampling_points") > 0)
+    )
