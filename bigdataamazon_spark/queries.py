@@ -22349,3 +22349,147 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sampling_points") > 0)
     )
+
+
+@register(
+    "chatterjee_xi_dependence",
+    """
+    WITH s AS (
+      SELECT l_discount AS x, l_extendedprice AS y,
+             l_orderkey * 10 + l_linenumber AS k
+      FROM lineitem WHERE l_orderkey % 20 = 0
+    ),
+    n AS (SELECT count(*) * 1.0 AS n FROM s),
+    r AS (
+      SELECT k, x, y,
+             count(*) OVER (ORDER BY y RANGE UNBOUNDED PRECEDING) * 1.0 AS r,
+             count(*) OVER (ORDER BY y DESC RANGE UNBOUNDED PRECEDING) * 1.0
+               AS l
+      FROM s
+    ),
+    seq AS (
+      SELECT r, l,
+             lead(r) OVER (ORDER BY x, k) AS rn
+      FROM r
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN rn IS NOT NULL THEN abs(rn - r) ELSE 0 END) AS num,
+             sum(l * (n.n - l)) AS den
+      FROM seq CROSS JOIN n GROUP BY n.n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_lines,
+           round(1.0 - n.n * agg.num / (2.0 * agg.den), 6) AS xi_disc_to_price
+    FROM agg CROSS JOIN n
+    """,
+)
+def chatterjee_xi_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi (2020) — the rank-based dependence coefficient
+    that detects ANY functional relationship y=f(x), monotone or not,
+    where Pearson/Spearman (``quantity_price_spearman``) see only
+    monotone trends: xi ~ 0 for independence, -> 1 as y becomes a
+    deterministic function of x; the ties-robust form since discounts
+    repeat. Ranks come from two value-range windows, the consecutive-
+    rank jumps from one lead over the x-order — three ordered passes
+    over a key-sliver, all fold to two sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    s = materialize_shared(
+        li.select(
+            F.col("l_discount").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        )
+    )
+    nrow = s.count() * 1.0
+    wr = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy(F.desc("y")).rangeBetween(Window.unboundedPreceding, 0)
+    r = s.select(
+        "x",
+        "k",
+        (F.count(F.lit(1)).over(wr) * 1.0).alias("r"),
+        (F.count(F.lit(1)).over(wl) * 1.0).alias("l"),
+    )
+    seq = r.select(
+        "r", "l", F.lead("r").over(Window.orderBy("x", "k")).alias("rn")
+    )
+    agg = seq.agg(
+        F.sum(
+            F.when(F.col("rn").isNotNull(), F.abs(F.col("rn") - F.col("r"))).otherwise(
+                0.0
+            )
+        ).alias("num"),
+        F.sum(F.col("l") * (F.lit(nrow) - F.col("l"))).alias("den"),
+    )
+    return agg.select(
+        F.lit(int(nrow)).cast("bigint").alias("n_lines"),
+        F.round(
+            1.0 - F.lit(nrow) * F.col("num") / (2.0 * F.col("den")), 6
+        ).alias("xi_disc_to_price"),
+    )
+
+
+@register(
+    "clarity_score_qpp",
+    """
+    WITH bm AS MATERIALIZED ({bm25}),
+    top10 AS (SELECT doc_id FROM bm WHERE rank <= 10),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) * 1.0 AS tf FROM toks
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    corpus AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+    ctot AS (SELECT sum(cf) AS ct FROM corpus),
+    rel AS (
+      SELECT term, sum(tf) AS rf FROM tf
+      WHERE doc_id IN (SELECT doc_id FROM top10) GROUP BY 1
+    ),
+    rtot AS (SELECT sum(rf) AS rt FROM rel)
+    SELECT CAST((SELECT count(*) FROM rel) AS BIGINT) AS n_terms,
+           round(sum((rel.rf / rtot.rt)
+                     * ln((rel.rf / rtot.rt) / (corpus.cf / ctot.ct))), 6)
+             AS clarity_score
+    FROM rel JOIN corpus USING (term) CROSS JOIN rtot CROSS JOIN ctot
+    """.replace("{bm25}", _ORACLES["bm25_search"]),
+)
+def clarity_score_qpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction by Clarity score (Cronen-Townsend
+    et al. 2002): the KL divergence between the language model of the
+    BM25 top-10 and the corpus LM — a focused result set uses a
+    sharply non-corpus vocabulary (high clarity = the query will
+    probably satisfy), a drifting one blurs into the background (low
+    clarity = route to query reformulation / PRF, i.e. ``rocchio_prf_
+    search``). The relevant-set LM is 10 docs' terms; the corpus LM is
+    a rollup of the shared tf relation; KL folds in one join."""
+    bm = materialize_shared(
+        _QUERIES["bm25_search"](spark, sf_dir).filter(F.col("rank") <= 10).select(
+            "doc_id"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tf = materialize_shared(
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg((F.count(F.lit(1)) * 1.0).alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    ctot = corpus.agg(F.sum("cf").alias("ct"))
+    rel = (
+        tf.join(F.broadcast(bm), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("rf"))
+    )
+    rtot = rel.agg(F.sum("rf").alias("rt"))
+    n_terms = rel.count()
+    p = F.col("rf") / F.col("rt")
+    q = F.col("cf") / F.col("ct")
+    return (
+        rel.join(corpus, "term")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ctot))
+        .agg(
+            F.lit(n_terms).cast("bigint").alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("clarity_score"),
+        )
+    )
