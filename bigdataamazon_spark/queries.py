@@ -22493,3 +22493,212 @@ def clarity_score_qpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("clarity_score"),
         )
     )
+
+
+@register(
+    "max_f1_threshold",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(list_filter(l, x -> x IN ('the','a','and','of'))) * 1.0
+               / len(l) AS score
+      FROM t
+    ),
+    grid AS (SELECT unnest(range(1, 20)) * 0.005 AS thr),
+    ev AS (
+      SELECT g.thr,
+             sum(CASE WHEN s.score >= g.thr AND s.y = 1 THEN 1 ELSE 0 END)
+               * 1.0 AS tp,
+             sum(CASE WHEN s.score >= g.thr AND s.y = 0 THEN 1 ELSE 0 END)
+               * 1.0 AS fp,
+             sum(CASE WHEN s.score < g.thr AND s.y = 1 THEN 1 ELSE 0 END)
+               * 1.0 AS fn
+      FROM scored s CROSS JOIN grid g GROUP BY 1
+    ),
+    f1 AS (
+      SELECT thr, tp, fp, fn,
+             2.0 * tp / (2.0 * tp + fp + fn) AS f1
+      FROM ev WHERE tp > 0
+    )
+    SELECT round(thr, 3) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(f1, 6) AS f1
+    FROM f1 ORDER BY f1 DESC, thr ASC LIMIT 1
+    """,
+)
+def max_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: sweep 19 score thresholds in one
+    conditional-agg pass (the decision-stump trick — candidates fan
+    against the scored stream, cost stays one scan) and return the
+    F1-maximizing cut with its confusion counts — the step that turns
+    the AUC/AP/lift diagnostics into a DEPLOYABLE filter threshold.
+    Deterministic grid, deterministic tie-break to the lower
+    threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+            * 1.0
+            / F.size(toks)
+        ).alias("score"),
+    )
+    grid = spark.range(1, 20).select((F.col("id") * 0.005).alias("thr"))
+    ev = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            (F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1.0), 1).otherwise(0)) * 1.0).alias("tp"),
+            (F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0.0), 1).otherwise(0)) * 1.0).alias("fp"),
+            (F.sum(F.when((F.col("score") < F.col("thr")) & (F.col("y") == 1.0), 1).otherwise(0)) * 1.0).alias("fn"),
+        )
+        .filter(F.col("tp") > 0)
+    )
+    f1 = 2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+    return (
+        ev.withColumn("f1", f1)
+        .orderBy(F.desc("f1"), F.asc("thr"))
+        .limit(1)
+        .select(
+            F.round("thr", 3).alias("threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.round("f1", 6).alias("f1"),
+        )
+    )
+
+
+@register(
+    "feature_hash_collision_audit",
+    """
+    WITH terms AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT w, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket
+      FROM terms WHERE w <> ''
+    ),
+    per AS (SELECT bucket, count(*) AS load FROM hashed GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM hashed) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(max(load) AS BIGINT) AS max_bucket_load,
+           round(1.0 - count(*) * 1.0 / (SELECT count(*) FROM hashed), 6)
+             AS collision_rate
+    FROM per
+    """,
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit for the 1024-bucket feature
+    hasher behind ``hashed_doc_features``: distinct vocabulary vs
+    buckets actually used, worst bucket load, and the collision rate —
+    the bias/size tradeoff every hashed-feature model should publish
+    (rate >> vocab/buckets-expected means a bad hash, not bad luck).
+    One distinct pass + one bucket count."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w")).distinct()
+    )
+    hashed = materialize_shared(
+        terms.select(
+            (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint") % 1024).alias(
+                "bucket"
+            )
+        )
+    )
+    n_terms = hashed.count()
+    per = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("load"))
+    return per.agg(
+        F.lit(n_terms).cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.max("load").cast("bigint").alias("max_bucket_load"),
+        F.round(1.0 - F.count(F.lit(1)) * 1.0 / n_terms, 6).alias("collision_rate"),
+    )
+
+
+@register(
+    "yuen_trimmed_ttest",
+    """
+    WITH s AS (
+      SELECT o_orderpriority = '1-URGENT' AS g, o_totalprice AS x
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cuts AS (
+      SELECT g, quantile_cont(x, 0.2) AS lo, quantile_cont(x, 0.8) AS hi
+      FROM s GROUP BY 1
+    ),
+    wins AS (
+      SELECT s.g, least(greatest(s.x, c.lo), c.hi) AS wx,
+             CASE WHEN s.x > c.lo AND s.x < c.hi THEN s.x END AS tx
+      FROM s JOIN cuts c USING (g)
+    ),
+    m AS (
+      SELECT g, count(*) * 1.0 AS n, count(tx) * 1.0 AS h,
+             avg(tx) AS tmean, var_pop(wx) * count(*) AS ssw
+      FROM wins GROUP BY 1
+    ),
+    wide AS (
+      SELECT t.tmean AS m1, c.tmean AS m0,
+             t.ssw / (t.h * (t.h - 1)) AS d1,
+             c.ssw / (c.h * (c.h - 1)) AS d0,
+             t.h AS h1, c.h AS h0
+      FROM m t JOIN m c ON t.g AND NOT c.g
+    )
+    SELECT round(m1 - m0, 4) AS trimmed_mean_diff,
+           round((m1 - m0) / sqrt(d1 + d0), 4) AS yuen_t,
+           abs((m1 - m0) / sqrt(d1 + d0)) > 1.96 AS significant_at_05
+    FROM wide
+    """,
+)
+def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean t (1974): compare urgent vs low-priority
+    order values after 20% symmetric trimming, with winsorized
+    variance — the two-sample test that survives the heavy tail
+    ``jarque_bera_price`` certifies and ``hill_tail_index``
+    quantifies (a plain t-test's mean is hostage to the top orders).
+    Per group: one quantile pass for the cuts, one winsorize/trim
+    agg; the statistic folds from the two-row table."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = materialize_shared(
+        o.select(
+            (F.col("o_orderpriority") == "1-URGENT").alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+    cuts = s.groupBy("g").agg(
+        F.percentile("x", F.lit(0.2)).alias("lo"),
+        F.percentile("x", F.lit(0.8)).alias("hi"),
+    )
+    wins = s.join(F.broadcast(cuts), "g").select(
+        "g",
+        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("wx"),
+        F.when((F.col("x") > F.col("lo")) & (F.col("x") < F.col("hi")), F.col("x")).alias(
+            "tx"
+        ),
+    )
+    m = wins.groupBy("g").agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        (F.count("tx") * 1.0).alias("h"),
+        F.avg("tx").alias("tmean"),
+        (F.var_pop("wx") * F.count(F.lit(1))).alias("ssw"),
+    )
+    t = m.filter(F.col("g")).select(
+        F.col("tmean").alias("m1"),
+        (F.col("ssw") / (F.col("h") * (F.col("h") - 1))).alias("d1"),
+    )
+    c = m.filter(~F.col("g")).select(
+        F.col("tmean").alias("m0"),
+        (F.col("ssw") / (F.col("h") * (F.col("h") - 1))).alias("d0"),
+    )
+    wide = t.crossJoin(F.broadcast(c))
+    yt = (F.col("m1") - F.col("m0")) / F.sqrt(F.col("d1") + F.col("d0"))
+    return wide.select(
+        F.round(F.col("m1") - F.col("m0"), 4).alias("trimmed_mean_diff"),
+        F.round(yt, 4).alias("yuen_t"),
+        (F.abs(yt) > 1.96).alias("significant_at_05"),
+    )
