@@ -22702,3 +22702,145 @@ def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(yt, 4).alias("yuen_t"),
         (F.abs(yt) > 1.96).alias("significant_at_05"),
     )
+
+
+@register(
+    "part_golden_records",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS src, b.p_partkey AS dst
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    und AS (SELECT src AS a, dst AS b FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lbl AS (SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+    g AS (
+      SELECT lbl.cluster, count(*) AS n_members,
+             min(p.p_name) AS golden_name,
+             round(CAST(max(p.p_retailprice) AS DOUBLE), 2) AS max_price,
+             round(CAST(avg(p.p_retailprice) AS DOUBLE), 2) AS avg_price
+      FROM lbl JOIN p ON p.p_partkey = lbl.node
+      GROUP BY 1
+    )
+    SELECT cluster AS cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           golden_name, max_price, avg_price
+    FROM g WHERE n_members >= 2
+    """,
+)
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction — the MDM step AFTER matching: fuzzy
+    name pairs (the ``part_name_fuzzy_pairs`` blocked join) close into
+    entity clusters (the checkpointed min-label operator), then
+    survivorship rules pick each cluster's canonical attributes
+    (alphabetical-min name, max/avg price) — the end-to-end
+    match→merge→survive pipeline every customer/product-360 system
+    runs, here one composition of three already-verified stages.
+    Oracle replays closure as a recursive CTE."""
+    p = materialize_shared(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("p_retailprice").cast("decimal(18,2)").alias("p_retailprice"),
+        )
+    )
+    a = p.select(
+        F.col("p_brand").alias("ba"), F.col("p_partkey").alias("src"),
+        F.col("p_name").alias("na"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("ba"), F.col("p_partkey").alias("dst"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "ba")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.abs(F.length("na") - F.length("nb")) <= 2)
+            & (F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        )
+        .select("src", "dst")
+    )
+    cc = graph.connected_components(pairs)
+    g = (
+        cc.join(p, cc.node == p.p_partkey)
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_name").alias("golden_name"),
+            F.round(F.max("p_retailprice").cast("double"), 2).alias("max_price"),
+            F.round(F.avg("p_retailprice").cast("double"), 2).alias("avg_price"),
+        )
+    )
+    return g.filter(F.col("n_members") >= 2).select(
+        "cluster_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        "golden_name",
+        "max_price",
+        "avg_price",
+    )
+
+
+@register(
+    "train_eval_ngram_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id % 2 AS half, array_to_string(l[i:i+3], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 2, 1))) AS t(i)
+      WHERE len(l) >= 4
+    ),
+    ev AS (SELECT g FROM grams WHERE half = 1),
+    tr AS (SELECT g FROM grams WHERE half = 0),
+    novel AS (
+      SELECT count(*) AS n FROM ev WHERE g NOT IN (SELECT g FROM tr)
+    )
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval_grams,
+           CAST(novel.n AS BIGINT) AS n_novel,
+           round(novel.n * 1.0 / (SELECT count(*) FROM ev), 6) AS novelty_rate
+    FROM novel
+    """,
+)
+def train_eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 4-gram novelty rate: the fraction of the eval half's
+    distinct 4-grams never seen in the train half — decontamination's
+    (``docs_decontaminated``) measurement twin, and the memorization
+    headroom number quoted whenever eval scores look too good (low
+    novelty = the eval set is largely recitable). Distinct-gram sets
+    shuffle as their md5-anti-join keys; one anti-join + two counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    grams = materialize_shared(
+        docs.filter(F.size(toks) >= 4)
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(text.word_ngrams(toks, 4)).alias("g"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("half") == 1).select("g")
+    tr = grams.filter(F.col("half") == 0).select("g")
+    n_eval = ev.count()
+    novel = ev.join(tr, "g", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+    return novel.select(
+        F.lit(n_eval).cast("bigint").alias("n_eval_grams"),
+        F.col("n").cast("bigint").alias("n_novel"),
+        F.round(F.col("n") * 1.0 / n_eval, 6).alias("novelty_rate"),
+    )
