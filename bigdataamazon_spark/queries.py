@@ -12377,7 +12377,7 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if best is None or score > best[1]:
                     best = (c, score)
             selected.append(best[0])
-            out.append((step, best[0], best[1]))
+            out.append((step, best[0], round(best[1], 6)))
         return pd.DataFrame(out, columns=["rank", "doc_id", "mmr_score"])
 
     return (
@@ -17709,7 +17709,11 @@ def rdd_discontinuity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_phash_neardup",
     f"""
-    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 7 = 0
+    ),
     b AS (SELECT doc_id, {_MM_DIGEST_BYTES} FROM h),
     ph AS (
       SELECT doc_id,
@@ -17746,9 +17750,22 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas signature when PIL is importable — operators/
     multimodal.py policy). With random-digest fakes only exact payload
     duplicates land within radius 6 — the plumbing under test is the
-    banding, verification, and dedup output, which is decode-agnostic."""
+    banding, verification, and dedup output, which is decode-agnostic.
+    Because the synthetic corpus has no binary dups at small SF, a
+    deterministic re-upload sliver (every 7th image re-inserted under
+    a shifted id — the classic duplicate-upload scenario) supplies the
+    duplicate set the audit must find, the same manufactured-input
+    pattern as ``orders_upsert_merge``."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    base = multimodal.with_synthetic_blob(docs, "doc_id", "text")
+    reup = multimodal.with_synthetic_blob(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+    )
+    blobs = base.unionAll(reup)
     ph = materialize_shared(
         blobs.select(
             "doc_id",
