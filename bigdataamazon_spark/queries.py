@@ -22861,3 +22861,116 @@ def train_eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_novel"),
         F.round(F.col("n") * 1.0 / n_eval, 6).alias("novelty_rate"),
     )
+
+
+@register(
+    "randomized_response_rate",
+    """
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ('0x' || substr(md5('rr:' || doc_id), 1, 2))::INT < 64 AS flip
+      FROM documents
+    ),
+    noisy AS (
+      SELECT CASE WHEN flip THEN 1 - y ELSE y END AS z, y FROM r
+    ),
+    m AS (
+      SELECT count(*) * 1.0 AS n, avg(z * 1.0) AS zbar, avg(y * 1.0) AS truth
+      FROM noisy
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(zbar, 6) AS observed_noisy_rate,
+           round((zbar - 0.25) / 0.5, 6) AS debiased_rate,
+           round(truth, 6) AS true_rate,
+           round(abs((zbar - 0.25) / 0.5 - truth), 6) AS abs_error
+    FROM m
+    """,
+)
+def randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965) — LOCAL differential privacy,
+    where ``dp_noisy_nation_counts`` is the central model: each record
+    flips its sensitive bit with p=0.25 (deterministic md5 coin, the
+    engine's reproducible-noise discipline), and the population rate
+    debiases as (observed − p)/(1 − 2p). The true rate and the
+    estimator's absolute error are emitted so the driver hash locks
+    the debiasing algebra, not just the noise. One scan, one 3-number
+    fold; each record's privatization is row-local (the property that
+    makes local DP shard-trivial at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    flip = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("rr"), F.col("doc_id"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        < 64
+    )
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    noisy = d.select(
+        y.alias("y"), F.when(flip, 1 - y).otherwise(y).alias("z")
+    )
+    m = noisy.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.avg(F.col("z") * 1.0).alias("zbar"),
+        F.avg(F.col("y") * 1.0).alias("truth"),
+    )
+    deb = (F.col("zbar") - 0.25) / 0.5
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round("zbar", 6).alias("observed_noisy_rate"),
+        F.round(deb, 6).alias("debiased_rate"),
+        F.round("truth", 6).alias("true_rate"),
+        F.round(F.abs(deb - F.col("truth")), 6).alias("abs_error"),
+    )
+
+
+@register(
+    "event_time_disorder_audit",
+    """
+    WITH seq AS (
+      SELECT ts,
+             lag(ts) OVER (ORDER BY event_id) AS prev_ts
+      FROM events
+    ),
+    d AS (
+      SELECT CASE WHEN ts < prev_ts THEN 1 ELSE 0 END AS inverted,
+             CASE WHEN ts < prev_ts
+                  THEN date_diff('second', ts, prev_ts) ELSE 0 END AS back_s
+      FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+           CAST(sum(inverted) AS BIGINT) AS n_out_of_order,
+           round(avg(inverted * 1.0), 6) AS disorder_rate,
+           CAST(max(back_s) AS BIGINT) AS max_lateness_s,
+           CAST(CAST(quantile_cont(back_s, 0.999) AS DOUBLE) AS BIGINT)
+             AS p999_lateness_s
+    FROM d
+    """,
+)
+def event_time_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream (arrival order =
+    event_id): how often event time runs backwards and by how much —
+    THE measurement that sets the streaming watermarks the §2.9
+    entries hard-code (`withWatermark('10 minutes')` is a claim about
+    exactly this p99.9; too tight drops late data silently, too loose
+    bloats state). One arrival-ordered lag pass, a 5-number fold."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    seq = e.select(
+        "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    back = (
+        F.col("prev_ts").cast("timestamp").cast("long")
+        - F.col("ts").cast("timestamp").cast("long")
+    )
+    d = seq.select(
+        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0).alias("inverted"),
+        F.when(F.col("ts") < F.col("prev_ts"), back).otherwise(0).alias("back_s"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        F.sum("inverted").cast("bigint").alias("n_out_of_order"),
+        F.round(F.avg(F.col("inverted") * 1.0), 6).alias("disorder_rate"),
+        F.max("back_s").cast("bigint").alias("max_lateness_s"),
+        F.percentile("back_s", F.lit(0.999)).cast("bigint").alias("p999_lateness_s"),
+    )
