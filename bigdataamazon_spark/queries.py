@@ -22927,10 +22927,17 @@ def randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_time_disorder_audit",
     """
-    WITH seq AS (
+    WITH arr AS (
       SELECT ts,
-             lag(ts) OVER (ORDER BY event_id) AS prev_ts
+             event_id + ('0x' || substr(md5('net:' || event_id), 1, 2))::INT % 32
+               AS arrival_key,
+             event_id
       FROM events
+    ),
+    seq AS (
+      SELECT ts,
+             lag(ts) OVER (ORDER BY arrival_key, event_id) AS prev_ts
+      FROM arr
     ),
     d AS (
       SELECT CASE WHEN ts < prev_ts THEN 1 ELSE 0 END AS inverted,
@@ -22953,10 +22960,20 @@ def event_time_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE measurement that sets the streaming watermarks the §2.9
     entries hard-code (`withWatermark('10 minutes')` is a claim about
     exactly this p99.9; too tight drops late data silently, too loose
-    bloats state). One arrival-ordered lag pass, a 5-number fold."""
+    bloats state). The fixture stream arrives pre-sorted, so arrivals
+    are replayed through a deterministic jittered transport (md5-keyed
+    0..31-position displacement, the reproducible-noise discipline) to
+    give the audit real disorder to measure. One arrival-ordered lag
+    pass, a 5-number fold."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    seq = e.select(
+    jitter = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("net"), F.col("event_id"))), 1, 2),
+        16,
+        10,
+    ).cast("int") % 32
+    arr = e.select("ts", "event_id", (F.col("event_id") + jitter).alias("arrival_key"))
+    w = Window.orderBy("arrival_key", "event_id")
+    seq = arr.select(
         "ts", F.lag("ts").over(w).alias("prev_ts")
     ).filter(F.col("prev_ts").isNotNull())
     back = (
