@@ -22991,3 +22991,111 @@ def event_time_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("back_s").cast("bigint").alias("max_lateness_s"),
         F.percentile("back_s", F.lit(0.999)).cast("bigint").alias("p999_lateness_s"),
     )
+
+
+_IVF_SWEEP_SHARED = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+exact_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec, nrm
+  FROM normed QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+assign AS (
+  SELECT vec_id, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl ASC) AS prb
+  FROM (
+    SELECT n.vec_id, c.cl,
+           list_dot_product(n.vec, c.vec) / (n.nrm * c.nrm) AS sim
+    FROM normed n, cent c
+  )
+),
+home AS (SELECT vec_id, cl FROM assign WHERE prb = 1),
+nq AS (SELECT count(DISTINCT src) * 1.0 AS n FROM exact_topk)"""
+
+_IVF_SWEEP_ARM = """
+    sweep{p} AS (
+      SELECT {p} AS nprobe, coalesce(sum(h), 0) AS hits FROM (
+        SELECT e.src, count(*) AS h
+        FROM exact_topk e
+        JOIN (
+          SELECT src, dst FROM (
+            SELECT pr.vec_id AS src, h.vec_id AS dst,
+                   row_number() OVER (
+                     PARTITION BY pr.vec_id
+                     ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                              DESC, h.vec_id ASC) AS rnk
+            FROM (SELECT vec_id, cl FROM assign WHERE prb <= {p}) pr
+            JOIN home h ON pr.cl = h.cl AND h.vec_id <> pr.vec_id
+            JOIN normed a ON a.vec_id = pr.vec_id
+            JOIN normed b ON b.vec_id = h.vec_id
+          ) WHERE rnk <= 5
+        ) v ON e.src = v.src AND e.dst = v.dst
+        GROUP BY 1
+      )
+    )"""
+
+_IVF_SWEEP_ORACLE = (
+    _IVF_SWEEP_SHARED
+    + ","
+    + ",".join(_IVF_SWEEP_ARM.format(p=p) for p in (1, 2, 4, 8))
+    + """
+    SELECT nprobe, CAST(nq.n AS BIGINT) AS n_queries,
+           round(hits / (5.0 * nq.n), 6) AS mean_recall_at_5
+    FROM (SELECT * FROM sweep1 UNION ALL SELECT * FROM sweep2
+          UNION ALL SELECT * FROM sweep4 UNION ALL SELECT * FROM sweep8)
+    CROSS JOIN nq
+    """
+)
+
+
+@register("ivf_nprobe_sweep", _IVF_SWEEP_ORACLE)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: mean recall@5 vs exact at nprobe 1/2/4/8 over
+    the deterministic 16-centroid quantizer — the recall-cost tradeoff
+    table that picks the production probe count (``ann_recall_audit``
+    pins one point; the SWEEP is what a deployment decision actually
+    reads, since candidate cost grows ~linearly in nprobe while recall
+    saturates). Exact side runs once (guarded GEMM); each arm is the
+    bucketed IVF plan unchanged; recall folds per arm."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = materialize_shared(
+        similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select("src", "dst")
+    )
+    n_queries = exact.select("src").distinct().count()
+    cent_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    )
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    out = None
+    for p in (1, 2, 4, 8):
+        approx = similarity.ivf_topk(
+            emb, "vec_id", "embedding", k=5, centroids=centroids, nprobe=p
+        ).select("src", "dst")
+        hits = exact.join(approx, ["src", "dst"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        row = hits.select(
+            F.lit(p).cast("int").alias("nprobe"),
+            F.lit(n_queries).cast("bigint").alias("n_queries"),
+            F.round(F.col("hits") / (5.0 * n_queries), 6).alias(
+                "mean_recall_at_5"
+            ),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
