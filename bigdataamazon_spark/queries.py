@@ -20990,42 +20990,68 @@ def marker_score_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cross_source_dup_matrix",
     """
-    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
-    pairs AS (
-      SELECT a.source AS source_a, b.source AS source_b
-      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    WITH toks AS (
+      SELECT source, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS l
+      FROM documents
     ),
-    sym AS (
-      SELECT least(source_a, source_b) AS source_a,
-             greatest(source_a, source_b) AS source_b
-      FROM pairs
+    sh AS (
+      SELECT DISTINCT source, array_to_string(l[i:i+4], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(l) - 3, 1))) AS t(i)
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
     )
-    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
-    FROM sym GROUP BY 1, 2
+    SELECT source_a, source_b, CAST(c AS BIGINT) AS n_shared_shingles,
+           round(c * 1.0 / (x.sz + y.sz - c), 6) AS shingle_jaccard
+    FROM inter
+    JOIN sizes x ON x.source = source_a JOIN sizes y ON y.source = source_b
     """,
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix: exact-dup pairs bucketed by
-    (source, source) — the provenance view that turns per-doc dedup
-    into an ACQUISITION decision ('these two crawls are 40% mirrors of
-    each other; stop buying both'), complementing the stylometric
-    ``burrows_delta_sources`` signal with hard content overlap. The
-    pair join keys on the content hash (Σ per-hash count², the exact-
-    dedup shape), then folds to a |sources|² matrix."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5("text").alias("h")
+    """Cross-source content-overlap matrix: shared distinct 5-gram
+    shingles per (source, source) pair, with the shingle Jaccard — the
+    provenance view that turns per-doc dedup into an ACQUISITION
+    decision ('these two crawls are near-mirrors; stop buying both'),
+    complementing the stylometric ``burrows_delta_sources`` signal
+    with hard content overlap that exact-hash matching misses (and
+    which is empty at small SF — the round-3 vacuity lesson). The pair
+    join keys on the shingle (Σ per-shingle df², the dedup shape),
+    then folds to a |sources|² matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    sh = materialize_shared(
+        d.select("source", F.explode(text.word_ngrams(toks, 5)).alias("g")).distinct()
     )
-    a = d.select(F.col("doc_id").alias("ida"), F.col("source").alias("sa"), "h")
-    b = d.select(F.col("doc_id").alias("idb"), F.col("source").alias("sb"), "h")
-    return (
-        a.join(b, "h")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("xsz")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("ysz")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("c").cast("bigint").alias("n_shared_shingles"),
+            F.round(
+                F.col("c") * 1.0 / (F.col("xsz") + F.col("ysz") - F.col("c")), 6
+            ).alias("shingle_jaccard"),
+        )
     )
 
 
@@ -21799,20 +21825,32 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, round(nrm, 6) AS norm,
            round(0.6745 * (nrm - madt.m) / madt.mad, 4) AS robust_z
     FROM n CROSS JOIN madt
-    WHERE abs(0.6745 * (nrm - madt.m) / madt.mad) > 3.5
+    WHERE abs(0.6745 * (nrm - madt.m) / madt.mad) > 2.5
     """,
 )
 def embedding_norm_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Norm-based embedding anomaly screen (Iglewicz-Hoaglin modified
-    z via median/MAD, cutoff 3.5): catches truncated, zeroed, or
+    z via median/MAD, cutoff 2.5 — the aggressive end of the
+    Iglewicz-Hoaglin 2.5-3.5 convention, chosen so the tightly
+    concentrated synthetic norms still yield a non-empty watchlist):
+    catches truncated, zeroed, or
     exploded vectors by MAGNITUDE — the orthogonal failure mode to
     ``knn_distance_outliers``' density screen, and cheap enough to run
     on every batch (two median passes + a zero-shuffle filter; no
     pairwise anything). The 0.6745 consistency constant makes the
     score read like a Gaussian z."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # widen BEFORE squaring: float32*float32 rounds differently from the
+    # oracle's double math, and with norms ~1.0 the tiny MAD magnifies
+    # that into visible robust-z differences
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
     n = materialize_shared(
-        emb.select("vec_id", vector.l2_norm(F.col("embedding")).alias("nrm"))
+        emb.select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(dvec, F.lit(0.0), lambda acc, v: acc + v * v)
+            ).alias("nrm"),
+        )
     )
     med = n.agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
     madt = (
@@ -21825,7 +21863,7 @@ def embedding_norm_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = 0.6745 * (F.col("nrm") - F.col("m")) / F.col("mad")
     return (
         n.crossJoin(F.broadcast(madt))
-        .filter(F.abs(z) > 3.5)
+        .filter(F.abs(z) > 2.5)
         .select(
             "vec_id",
             F.round("nrm", 6).alias("norm"),
