@@ -22812,22 +22812,11 @@ def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").cast("decimal(18,2)").alias("p_retailprice"),
         )
     )
-    a = p.select(
-        F.col("p_brand").alias("ba"), F.col("p_partkey").alias("src"),
-        F.col("p_name").alias("na"),
-    )
-    b = p.select(
-        F.col("p_brand").alias("ba"), F.col("p_partkey").alias("dst"),
-        F.col("p_name").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "ba")
-        .filter(
-            (F.col("src") < F.col("dst"))
-            & (F.abs(F.length("na") - F.length("nb")) <= 2)
-            & (F.levenshtein(F.col("na"), F.col("nb")) <= 2)
-        )
-        .select("src", "dst")
+    # candidate pairs come from the REGISTERED Ed-Join entry (prefix-
+    # filtered, dedup-before-verify) — the naive brand-block+levenshtein
+    # form measured 13.4s at sf0.1 vs 1.6s for the composed pipeline
+    pairs = _QUERIES["part_name_fuzzy_pairs"](spark, sf_dir).select(
+        F.col("partkey_a").alias("src"), F.col("partkey_b").alias("dst")
     )
     cc = graph.connected_components(pairs)
     g = (
