@@ -23126,3 +23126,168 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "ab_srm_check",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS variant FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) * 1.0 AS n0,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) * 1.0 AS n1
+      FROM u
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+           round((n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+                 + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2) / ((n0 + n1) / 2),
+                 6) AS srm_chi2,
+           (n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+             + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2) / ((n0 + n1) / 2)
+             > 3.841459 AS srm_detected
+    FROM c
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard: chi-square of the observed
+    variant split against the designed 50/50 — the FIRST check every
+    experiment readout must pass, because an SRM (broken assignment,
+    bot filtering one arm, redirect loss) invalidates the z-test /
+    SPRT / OBF entries downstream no matter what they say. One user
+    agg + a 2-cell fold."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.first(F.col("user_id") % 2).alias("variant"))
+    c = u.agg(
+        (F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)) * 1.0).alias("n0"),
+        (F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)) * 1.0).alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2
+    chi2 = (F.col("n0") - exp) * (F.col("n0") - exp) / exp + (
+        F.col("n1") - exp
+    ) * (F.col("n1") - exp) / exp
+    return c.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
+    )
+
+
+_TWONN_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+nn AS (
+  SELECT src, rnk, dist FROM (
+    SELECT a.vec_id AS src,
+           sqrt(greatest(2.0 - 2.0 * round(list_dot_product(a.vec, b.vec)
+                               / (a.nrm * b.nrm), 6), 1e-12)) AS dist,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 2
+),
+mu AS (
+  SELECT a.src, ln(b.dist / a.dist) AS lmu
+  FROM nn a JOIN nn b ON a.src = b.src AND a.rnk = 1 AND b.rnk = 2
+  WHERE a.dist > 1e-9
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       round(count(*) / sum(lmu), 4) AS intrinsic_dimension
+FROM mu
+"""
+
+
+@register("embedding_intrinsic_dimension", _TWONN_ORACLE)
+def embedding_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    d = n / sum(ln(r2/r1)) over each point's two nearest-neighbor
+    distances — the measurement that says how many of the 64 ambient
+    dims the data actually occupies (isotropic synthetic vectors
+    report near-ambient; real embeddings report far less, which is
+    what makes IVF/PQ/Matryoshka compression work — this entry is
+    their justification audit). Unit-sphere cosine converts to chordal
+    distance; neighbor generation is the guarded GEMM top-2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = similarity.cosine_topk(emb, "vec_id", "embedding", k=2)
+    # score is the ROUNDED cosine (the operator's hash discipline);
+    # the oracle rounds identically before the distance transform
+    dist = F.sqrt(F.greatest(2.0 - 2.0 * F.col("score"), F.lit(1e-12)))
+    a = nn.filter(F.col("rank") == 1).select(
+        "src", dist.alias("d1")
+    )
+    b = nn.filter(F.col("rank") == 2).select("src", dist.alias("d2"))
+    mu = (
+        a.join(b, "src")
+        .filter(F.col("d1") > 1e-9)
+        .select(F.log(F.col("d2") / F.col("d1")).alias("lmu"))
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.count(F.lit(1)) / F.sum("lmu"), 4).alias("intrinsic_dimension"),
+    )
+
+
+@register(
+    "doc_cross_entropy_compressibility",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    dc AS (SELECT doc_id, c, count(*) * 1.0 AS n FROM ch GROUP BY 1, 2),
+    gc AS (SELECT c, sum(n) AS g FROM dc GROUP BY 1),
+    gt AS (SELECT sum(g) AS t FROM gc),
+    x AS (
+      SELECT dc.doc_id,
+             sum(dc.n) AS nd,
+             -sum(dc.n * log2(gc.g / gt.t)) / sum(dc.n) AS hx
+      FROM dc JOIN gc USING (c) CROSS JOIN gt
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(nd AS BIGINT) AS n_chars_counted,
+           round(hx, 4) AS cross_entropy_bits,
+           hx < 3.9 AS boilerplate_suspect
+    FROM x
+    """,
+)
+def doc_cross_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the CORPUS character model — the
+    'how many bits/char would the corpus codec spend on this doc'
+    estimate: unusually LOW cross-entropy means the doc is made of the
+    corpus's most stereotyped characters (boilerplate, templates),
+    the complementary signal to ``char_entropy_filter``'s
+    self-entropy (which catches repetition within the doc, not
+    conformity to the corpus). One (doc, char) count + a broadcast
+    global char model + a doc rollup — scan-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    dc = materialize_shared(
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    gc = dc.groupBy("c").agg(F.sum("n").alias("g"))
+    gt = gc.agg(F.sum("g").alias("t"))
+    x = (
+        dc.join(F.broadcast(gc), "c")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("nd"),
+            (
+                -F.sum(F.col("n") * F.log2(F.col("g") / F.col("t"))) / F.sum("n")
+            ).alias("hx"),
+        )
+    )
+    return x.select(
+        "doc_id",
+        F.col("nd").cast("bigint").alias("n_chars_counted"),
+        F.round("hx", 4).alias("cross_entropy_bits"),
+        (F.col("hx") < 3.9).alias("boilerplate_suspect"),
+    )
