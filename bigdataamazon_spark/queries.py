@@ -23291,3 +23291,118 @@ def doc_cross_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataF
         F.round("hx", 4).alias("cross_entropy_bits"),
         (F.col("hx") < 3.9).alias("boilerplate_suspect"),
     )
+
+
+@register(
+    "nb_overdispersion_fit",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) * 1.0 AS k FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*) * 1.0 AS n, avg(k) AS mu, var_pop(k) AS v FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mu, 4) AS mean_events,
+           round(v, 4) AS var_events,
+           round(v / mu, 4) AS dispersion_index,
+           round(mu * mu / greatest(v - mu, 1e-9), 4) AS nb_r,
+           round(mu / v, 6) AS nb_p,
+           v / mu > 1.5 AS overdispersed
+    FROM m
+    """,
+)
+def nb_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit for per-user event
+    counts: r = mu²/(var−mu), p = mu/var — the parametric companion to
+    the ``event_burstiness_fano`` diagnostic, and the model every
+    count-based capacity plan should use once dispersion exceeds
+    Poisson (var/mu > 1.5 here flags it): a Poisson plan at NB traffic
+    under-provisions the tail badly. One user count + one moment
+    fold."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg((F.count(F.lit(1)) * 1.0).alias("k"))
+    m = u.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.avg("k").alias("mu"),
+        F.var_pop("k").alias("v"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("mu", 4).alias("mean_events"),
+        F.round("v", 4).alias("var_events"),
+        F.round(F.col("v") / F.col("mu"), 4).alias("dispersion_index"),
+        F.round(
+            F.col("mu") * F.col("mu") / F.greatest(F.col("v") - F.col("mu"), F.lit(1e-9)),
+            4,
+        ).alias("nb_r"),
+        F.round(F.col("mu") / F.col("v"), 6).alias("nb_p"),
+        (F.col("v") / F.col("mu") > 1.5).alias("overdispersed"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    m AS (
+      SELECT sum(sgn) * 1.0 AS s,
+             (SELECT count(*) * 1.0 FROM daily) AS n
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS mk_s,
+           round((s - sign(s)) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 4)
+             AS mk_z,
+           abs((s - sign(s)) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0)) > 1.96
+             AS significant_trend
+    FROM m
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue (1996+) — the
+    nonparametric SIGNIFICANCE companion to the ``theil_sen_trend``
+    slope estimate (the two are the standard pairing: MK decides IF a
+    monotone trend exists, Theil-Sen says how steep): S = sum of
+    pairwise sign comparisons, normal approximation with continuity
+    correction (continuous revenue sums make ties measure-zero, the
+    tie correction a no-op — documented). The pairwise join runs on
+    the DAY-sized series (~700 rows → 250k sign pairs), never the
+    orders scan; at any fact-table scale this is constant work after
+    the daily rollup."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    daily = materialize_shared(
+        o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.sum("o_totalprice").alias("y")
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    ndays = daily.count() * 1.0
+    m = pairs.agg((F.sum("sgn") * 1.0).alias("s"))
+    z = (F.col("s") - F.signum(F.col("s"))) / F.sqrt(
+        F.lit(ndays * (ndays - 1) * (2 * ndays + 5) / 18.0)
+    )
+    return m.select(
+        F.lit(int(ndays)).cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("mk_s"),
+        F.round(z, 4).alias("mk_z"),
+        (F.abs(z) > 1.96).alias("significant_trend"),
+    )
