@@ -23406,3 +23406,114 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("mk_z"),
         (F.abs(z) > 1.96).alias("significant_trend"),
     )
+
+
+_MODULARITY_ORACLE = (
+    "WITH comm AS MATERIALIZED ("
+    + _ORACLES["nation_trade_communities"]
+    + "),\ne AS MATERIALIZED ("
+    + _PAGERANK_EDGE_SQL
+    + """),
+    sym AS (
+      SELECT src, dst, w FROM e
+      UNION ALL SELECT dst, src, w FROM e
+    ),
+    tot AS (SELECT sum(w) AS t FROM sym),
+    lab AS (SELECT n_name, community FROM comm),
+    marked AS (
+      SELECT a.community AS ca, b.community AS cb, s.w
+      FROM sym s
+      JOIN lab a ON a.n_name = s.src
+      JOIN lab b ON b.n_name = s.dst
+    ),
+    per AS (
+      SELECT ca AS community,
+             sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS w_in,
+             sum(w) AS deg_w
+      FROM marked GROUP BY 1
+    )
+    SELECT CAST(community AS INTEGER) AS community,
+           round(w_in / tot.t, 6) AS internal_weight_frac,
+           round(deg_w / tot.t, 6) AS degree_frac,
+           round(w_in / tot.t - (deg_w / tot.t) * (deg_w / tot.t), 6)
+             AS modularity_contribution
+    FROM per CROSS JOIN tot
+    """
+)
+
+
+@register("community_modularity_audit", _MODULARITY_ORACLE)
+def community_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition (``nation_trade_
+    communities``) on the revenue-weighted trade graph — the quality
+    number that says whether the communities the label propagation
+    found are real structure or noise (Q near 0: the partition
+    explains nothing; the per-community contributions localize which
+    blocks carry it). Entries compose: the assignment comes from the
+    registered LPA run, the edge table from the registered build; the
+    audit itself is two broadcast label joins + a community rollup."""
+    comm = materialize_shared(
+        _QUERIES["nation_trade_communities"](spark, sf_dir).select(
+            "n_name", "community"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    e = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src"))
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst"))
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    sym = e.select("src", "dst", "w").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    tot = sym.agg(F.sum("w").alias("t"))
+    marked = (
+        sym.join(
+            F.broadcast(comm.select(F.col("n_name").alias("src"), F.col("community").alias("ca"))),
+            "src",
+        )
+        .join(
+            F.broadcast(comm.select(F.col("n_name").alias("dst"), F.col("community").alias("cb"))),
+            "dst",
+        )
+    )
+    per = marked.groupBy(F.col("ca").alias("community")).agg(
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0.0)).alias(
+            "w_in"
+        ),
+        F.sum("w").alias("deg_w"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("community").cast("int").alias("community"),
+        F.round(F.col("w_in") / F.col("t"), 6).alias("internal_weight_frac"),
+        F.round(F.col("deg_w") / F.col("t"), 6).alias("degree_frac"),
+        F.round(
+            F.col("w_in") / F.col("t")
+            - (F.col("deg_w") / F.col("t")) * (F.col("deg_w") / F.col("t")),
+            6,
+        ).alias("modularity_contribution"),
+    )
