@@ -1337,3 +1337,37 @@ def test_abc_prefix_scan_on_part_sized_frame(spark, sf_dir):
     assert "Window" in plan
     schemas = [sorted(c) for c in _scan_schemas(plan)]
     assert ["l_discount", "l_extendedprice", "l_partkey"] in schemas
+
+
+def test_ivf_sweep_no_cartesian_anywhere(spark, sf_dir):
+    plan = _executed_plan(spark, "ivf_nprobe_sweep", sf_dir)
+    # four IVF arms + one exact GEMM: every candidate join is the
+    # cluster-id equi-join; any all-pairs operator means an arm
+    # regressed to brute force
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert set(cols) <= {"vec_id", "embedding"}
+
+
+def test_golden_records_no_naive_quadratic(spark, sf_dir):
+    plan = _executed_plan(spark, "part_golden_records", sf_dir)
+    # candidates must come through the Ed-Join pipeline, never a
+    # brand-block cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_matrix_keys_on_shingle(spark, sf_dir):
+    plan = _executed_plan(spark, "cross_source_dup_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["source", "text"]
+
+
+def test_mus_single_ordered_pass(spark, sf_dir):
+    plan = _executed_plan(spark, "monetary_unit_sample", sf_dir)
+    # PPS systematic sampling: one ordered prefix window, zero joins
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"):
+        assert op not in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert schemas and all(s == ["o_orderkey", "o_totalprice"] for s in schemas)
