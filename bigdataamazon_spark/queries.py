@@ -23517,3 +23517,171 @@ def community_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity_contribution"),
     )
+
+
+@register(
+    "dalenius_hodges_strata",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 25000.0) AS INTEGER), 19) AS bin,
+             count(*) * 1.0 AS f
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, f,
+             sum(sqrt(f)) OVER (ORDER BY bin) AS csf,
+             sum(sqrt(f)) OVER () AS tot
+      FROM b
+    ),
+    assigned AS (
+      SELECT bin, f,
+             least(CAST(floor(4.0 * (csf - sqrt(f) / 2) / tot) AS INTEGER), 3)
+               AS stratum
+      FROM c
+    )
+    SELECT CAST(stratum AS INTEGER) AS stratum,
+           CAST(min(bin) AS INTEGER) AS first_bin,
+           CAST(max(bin) AS INTEGER) AS last_bin,
+           round(min(bin) * 25000.0, 1) AS boundary_low,
+           CAST(sum(f) AS BIGINT) AS n_orders
+    FROM assigned GROUP BY 1
+    """,
+)
+def dalenius_hodges_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dalenius-Hodges cum-sqrt(f) stratification: cut the order-value
+    histogram into 4 strata with equal cumulative sqrt-frequency — the
+    survey-design rule that CHOOSES stratum boundaries so that the
+    Neyman allocation downstream (``neyman_allocation_plan`` assumed
+    given strata) is near-optimal. Bin midpoint assignment (csf minus
+    half the bin's own mass) keeps boundary bins stable. One histogram
+    agg + a 20-row prefix scan."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / 25000.0).cast("int"), F.lit(19)).alias(
+            "bin"
+        )
+    ).agg((F.count(F.lit(1)) * 1.0).alias("f"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = b.select(
+        "bin",
+        "f",
+        F.sum(F.sqrt("f")).over(wc).alias("csf"),
+        F.sum(F.sqrt("f")).over(wt).alias("tot"),
+    )
+    assigned = c.select(
+        "bin",
+        "f",
+        F.least(
+            F.floor(4.0 * (F.col("csf") - F.sqrt("f") / 2) / F.col("tot")).cast("int"),
+            F.lit(3),
+        ).alias("stratum"),
+    )
+    return assigned.groupBy("stratum").agg(
+        F.min("bin").cast("int").alias("first_bin"),
+        F.max("bin").cast("int").alias("last_bin"),
+        F.round(F.min("bin") * 25000.0, 1).alias("boundary_low"),
+        F.sum("f").cast("bigint").alias("n_orders"),
+    ).select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "first_bin",
+        "last_bin",
+        "boundary_low",
+        "n_orders",
+    )
+
+
+_LCURVE_FRACS = (25, 50, 100)
+
+
+@register(
+    "stump_learning_curve",
+    f"""
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice / 1000.0 AS y,
+             ('0x' || substr(md5('lc:' || l_orderkey * 10 + l_linenumber),
+                             1, 2))::INT AS h,
+             l_orderkey % 2 = 1 AS is_eval
+      FROM lineitem
+    ),
+    fracs(pct) AS (VALUES {", ".join(f"({p})" for p in _LCURVE_FRACS)}),
+    fits AS (
+      SELECT f.pct,
+             round(avg(CASE WHEN b.x < 25 THEN b.y END), 4) AS lv,
+             round(avg(CASE WHEN b.x >= 25 THEN b.y END), 4) AS rv,
+             count(*) AS n_train
+      FROM fracs f JOIN base b
+        ON NOT b.is_eval AND b.h * 100 < f.pct * 256
+      GROUP BY 1
+    )
+    SELECT f.pct AS train_pct, CAST(f.n_train AS BIGINT) AS n_train,
+           f.lv AS left_value, f.rv AS right_value,
+           round(avg((e.y - CASE WHEN e.x < 25 THEN f.lv ELSE f.rv END)
+                     * (e.y - CASE WHEN e.x < 25 THEN f.lv ELSE f.rv END)),
+                 4) AS eval_mse
+    FROM fits f JOIN base e ON e.is_eval
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the quantity<25 stump: fit leaf values on
+    md5-deterministic 25/50/100% slices of the train half, evaluate
+    MSE on the held-out half — the 'would more data help' diagnostic
+    that separates estimation error (curve still falling: collect
+    more) from model bias (curve flat: the stump is the bottleneck,
+    grow the model — here it flattens immediately, the honest answer
+    for a depth-1 tree). All three fits are ONE conditional agg over
+    the fraction fan; evaluation is one broadcast of 3 leaf pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = materialize_shared(
+        li.select(
+            F.col("l_quantity").alias("x"),
+            (F.col("l_extendedprice") / 1000.0).alias("y"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("lc"),
+                            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int").alias("h"),
+            (F.col("l_orderkey") % 2 == 1).alias("is_eval"),
+        )
+    )
+    fracs = spark.createDataFrame([(p,) for p in _LCURVE_FRACS], ["pct"])
+    train = base.filter(~F.col("is_eval"))
+    fits = (
+        train.crossJoin(F.broadcast(fracs))
+        .filter(F.col("h") * 100 < F.col("pct") * 256)
+        .groupBy("pct")
+        .agg(
+            F.round(F.avg(F.when(F.col("x") < 25, F.col("y"))), 4).alias("lv"),
+            F.round(F.avg(F.when(F.col("x") >= 25, F.col("y"))), 4).alias("rv"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    ev = base.filter(F.col("is_eval"))
+    pred = F.when(F.col("x") < 25, F.col("lv")).otherwise(F.col("rv"))
+    return (
+        ev.crossJoin(F.broadcast(fits))
+        .groupBy("pct", "n_train", "lv", "rv")
+        .agg(
+            F.round(
+                F.avg((F.col("y") - pred) * (F.col("y") - pred)), 4
+            ).alias("eval_mse")
+        )
+        .select(
+            F.col("pct").alias("train_pct"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("lv").alias("left_value"),
+            F.col("rv").alias("right_value"),
+            "eval_mse",
+        )
+    )
