@@ -23685,3 +23685,142 @@ def stump_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eval_mse",
         )
     )
+
+
+@register(
+    "trade_reciprocity",
+    """
+    WITH e AS (
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             sum(l_extendedprice * (1.0 - l_discount)) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      WHERE ns.n_nationkey <> nc.n_nationkey
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.src, a.dst, a.w, coalesce(b.w, 0.0) AS wr
+      FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           round(sum(least(w, wr)) / sum(w), 6) AS weight_reciprocity,
+           round(avg(CASE WHEN wr > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS edge_reciprocity
+    FROM paired
+    """,
+)
+def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed trade graph: what fraction of flow
+    weight comes back on the reverse edge (Σ min(w_ij, w_ji)/Σ w), and
+    what fraction of edges are mutual at all — the directedness probe
+    that decides whether the directed analytics (PageRank, HITS) can
+    be replaced by their cheaper undirected twins (reciprocity ~1:
+    symmetrize and save half the state). One edge agg + one reverse
+    self-join on the dims-sized edge table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    e = materialize_shared(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src"))
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst"))
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").alias("wr")
+    )
+    paired = e.join(rev, ["src", "dst"], "left").select(
+        "w", F.coalesce(F.col("wr"), F.lit(0.0)).alias("wr")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        F.round(
+            F.sum(F.least(F.col("w"), F.col("wr"))) / F.sum("w"), 6
+        ).alias("weight_reciprocity"),
+        F.round(F.avg(F.when(F.col("wr") > 0, 1.0).otherwise(0.0)), 6).alias(
+            "edge_reciprocity"
+        ),
+    )
+
+
+@register(
+    "dictionary_encoding_audit",
+    """
+    WITH m AS (
+      SELECT count(*) * 1.0 AS n,
+             count(DISTINCT l_returnflag) * 1.0 AS d_rf,
+             count(DISTINCT l_linestatus) * 1.0 AS d_ls,
+             count(DISTINCT l_partkey) * 1.0 AS d_pk,
+             count(DISTINCT l_extendedprice) * 1.0 AS d_px
+      FROM lineitem
+    )
+    SELECT col, CAST(d AS BIGINT) AS n_distinct,
+           round(d / n, 6) AS distinct_ratio,
+           CAST(ceil(ln(d) / ln(2.0)) AS INTEGER) AS dict_bits_per_value,
+           d / n < 0.1 AS dictionary_worthwhile
+    FROM m, LATERAL (VALUES
+      ('l_returnflag', d_rf), ('l_linestatus', d_ls),
+      ('l_partkey', d_pk), ('l_extendedprice', d_px)) AS t(col, d)
+    """,
+)
+def dictionary_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encodability audit: distinct ratio and the implied
+    dictionary index width per column — with ``rle_encoding_audit``
+    (run order) and ``timeseries_delta_encoding_audit`` (numeric
+    deltas) this completes the three-question encoding decision every
+    columnar layout makes; the 10% distinct-ratio rule is parquet's
+    own dictionary fallback heuristic. One pass of count-distinct
+    aggregates (exact here; the HLL entries are the sketch path when
+    the column count is huge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        (F.countDistinct("l_returnflag") * 1.0).alias("d_rf"),
+        (F.countDistinct("l_linestatus") * 1.0).alias("d_ls"),
+        (F.countDistinct("l_partkey") * 1.0).alias("d_pk"),
+        (F.countDistinct("l_extendedprice") * 1.0).alias("d_px"),
+    )
+    rows = None
+    for col, fld in (
+        ("l_returnflag", "d_rf"),
+        ("l_linestatus", "d_ls"),
+        ("l_partkey", "d_pk"),
+        ("l_extendedprice", "d_px"),
+    ):
+        r = m.select(
+            F.lit(col).alias("col"),
+            F.col(fld).cast("bigint").alias("n_distinct"),
+            F.round(F.col(fld) / F.col("n"), 6).alias("distinct_ratio"),
+            F.ceil(F.log(F.col(fld)) / F.log(F.lit(2.0))).cast("int").alias(
+                "dict_bits_per_value"
+            ),
+            (F.col(fld) / F.col("n") < 0.1).alias("dictionary_worthwhile"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
