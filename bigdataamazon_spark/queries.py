@@ -23824,3 +23824,115 @@ def dictionary_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+@register(
+    "littles_law_audit",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS t0, max(ts) AS t1
+      FROM events GROUP BY 1, 2
+      HAVING min(ts) < max(ts)
+    ),
+    horizon AS (
+      SELECT min(t0) AS h0, max(t1) AS h1,
+             date_diff('second', min(t0), max(t1)) * 1.0 AS span_s,
+             count(*) * 1.0 AS n_sessions,
+             avg(date_diff('second', t0, t1)) * 1.0 AS w_s
+      FROM s
+    ),
+    area AS (
+      SELECT sum(date_diff('second', t0, t1)) * 1.0 AS busy_s FROM s
+    )
+    SELECT CAST(h.n_sessions AS BIGINT) AS n_sessions,
+           round(h.n_sessions / h.span_s * 3600.0, 6) AS lambda_per_hour,
+           round(h.w_s, 2) AS mean_session_s,
+           round(a.busy_s / h.span_s, 6) AS measured_l,
+           round((h.n_sessions / h.span_s) * h.w_s, 6) AS littles_l,
+           round(abs(a.busy_s / h.span_s - (h.n_sessions / h.span_s) * h.w_s),
+                 6) AS identity_gap
+    FROM horizon h CROSS JOIN area a
+    """,
+)
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λW) audited on user-day sessions: arrival
+    rate λ, mean time-in-system W, and the time-average concurrency L
+    measured directly as total busy-seconds over the horizon — the
+    queueing identity every capacity model leans on, with the gap
+    emitted (zero up to rounding BY THE THEOREM, so the driver hash
+    locks the two independently-computed sides against each other —
+    the same built-in-checksum trick as the Brier decomposition).
+    Session bounds are one grouped agg; both sides of the identity
+    fold from it."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .filter(F.col("t0") < F.col("t1"))
+    )
+    s = materialize_shared(s)
+    dur = F.col("t1").cast("timestamp").cast("long") - F.col("t0").cast(
+        "timestamp"
+    ).cast("long")
+    h = s.agg(
+        (
+            F.max(F.col("t1").cast("timestamp").cast("long"))
+            - F.min(F.col("t0").cast("timestamp").cast("long"))
+        ).cast("double").alias("span_s"),
+        (F.count(F.lit(1)) * 1.0).alias("n_sessions"),
+        (F.avg(dur) * 1.0).alias("w_s"),
+        (F.sum(dur) * 1.0).alias("busy_s"),
+    )
+    lam = F.col("n_sessions") / F.col("span_s")
+    return h.select(
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        F.round(lam * 3600.0, 6).alias("lambda_per_hour"),
+        F.round("w_s", 2).alias("mean_session_s"),
+        F.round(F.col("busy_s") / F.col("span_s"), 6).alias("measured_l"),
+        F.round(lam * F.col("w_s"), 6).alias("littles_l"),
+        F.round(
+            F.abs(F.col("busy_s") / F.col("span_s") - lam * F.col("w_s")), 6
+        ).alias("identity_gap"),
+    )
+
+
+@register(
+    "newsvendor_stock_level",
+    """
+    WITH daily AS (
+      SELECT l_partkey, CAST(o_orderdate AS DATE) AS d, sum(l_quantity) AS q
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey % 200 = 0
+      GROUP BY 1, 2
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_demand_days,
+           round(avg(q), 4) AS mean_daily_demand,
+           round(quantile_cont(q, 0.75), 4) AS stock_cr75,
+           round(quantile_cont(q, 0.90), 4) AS stock_cr90
+    FROM daily GROUP BY 1
+    """,
+)
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels per part (a key-sliver): the optimal
+    stock is the DEMAND QUANTILE at the critical ratio cu/(cu+co) —
+    shown at 0.75 and 0.90 next to the mean that naive planning uses
+    (the gap between them is exactly the safety stock the quantile
+    decision buys). The classic single-period OR decision expressed as
+    the grouped exact-percentile operator (A2's machinery) over the
+    per-part daily demand rollup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 200 == 0
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    daily = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    return daily.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand_days"),
+        F.round(F.avg("q"), 4).alias("mean_daily_demand"),
+        F.round(F.percentile("q", F.lit(0.75)), 4).alias("stock_cr75"),
+        F.round(F.percentile("q", F.lit(0.90)), 4).alias("stock_cr90"),
+    )
