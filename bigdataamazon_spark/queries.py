@@ -23936,3 +23936,92 @@ def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("q", F.lit(0.75)), 4).alias("stock_cr75"),
         F.round(F.percentile("q", F.lit(0.90)), 4).alias("stock_cr90"),
     )
+
+
+@register(
+    "process_capability_cpk",
+    """
+    WITH m AS (
+      SELECT count(*) * 1.0 AS n, avg(l_quantity) AS mu,
+             stddev_pop(l_quantity) AS sd
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           round(mu, 4) AS mean_qty,
+           round(sd, 4) AS sd_qty,
+           round((50.0 - 1.0) / (6.0 * sd), 6) AS cp,
+           round(least(50.0 - mu, mu - 1.0) / (3.0 * sd), 6) AS cpk,
+           least(50.0 - mu, mu - 1.0) / (3.0 * sd) < 1.0 AS incapable
+    FROM m
+    """,
+)
+def process_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices Cp/Cpk for line quantities against
+    the [1, 50] spec band — the SPC summary that complements the
+    time-domain monitors (CUSUM changepoint, EWMA): Cp says whether
+    the process VARIATION fits the spec at all, Cpk penalizes
+    off-center drift, and Cpk<1 is the standard 'will ship defects'
+    alarm. One moment fold; the spec limits are shared literals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.avg("l_quantity").alias("mu"),
+        F.stddev_pop("l_quantity").alias("sd"),
+    )
+    cpk = F.least(F.lit(50.0) - F.col("mu"), F.col("mu") - 1.0) / (3.0 * F.col("sd"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round("mu", 4).alias("mean_qty"),
+        F.round("sd", 4).alias("sd_qty"),
+        F.round((50.0 - 1.0) / (6.0 * F.col("sd")), 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        (cpk < 1.0).alias("incapable"),
+    )
+
+
+@register(
+    "nonparametric_tolerance_interval",
+    """
+    WITH n AS (SELECT count(*) AS n FROM orders),
+    ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rk
+      FROM orders
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_orders,
+           round(max(CASE WHEN rk = CAST(ceil(n.n * 0.02) AS BIGINT)
+                     THEN o_totalprice END), 2) AS lower_bound,
+           round(max(CASE WHEN rk = n.n - CAST(ceil(n.n * 0.02) AS BIGINT) + 1
+                     THEN o_totalprice END), 2) AS upper_bound
+    FROM ranked CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def nonparametric_tolerance_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free tolerance interval for order values: the
+    (2nd-percentile-rank, symmetric upper) ORDER STATISTICS bound
+    ~96% of the population regardless of its shape — the interval
+    that covers future VALUES where a confidence interval only covers
+    the mean (the distinction dashboards blur; with the heavy tail
+    ``jarque_bera_price`` certifies, the Gaussian mu±2sd version
+    would be badly wrong). One rank window over the value order, two
+    order statistics out."""
+    o = load_table(spark, sf_dir, "orders")
+    ntot = o.count()
+    k = -(-ntot * 2 // 100)  # ceil(n * 0.02)
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("rk"),
+    )
+    return ranked.agg(
+        F.lit(ntot).cast("bigint").alias("n_orders"),
+        F.round(
+            F.max(F.when(F.col("rk") == k, F.col("o_totalprice"))), 2
+        ).alias("lower_bound"),
+        F.round(
+            F.max(F.when(F.col("rk") == ntot - k + 1, F.col("o_totalprice"))), 2
+        ).alias("upper_bound"),
+    )
