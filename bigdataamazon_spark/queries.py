@@ -24025,3 +24025,102 @@ def nonparametric_tolerance_interval(spark: SparkSession, sf_dir: str) -> DataFr
             F.max(F.when(F.col("rk") == ntot - k + 1, F.col("o_totalprice"))), 2
         ).alias("upper_bound"),
     )
+
+
+@register(
+    "stump_cv_folds",
+    """
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice / 1000.0 AS y,
+             ('0x' || substr(md5('cv:' || l_orderkey * 10 + l_linenumber),
+                             1, 2))::INT % 5 AS fold
+      FROM lineitem
+    ),
+    per_fold AS (
+      SELECT fold,
+             count(*) FILTER (x < 25) * 1.0 AS nl, sum(y) FILTER (x < 25) AS sl,
+             count(*) FILTER (x >= 25) * 1.0 AS nr, sum(y) FILTER (x >= 25) AS sr,
+             sum(y * y) FILTER (x < 25) AS ssl, sum(y * y) FILTER (x >= 25) AS ssr
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(nl) AS nl, sum(sl) AS sl, sum(nr) AS nr, sum(sr) AS sr
+      FROM per_fold
+    ),
+    folds AS (
+      SELECT p.fold,
+             round((t.sl - p.sl) / (t.nl - p.nl), 4) AS lv,
+             round((t.sr - p.sr) / (t.nr - p.nr), 4) AS rv,
+             p.nl, p.sl, p.ssl, p.nr, p.sr, p.ssr
+      FROM per_fold p CROSS JOIN tot t
+    )
+    SELECT CAST(fold AS INTEGER) AS fold,
+           lv AS left_value, rv AS right_value,
+           round((ssl - 2 * lv * sl + nl * lv * lv
+                  + ssr - 2 * rv * sr + nr * rv * rv) / (nl + nr), 4)
+             AS fold_mse
+    FROM folds
+    """,
+)
+def stump_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the quantity<25 stump WITHOUT five
+    training passes: per-fold sufficient statistics (counts, sums,
+    sums of squares per leaf) are computed once, and each fold's
+    leave-fold-out leaf values and held-out MSE fold ALGEBRAICALLY
+    from totals-minus-fold — the trick that makes k-fold CV one scan
+    instead of k at any scale (and the reason CV over linear/constant
+    models never needs a loop on Spark). Leaf values rounded before
+    the MSE expansion so both engines square identical predictions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("cv"),
+                            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 5
+        ).alias("fold"),
+    )
+    lhs = F.col("x") < 25
+    per_fold = materialize_shared(
+        base.groupBy("fold").agg(
+            (F.count(F.when(lhs, 1)) * 1.0).alias("nl"),
+            F.sum(F.when(lhs, F.col("y"))).alias("sl"),
+            (F.count(F.when(~lhs, 1)) * 1.0).alias("nr"),
+            F.sum(F.when(~lhs, F.col("y"))).alias("sr"),
+            F.sum(F.when(lhs, F.col("y") * F.col("y"))).alias("ssl"),
+            F.sum(F.when(~lhs, F.col("y") * F.col("y"))).alias("ssr"),
+        )
+    )
+    tot = per_fold.agg(
+        F.sum("nl").alias("tnl"), F.sum("sl").alias("tsl"),
+        F.sum("nr").alias("tnr"), F.sum("sr").alias("tsr"),
+    )
+    folds = per_fold.crossJoin(F.broadcast(tot)).select(
+        "fold", "nl", "sl", "ssl", "nr", "sr", "ssr",
+        F.round((F.col("tsl") - F.col("sl")) / (F.col("tnl") - F.col("nl")), 4).alias("lv"),
+        F.round((F.col("tsr") - F.col("sr")) / (F.col("tnr") - F.col("nr")), 4).alias("rv"),
+    )
+    mse = (
+        F.col("ssl") - 2 * F.col("lv") * F.col("sl") + F.col("nl") * F.col("lv") * F.col("lv")
+        + F.col("ssr") - 2 * F.col("rv") * F.col("sr") + F.col("nr") * F.col("rv") * F.col("rv")
+    ) / (F.col("nl") + F.col("nr"))
+    return folds.select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("lv").alias("left_value"),
+        F.col("rv").alias("right_value"),
+        F.round(mse, 4).alias("fold_mse"),
+    )
