@@ -24124,3 +24124,148 @@ def stump_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rv").alias("right_value"),
         F.round(mse, 4).alias("fold_mse"),
     )
+
+
+@register(
+    "breusch_pagan_test",
+    """
+    WITH s AS (
+      SELECT l_discount AS x, l_extendedprice / 1000.0 AS y FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM s
+    ),
+    fit AS (
+      SELECT n, sx, sxx,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM m
+    ),
+    resid AS (
+      SELECT s.x, (s.y - fit.a - fit.b * s.x) AS e FROM s CROSS JOIN fit
+    ),
+    aux AS (
+      SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(e * e) AS sg,
+             sum(x * e * e) AS sxg, sum(x * x) AS sxx,
+             sum(e * e * e * e) AS sgg
+      FROM resid
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           round((n * sxg - sx * sg) * (n * sxg - sx * sg)
+                 / ((n * sxx - sx * sx) * (n * sgg - sg * sg)) * n, 4)
+             AS bp_statistic,
+           (n * sxg - sx * sg) * (n * sxg - sx * sg)
+             / ((n * sxx - sx * sx) * (n * sgg - sg * sg)) * n > 3.841459
+             AS heteroscedastic
+    FROM aux
+    """,
+)
+def breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    form, n·R² of e² on x) for the discount→price regression — the
+    second regression diagnostic next to Durbin-Watson: DW catches
+    correlated errors, BP catches variance that GROWS with x, and
+    either one invalidates the OLS standard errors the fit quotes.
+    Both passes are sufficient-statistic folds (fit, then the
+    auxiliary regression's moments in one more scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = materialize_shared(
+        li.select(
+            F.col("l_discount").alias("x"),
+            (F.col("l_extendedprice") / 1000.0).alias("y"),
+        )
+    )
+    m = s.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = m.select(
+        b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a")
+    )
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    aux = s.crossJoin(F.broadcast(fit)).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(e * e).alias("sg"),
+        F.sum(F.col("x") * e * e).alias("sxg"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(e * e * e * e).alias("sgg"),
+    )
+    r2n = (
+        (F.col("n") * F.col("sxg") - F.col("sx") * F.col("sg"))
+        * (F.col("n") * F.col("sxg") - F.col("sx") * F.col("sg"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg"))
+        )
+        * F.col("n")
+    )
+    return aux.select(
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(r2n, 4).alias("bp_statistic"),
+        (r2n > 3.841459).alias("heteroscedastic"),
+    )
+
+
+@register(
+    "dp_clipped_mean",
+    """
+    WITH c AS (
+      SELECT least(o_totalprice, 300000.0) AS v FROM orders
+    ),
+    m AS (SELECT count(*) * 1.0 AS n, sum(v) AS s, avg(v) AS truth FROM c),
+    u AS (
+      SELECT (('0x' || substr(md5('dpm:seed'), 1, 8))::BIGINT % 1000000)
+               / 1000000.0 + 0.0000005 AS p
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_orders,
+           round(m.truth, 2) AS clipped_mean_true,
+           round((m.s + CASE WHEN u.p < 0.5
+                        THEN 300000.0 * ln(2 * u.p)
+                        ELSE -300000.0 * ln(2 * (1 - u.p)) END) / m.n, 2)
+             AS dp_mean_eps1,
+           round(abs((m.s + CASE WHEN u.p < 0.5
+                        THEN 300000.0 * ln(2 * u.p)
+                        ELSE -300000.0 * ln(2 * (1 - u.p)) END) / m.n
+                     - m.truth), 2) AS abs_error
+    FROM m CROSS JOIN u
+    """,
+)
+def dp_clipped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private mean with clipping (the numeric release
+    next to ``dp_noisy_nation_counts``'s counts): values clip at
+    300k (bounding each record's sensitivity — the step that makes a
+    DP MEAN possible at all), one Laplace(clip/eps) draw perturbs the
+    SUM, and the mean divides by the exact count. Noise comes from
+    the deterministic md5 inverse-CDF (reproducible-noise
+    discipline); truth and absolute error are emitted so the hash
+    locks the mechanism end-to-end. Scan + fold; the noise is a
+    1-row computation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(F.least(F.col("o_totalprice"), F.lit(300000.0)).alias("v"))
+    m = c.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("v").alias("s"),
+        F.avg("v").alias("truth"),
+    )
+    p = (
+        F.conv(F.substring(F.md5(F.lit("dpm:seed")), 1, 8), 16, 10).cast("bigint")
+        % 1000000
+    ) / 1000000.0 + 0.0000005
+    noise = F.when(p < 0.5, 300000.0 * F.log(2 * p)).otherwise(
+        -300000.0 * F.log(2 * (1 - p))
+    )
+    dp = (F.col("s") + noise) / F.col("n")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("truth", 2).alias("clipped_mean_true"),
+        F.round(dp, 2).alias("dp_mean_eps1"),
+        F.round(F.abs(dp - F.col("truth")), 2).alias("abs_error"),
+    )
