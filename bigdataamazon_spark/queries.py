@@ -24269,3 +24269,204 @@ def dp_clipped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dp, 2).alias("dp_mean_eps1"),
         F.round(F.abs(dp - F.col("truth")), 2).alias("abs_error"),
     )
+
+
+@register(
+    "mean_excess_curve",
+    """
+    WITH thr AS (
+      SELECT quantile_cont(o_totalprice, 0.90) AS u90,
+             quantile_cont(o_totalprice, 0.925) AS u925,
+             quantile_cont(o_totalprice, 0.95) AS u95,
+             quantile_cont(o_totalprice, 0.975) AS u975
+      FROM orders
+    ),
+    qs AS (
+      SELECT 0.90 AS p, u90 AS u FROM thr
+      UNION ALL SELECT 0.925, u925 FROM thr
+      UNION ALL SELECT 0.95, u95 FROM thr
+      UNION ALL SELECT 0.975, u975 FROM thr
+    )
+    SELECT round(qs.p, 3) AS quantile,
+           round(qs.u, 2) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_exceedances,
+           round(avg(o.o_totalprice - qs.u), 2) AS mean_excess
+    FROM qs JOIN orders o ON o.o_totalprice > qs.u
+    GROUP BY qs.p, qs.u
+    """,
+)
+def mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (mean residual life) curve at four tail thresholds —
+    the extreme-value-theory threshold-selection diagnostic that
+    completes ``hill_tail_index``: where the curve turns linear in u,
+    the generalized-Pareto regime starts and that's the u the Hill/POT
+    estimators should use (rising line: heavy tail; falling: short
+    tail). One quantile pass for the thresholds, one conditional agg
+    over the pushed tail filter."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(p)).alias(f"u{i}")
+            for i, p in enumerate((0.90, 0.925, 0.95, 0.975))
+        ]
+    )
+    rows = None
+    for i, p in enumerate((0.90, 0.925, 0.95, 0.975)):
+        r = (
+            o.crossJoin(F.broadcast(thr.select(F.col(f"u{i}").alias("u"))))
+            .filter(F.col("o_totalprice") > F.col("u"))
+            .agg(
+                F.lit(p).alias("quantile"),
+                F.round(F.max("u"), 2).alias("threshold"),
+                F.count(F.lit(1)).cast("bigint").alias("n_exceedances"),
+                F.round(F.avg(F.col("o_totalprice") - F.col("u")), 2).alias(
+                    "mean_excess"
+                ),
+            )
+            .select(
+                F.round(F.col("quantile"), 3).alias("quantile"),
+                "threshold",
+                "n_exceedances",
+                "mean_excess",
+            )
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+_HUBNESS_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+indeg AS (
+  SELECT b.vec_id, coalesce(t.k, 0) * 1.0 AS k
+  FROM base b LEFT JOIN (SELECT dst AS vec_id, count(*) AS k FROM topk
+                         GROUP BY 1) t USING (vec_id)
+),
+m1 AS (SELECT avg(k) AS mu, count(*) * 1.0 AS n FROM indeg),
+cm AS (
+  SELECT max(m1.n) AS n,
+         avg(pow(k - m1.mu, 2)) AS m2, avg(pow(k - m1.mu, 3)) AS m3,
+         max(CASE WHEN k >= 15 THEN 1 ELSE 0 END) AS has_hub
+  FROM indeg CROSS JOIN m1
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       round(m3 / pow(m2, 1.5), 4) AS k_occurrence_skewness,
+       has_hub = 1 AS hubs_present
+FROM cm
+"""
+
+
+@register("knn_hubness_audit", _HUBNESS_ORACLE)
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the 5-NN graph (Radovanovic et al. 2010): the
+    skewness of the k-occurrence (in-degree) distribution — the
+    high-dimensional pathology where a few 'hub' vectors appear in
+    everyone's neighbor list and silently dominate kNN votes,
+    retrieval results, and graph-based dedup. Positive skew growing
+    with dimension is the signature; a point with in-degree >= 3k
+    flags concrete hubs. Composes the production top-k; the audit is
+    one in-degree count + a moment fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select("dst")
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            topk.groupBy(F.col("dst").alias("vec_id")).agg(
+                F.count(F.lit(1)).alias("k0")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select((F.coalesce(F.col("k0"), F.lit(0)) * 1.0).alias("k"))
+    )
+    indeg = materialize_shared(indeg)
+    m1 = indeg.agg(F.avg("k").alias("mu"), (F.count(F.lit(1)) * 1.0).alias("n"))
+    d = F.col("k") - F.col("mu")
+    cm = indeg.crossJoin(F.broadcast(m1)).agg(
+        F.max("n").alias("n"),
+        F.avg(d * d).alias("m2"),
+        F.avg(d * d * d).alias("m3"),
+        F.max(F.when(F.col("k") >= 15, 1).otherwise(0)).alias("has_hub"),
+    )
+    return cm.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("m3") / F.pow(F.col("m2"), 1.5), 4).alias(
+            "k_occurrence_skewness"
+        ),
+        (F.col("has_hub") == 1).alias("hubs_present"),
+    )
+
+
+@register(
+    "duplicate_payment_screen",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(floor(a.o_totalprice / 10000) AS BIGINT) AS amount_bucket,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS INTEGER)
+             AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / 10000) = floor(b.o_totalprice / 10000)
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 90
+    """,
+)
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the classic AP-audit / fraud query):
+    same customer, same exact amount, within 30 days — the
+    double-submission signature, amounts banded to 10k buckets and a
+    90-day window (exact-amount matching is vacuous on the continuous
+    synthetic prices — the round-3 vacuity lesson; the bucket IS the
+    banding trick, turning the near-equality predicate into an
+    equi-join key). Candidates are per-(cust, bucket) groups (Σ group²
+    bounded like every dedup join here), the date band rides the join
+    as a residual — never an all-pairs scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    bucket = F.floor(F.col("o_totalprice") / 10000)
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        bucket.alias("amt"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderdate").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        bucket.alias("amt"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_orderdate").alias("db"),
+    )
+    return (
+        a.join(b, ["ck", "amt"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.datediff(F.col("da"), F.col("db"))) <= 90)
+        )
+        .select(
+            F.col("ck").alias("o_custkey"),
+            F.col("ka").alias("orderkey_a"),
+            F.col("kb").alias("orderkey_b"),
+            F.col("amt").cast("bigint").alias("amount_bucket"),
+            F.datediff(F.col("db"), F.col("da")).cast("int").alias("days_apart"),
+        )
+    )
