@@ -24470,3 +24470,69 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("db"), F.col("da")).cast("int").alias("days_apart"),
         )
     )
+
+
+_MINHASH_CAND_CTES = "\nWITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\nsh AS (\n  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle\n  FROM toks, unnest(range(1, greatest(len(l) - 1, 1))) AS t(i)\n),\nds AS (\n  SELECT doc_id,\n         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sid\n  FROM sh\n)\n, params(i, a, b) AS (VALUES (0, 7, 13), (1, 11, 110), (2, 13, 207), (3, 17, 304), (4, 19, 401), (5, 23, 498), (6, 29, 595), (7, 31, 692), (8, 37, 789), (9, 41, 886), (10, 43, 983), (11, 47, 1080), (12, 53, 1177), (13, 59, 1274), (14, 61, 1371), (15, 67, 1468)),\nsig AS (\n  SELECT doc_id, i, min((a * (sid % 2147483647) + b) % 2147483647) AS minv\n  FROM ds, params GROUP BY 1, 2\n),\nbands AS (\n  SELECT doc_id, i // 4 AS band,\n         string_agg(CAST(minv AS VARCHAR), ':' ORDER BY i) AS band_key\n  FROM sig GROUP BY 1, 2\n),\ncand AS (\n  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst\n  FROM bands a\n  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id\n)"
+
+
+_LSH_SCURVE_ORACLE = _MINHASH_CAND_CTES + """,
+sets AS (SELECT doc_id, list(DISTINCT sid) AS sl FROM ds GROUP BY 1),
+allpairs AS (
+  SELECT s.src, s.dst, s.j FROM (
+    SELECT x.doc_id AS src, y.doc_id AS dst,
+           len(list_intersect(x.sl, y.sl)) * 1.0
+             / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))) AS j
+    FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+  ) s WHERE s.j >= 0.2
+),
+marked AS (
+  SELECT p.j, CASE WHEN c.src IS NOT NULL THEN 1 ELSE 0 END AS captured
+  FROM allpairs p LEFT JOIN cand c ON c.src = p.src AND c.dst = p.dst
+),
+bucketed AS (
+  SELECT CASE WHEN j < 0.3 THEN '0.2-0.3' WHEN j < 0.5 THEN '0.3-0.5'
+              WHEN j < 0.7 THEN '0.5-0.7' ELSE '0.7-1.0' END AS bucket,
+         captured
+  FROM marked
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(captured) AS BIGINT) AS n_captured,
+       round(avg(captured * 1.0), 6) AS lsh_recall
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register("lsh_recall_by_similarity", _LSH_SCURVE_ORACLE)
+def lsh_recall_by_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED LSH S-curve: of ALL true pairs at each Jaccard
+    band (exact co-shingle join, ground truth including pairs LSH
+    missed), the fraction the banded MinHash candidate stage captures
+    — the empirical version of the 1-(1-s^r)^b design curve, and the
+    number that justifies the banding parameters: high-similarity
+    buckets must be ~1.0 (missed dups stay in the corpus), the
+    0.2-0.3 bucket SHOULD be low (that's the join-cost the curve
+    saves). Extends ``minhash_accuracy_audit`` (estimate quality ON
+    candidates) with the recall the candidates themselves achieve."""
+    docs = load_table(spark, sf_dir, "documents")
+    sids = materialize_shared(
+        dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False))
+    )
+    truth = dedup.exact_jaccard_pairs(sids, 0.2).select("src", "dst", "jaccard")
+    sigs = dedup.minhash_signatures(sids)
+    cand = dedup.lsh_candidates(sigs).select(
+        "src", "dst", F.lit(1).alias("captured0")
+    )
+    marked = truth.join(cand, ["src", "dst"], "left").select(
+        "jaccard", F.coalesce(F.col("captured0"), F.lit(0)).alias("captured")
+    )
+    bucket = (
+        F.when(F.col("jaccard") < 0.3, "0.2-0.3")
+        .when(F.col("jaccard") < 0.5, "0.3-0.5")
+        .when(F.col("jaccard") < 0.7, "0.5-0.7")
+        .otherwise("0.7-1.0")
+    )
+    return marked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("captured").cast("bigint").alias("n_captured"),
+        F.round(F.avg(F.col("captured") * 1.0), 6).alias("lsh_recall"),
+    )
