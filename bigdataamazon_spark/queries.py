@@ -16762,7 +16762,7 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cells AS (
       SELECT CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
-             CASE WHEN o_orderdate >= DATE '1995-01-01' THEN 1 ELSE 0 END
+             CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END
                AS post,
              count(*) AS n, avg(o_totalprice) AS y
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -16807,7 +16807,7 @@ def revenue_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0).alias("treated"),
-            F.when(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"), 1)
+            F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"), 1)
             .otherwise(0)
             .alias("post"),
         )
@@ -24535,4 +24535,130 @@ def lsh_recall_by_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
         F.sum("captured").cast("bigint").alias("n_captured"),
         F.round(F.avg(F.col("captured") * 1.0), 6).alias("lsh_recall"),
+    )
+
+
+@register(
+    "did_placebo_test",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o_orderdate >= DATE '1996-07-01' THEN 1 ELSE 0 END
+               AS post,
+             avg(o_totalprice) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT round(max(CASE WHEN treated = 1 AND post = 1 THEN y END)
+                 - max(CASE WHEN treated = 1 AND post = 0 THEN y END)
+                 - max(CASE WHEN treated = 0 AND post = 1 THEN y END)
+                 + max(CASE WHEN treated = 0 AND post = 0 THEN y END), 4)
+             AS placebo_did,
+           abs(max(CASE WHEN treated = 1 AND post = 1 THEN y END)
+               - max(CASE WHEN treated = 1 AND post = 0 THEN y END)
+               - max(CASE WHEN treated = 0 AND post = 1 THEN y END)
+               + max(CASE WHEN treated = 0 AND post = 0 THEN y END)) < 2000.0
+             AS parallel_trends_plausible
+    FROM cells
+    """,
+)
+def did_placebo_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placebo (pre-trend) test for the DiD design: rerun ``revenue_
+    diff_in_diff``'s exact estimator entirely INSIDE the pre-treatment
+    window (pre-1998) with a fake 1996-07 cutoff — a nonzero 'effect' here means the
+    parallel-trends assumption is broken and the real DiD estimate is
+    not causal; this is the robustness check every DiD publication is
+    required to show. Same one-join + 4-cell-agg plan as the parent
+    entry, date filter pushed."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            (F.col("c_nationkey") % 2 == 0).cast("int").alias("treated"),
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(F.avg("o_totalprice").alias("y"))
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("y"))
+    )
+    did = cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)
+    return cells.agg(
+        F.round(did, 4).alias("placebo_did"),
+        (F.abs(did) < 2000.0).alias("parallel_trends_plausible"),
+    )
+
+
+@register(
+    "embedding_anisotropy_audit",
+    """
+    WITH base AS (
+      SELECT vec_id, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS d(i)
+    ),
+    mu AS (SELECT dim, avg(x) AS m FROM base GROUP BY 1),
+    mn AS (SELECT sum(m * m) AS mu2 FROM mu),
+    sq AS (
+      SELECT avg(tot) AS e2 FROM (
+        SELECT vec_id, sum(x * x) AS tot FROM base GROUP BY 1
+      )
+    ),
+    dv AS (
+      SELECT avg(v) AS vbar, stddev_pop(v) AS vsd FROM (
+        SELECT dim, var_pop(x) AS v FROM base GROUP BY 1
+      )
+    )
+    SELECT round(mn.mu2 / sq.e2, 6) AS mean_direction_share,
+           round(dv.vsd / dv.vbar, 6) AS dim_variance_cv,
+           mn.mu2 / sq.e2 < 0.05 AND dv.vsd / dv.vbar < 0.5
+             AS isotropic
+    FROM mn CROSS JOIN sq CROSS JOIN dv
+    """,
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit (Mu et al. 2018 'all-but-the-top' diagnosis):
+    how much of the embedding energy sits in the COMMON mean direction
+    (||mean vec||² over mean ||x||² — large means every cosine is
+    inflated by a shared offset and should be centered before
+    similarity search), plus the per-dim variance CV (unequal dims
+    distort unwhitened distances). Both fold from one dim-fanned pass;
+    the flag encodes the 'safe to use raw cosine' decision the
+    similarity family implicitly makes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = materialize_shared(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim0", "xf")).select(
+            "vec_id", F.col("dim0").alias("dim"), F.col("xf").cast("double").alias("x")
+        )
+    )
+    mu2 = (
+        base.groupBy("dim")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.sum(F.col("m") * F.col("m")).alias("mu2"))
+    )
+    e2 = (
+        base.groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("tot"))
+        .agg(F.avg("tot").alias("e2"))
+    )
+    dv = (
+        base.groupBy("dim")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.avg("v").alias("vbar"), F.stddev_pop("v").alias("vsd"))
+    )
+    share = F.col("mu2") / F.col("e2")
+    cv = F.col("vsd") / F.col("vbar")
+    return (
+        mu2.crossJoin(F.broadcast(e2))
+        .crossJoin(F.broadcast(dv))
+        .select(
+            F.round(share, 6).alias("mean_direction_share"),
+            F.round(cv, 6).alias("dim_variance_cv"),
+            ((share < 0.05) & (cv < 0.5)).alias("isotropic"),
+        )
     )
