@@ -21318,13 +21318,13 @@ def jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(l_extendedprice) / sum(l_quantity) AS p,
              sum(l_quantity) AS q
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      WHERE extract(year FROM o_orderdate) IN (1994, 1995)
+      WHERE extract(year FROM o_orderdate) IN (1996, 1997)
       GROUP BY 1, 2
     ),
     paired AS (
       SELECT a.l_partkey, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
       FROM px a JOIN px b ON a.l_partkey = b.l_partkey
-      WHERE a.yr = 1994 AND b.yr = 1995
+      WHERE a.yr = 1996 AND b.yr = 1997
     )
     SELECT CAST(count(*) AS BIGINT) AS n_parts,
            round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
@@ -21335,7 +21335,7 @@ def jarque_bera_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Price-index numbers 1994→1995 over the common part basket:
+    """Price-index numbers 1996→1997 over the common part basket:
     Laspeyres (base-period weights), Paasche (current weights), and
     the Fisher ideal (their geometric mean) — the index-number
     machinery behind 'did prices actually rise or did the MIX shift',
@@ -21344,7 +21344,7 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sums finish it."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("yr")
-    ).filter(F.col("yr").isin(1994, 1995))
+    ).filter(F.col("yr").isin(1996, 1997))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
     )
@@ -21356,10 +21356,10 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("q"),
         )
     )
-    a = px.filter(F.col("yr") == 1994).select(
+    a = px.filter(F.col("yr") == 1996).select(
         "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
     )
-    b = px.filter(F.col("yr") == 1995).select(
+    b = px.filter(F.col("yr") == 1997).select(
         "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
     )
     paired = a.join(b, "l_partkey")
