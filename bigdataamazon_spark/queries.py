@@ -24662,3 +24662,168 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((share < 0.05) & (cv < 0.5)).alias("isotropic"),
         )
     )
+
+
+_ARI_ORACLE = (
+    "WITH km AS MATERIALIZED ("
+    + _ORACLES["kmeans_embedding_clusters"]
+    + "),\ndb AS MATERIALIZED ("
+    + _DBSCAN_ORACLE
+    + """),
+    ct AS (
+      SELECT km.cluster AS a, db.cluster AS b, count(*) * 1.0 AS n
+      FROM km JOIN db USING (vec_id) GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(n) AS n FROM ct GROUP BY 1),
+    rb AS (SELECT b, sum(n) AS n FROM ct GROUP BY 1),
+    tot AS (SELECT sum(n) AS n FROM ct),
+    s AS (
+      SELECT (SELECT sum(n * (n - 1) / 2) FROM ct) AS sij,
+             (SELECT sum(n * (n - 1) / 2) FROM ra) AS sa,
+             (SELECT sum(n * (n - 1) / 2) FROM rb) AS sb,
+             (SELECT max(n * (n - 1) / 2) FROM tot) AS sn
+    )
+    SELECT CAST((SELECT max(n) FROM tot) AS BIGINT) AS n_vectors,
+           round(sij, 1) AS pair_agreements,
+           round((sij - sa * sb / sn) / ((sa + sb) / 2.0 - sa * sb / sn), 6)
+             AS adjusted_rand_index
+    FROM s
+    """
+)
+
+
+@register("clustering_ari_audit", _ARI_ORACLE)
+def clustering_ari_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the two REGISTERED clusterings
+    (k-means balls vs DBSCAN density components): the chance-corrected
+    pair-agreement score that says whether two clusterers see the same
+    structure — near 0 here is the honest expectation on isotropic
+    synthetic embeddings, and exactly the number that justifies
+    running both on real data. Computed entirely from the k×k'
+    contingency counts via the C(n,2) sufficient-statistics identity —
+    no pair materialization anywhere, one join of the two assignment
+    tables."""
+    km = _QUERIES["kmeans_embedding_clusters"](spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("a")
+    )
+    db = _QUERIES["dbscan_embedding_clusters"](spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("b")
+    )
+    ct = materialize_shared(
+        km.join(db, "vec_id").groupBy("a", "b").agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    c2 = lambda col: F.sum(F.col(col) * (F.col(col) - 1) / 2)  # noqa: E731
+    sij = ct.agg(c2("n").alias("v"))
+    sa = ct.groupBy("a").agg(F.sum("n").alias("n")).agg(c2("n").alias("v"))
+    sb = ct.groupBy("b").agg(F.sum("n").alias("n")).agg(c2("n").alias("v"))
+    tot = ct.agg(F.sum("n").alias("n"))
+    sn = tot.select((F.col("n") * (F.col("n") - 1) / 2).alias("v"), F.col("n"))
+    j = (
+        sij.select(F.col("v").alias("sij"))
+        .crossJoin(F.broadcast(sa.select(F.col("v").alias("sa"))))
+        .crossJoin(F.broadcast(sb.select(F.col("v").alias("sb"))))
+        .crossJoin(F.broadcast(sn.select(F.col("v").alias("sn"), F.col("n"))))
+    )
+    exp = F.col("sa") * F.col("sb") / F.col("sn")
+    return j.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("sij"), 1).alias("pair_agreements"),
+        F.round(
+            (F.col("sij") - exp) / ((F.col("sa") + F.col("sb")) / 2.0 - exp), 6
+        ).alias("adjusted_rand_index"),
+    )
+
+
+@register(
+    "rmst_comparison",
+    """
+    WITH life AS (
+      SELECT user_id, user_id % 2 AS g,
+             date_diff('day', min(ts), max(ts)) * 1.0 AS dur
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT g, count(*) * 1.0 AS n FROM life GROUP BY 1),
+    bytime AS (
+      SELECT g, dur, count(*) * 1.0 AS d FROM life GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT b.g, b.dur, b.d,
+             t.n - coalesce(sum(b.d) OVER (PARTITION BY b.g ORDER BY b.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atrisk
+      FROM bytime b JOIN tot t USING (g)
+    ),
+    km AS (
+      SELECT g, dur,
+             exp(sum(ln(1.0 - d / atrisk)) OVER (
+               PARTITION BY g ORDER BY dur)) AS s,
+             lead(dur) OVER (PARTITION BY g ORDER BY dur) AS nxt
+      FROM risk WHERE d < atrisk
+    ),
+    rmst AS (
+      SELECT g,
+             sum(CASE WHEN nxt IS NOT NULL AND dur < 60
+                 THEN s * (least(nxt, 60.0) - dur) ELSE 0 END)
+               + min(CASE WHEN dur >= 0 THEN least(dur, 60.0) END) AS area
+      FROM km GROUP BY 1
+    )
+    SELECT round(max(CASE WHEN g = 0 THEN area END), 4) AS rmst_g0_days,
+           round(max(CASE WHEN g = 1 THEN area END), 4) AS rmst_g1_days,
+           round(max(CASE WHEN g = 1 THEN area END)
+                 - max(CASE WHEN g = 0 THEN area END), 4) AS rmst_difference
+    FROM rmst
+    """,
+)
+def rmst_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to a 60-day horizon for the two
+    ``logrank_churn_test`` cohorts — the modern effect MEASURE that
+    pairs with log-rank's yes/no (RMST difference reads as 'days of
+    engagement gained', stays valid when hazards cross, and is what
+    regulators now ask for instead of hazard ratios). The KM curve
+    folds as exp(cumsum(ln(1−d/n))) — a product turned into a prefix
+    sum of logs, all on the time-sized death table; the area is one
+    step-function integral via lead()."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        (F.datediff(F.max("ts"), F.min("ts")) * 1.0).alias("dur")
+    ).select((F.col("user_id") % 2).alias("g"), "dur")
+    tot = life.groupBy("g").agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    bytime = life.groupBy("g", "dur").agg((F.count(F.lit(1)) * 1.0).alias("d"))
+    wprev = (
+        Window.partitionBy("g").orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = bytime.join(tot, "g").select(
+        "g",
+        "dur",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("d").over(wprev), F.lit(0.0))).alias("atrisk"),
+    )
+    wcum = Window.partitionBy("g").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.partitionBy("g").orderBy("dur")
+    km = risk.filter(F.col("d") < F.col("atrisk")).select(
+        "g",
+        "dur",
+        F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("atrisk"))).over(wcum)).alias("s"),
+        F.lead("dur").over(wlead).alias("nxt"),
+    )
+    area = km.groupBy("g").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull() & (F.col("dur") < 60),
+                    F.col("s") * (F.least(F.col("nxt"), F.lit(60.0)) - F.col("dur")),
+                ).otherwise(0.0)
+            )
+            + F.min(
+                F.when(F.col("dur") >= 0, F.least(F.col("dur"), F.lit(60.0)))
+            )
+        ).alias("area")
+    )
+    g0 = F.max(F.when(F.col("g") == 0, F.col("area")))
+    g1 = F.max(F.when(F.col("g") == 1, F.col("area")))
+    return area.agg(
+        F.round(g0, 4).alias("rmst_g0_days"),
+        F.round(g1, 4).alias("rmst_g1_days"),
+        F.round(g1 - g0, 4).alias("rmst_difference"),
+    )
