@@ -24936,3 +24936,75 @@ def doc_length_distribution_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lm_smoothing_tuning",
+    r"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, unnest(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    train AS (
+      SELECT w, count(*) * 1.0 AS c FROM toks WHERE half = 0 GROUP BY 1
+    ),
+    tstats AS (SELECT sum(c) AS n, count(*) * 1.0 AS v FROM train),
+    ev AS (SELECT w FROM toks WHERE half = 1),
+    lam(l) AS (VALUES (0.2), (0.5), (0.8), (0.95)),
+    scored AS (
+      SELECT lam.l,
+             -ln(lam.l * coalesce(train.c, 0.0) / tstats.n
+                 + (1.0 - lam.l) / tstats.v) AS nll
+      FROM ev
+      LEFT JOIN train USING (w)
+      CROSS JOIN tstats CROSS JOIN lam
+    )
+    SELECT round(l, 2) AS lambda,
+           CAST(count(*) AS BIGINT) AS n_eval_tokens,
+           round(avg(nll), 6) AS eval_nll
+    FROM scored GROUP BY l
+    """,
+)
+def lm_smoothing_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothing-hyperparameter tuning by held-out likelihood: a
+    unigram LM fit on the even-doc half, interpolated with a uniform
+    backoff at lambda in {0.2, 0.5, 0.8, 0.95}, scored by per-token
+    NLL on the odd half — the tune-on-held-out loop behind every
+    smoothing constant the LM entries hard-code (KN's 0.75 discount
+    included), with the OOV mass handled by the uniform component so
+    unseen eval words never produce -ln(0). ALL lambdas score in one
+    pass: the eval token stream joins the broadcast train model once
+    and fans across the 4-row lambda grid, map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(text.tokens(F.col("text"))).alias("w"),
+    )
+    toks = materialize_shared(toks)
+    train = toks.filter(F.col("half") == 0).groupBy("w").agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    tstats = train.agg(F.sum("c").alias("n"), (F.count(F.lit(1)) * 1.0).alias("v"))
+    ev = toks.filter(F.col("half") == 1).select("w")
+    lam = spark.createDataFrame([(0.2,), (0.5,), (0.8,), (0.95,)], ["l"])
+    scored = (
+        ev.join(F.broadcast(train), "w", "left")
+        .crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "l",
+            (
+                -F.log(
+                    F.col("l") * F.coalesce(F.col("c"), F.lit(0.0)) / F.col("n")
+                    + (1.0 - F.col("l")) / F.col("v")
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_tokens"),
+        F.round(F.avg("nll"), 6).alias("eval_nll"),
+    ).select(
+        F.round("l", 2).alias("lambda"), "n_eval_tokens", "eval_nll"
+    )
