@@ -25008,3 +25008,148 @@ def lm_smoothing_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.round("l", 2).alias("lambda"), "n_eval_tokens", "eval_nll"
     )
+
+
+@register(
+    "preference_transitivity_audit",
+    """
+    WITH bq AS (
+      SELECT l_orderkey AS okey, p_brand, sum(l_quantity) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    games AS (
+      SELECT a.p_brand AS ba, b.p_brand AS bb,
+             sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS wa,
+             sum(CASE WHEN a.q <> b.q THEN 1 ELSE 0 END) AS n
+      FROM bq a JOIN bq b ON a.okey = b.okey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    beats AS (
+      SELECT ba AS i, bb AS j FROM games WHERE n > 0 AND wa * 2 > n
+      UNION ALL
+      SELECT bb, ba FROM games WHERE n > 0 AND wa * 2 < n
+    ),
+    triads AS (
+      SELECT e1.i AS a, e1.j AS b, e2.j AS c
+      FROM beats e1 JOIN beats e2 ON e1.j = e2.i AND e1.i <> e2.j
+    ),
+    closed AS (
+      SELECT t.a, t.b, t.c,
+             CASE WHEN e3.i IS NOT NULL THEN 1 ELSE 0 END AS cyclic
+      FROM triads t LEFT JOIN beats e3 ON e3.i = t.c AND e3.j = t.a
+    )
+    SELECT CAST((SELECT count(*) FROM beats) AS BIGINT) AS n_majority_edges,
+           CAST(count(*) AS BIGINT) AS n_two_paths,
+           CAST(sum(cyclic) / 3 AS BIGINT) AS n_cyclic_triads,
+           round(sum(cyclic) * 1.0 / (3 * count(*)), 6) AS cycle_rate
+    FROM closed
+    """,
+)
+def preference_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the brand preference tournament BEFORE
+    fitting Bradley-Terry (``brand_bradley_terry`` assumes a global
+    scale exists): count cyclic triads (A beats B beats C beats A) in
+    the majority-win digraph — a high cycle rate means preferences are
+    contextual and ANY single ranking misleads (the Condorcet paradox
+    check, run by every RLHF preference pipeline on its comparison
+    data). Wedge join + closing-edge probe on the 25-brand tournament;
+    each cycle is counted at its 3 rotations and folded by /3."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = materialize_shared(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("okey"), "p_brand")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a = bq.select("okey", F.col("p_brand").alias("ba"), F.col("q").alias("qa"))
+    b = bq.select("okey", F.col("p_brand").alias("bb"), F.col("q").alias("qb"))
+    games = (
+        a.join(b, "okey")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(
+            F.sum(F.when(F.col("qa") > F.col("qb"), 1).otherwise(0)).alias("wa"),
+            F.sum(F.when(F.col("qa") != F.col("qb"), 1).otherwise(0)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    beats = materialize_shared(
+        games.filter(F.col("wa") * 2 > F.col("n"))
+        .select(F.col("ba").alias("i"), F.col("bb").alias("j"))
+        .unionAll(
+            games.filter(F.col("wa") * 2 < F.col("n")).select(
+                F.col("bb").alias("i"), F.col("ba").alias("j")
+            )
+        )
+    )
+    n_edges = beats.count()
+    e1 = beats.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    e2 = beats.select(F.col("i").alias("b"), F.col("j").alias("c"))
+    triads = e1.join(e2, "b").filter(F.col("a") != F.col("c"))
+    e3 = beats.select(F.col("i").alias("c"), F.col("j").alias("a"), F.lit(1).alias("cy"))
+    closed = triads.join(e3, ["c", "a"], "left").select(
+        F.coalesce(F.col("cy"), F.lit(0)).alias("cyclic")
+    )
+    return closed.agg(
+        F.lit(n_edges).cast("bigint").alias("n_majority_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_two_paths"),
+        (F.sum("cyclic") / 3).cast("bigint").alias("n_cyclic_triads"),
+        F.round(F.sum("cyclic") * 1.0 / (3 * F.count(F.lit(1))), 6).alias(
+            "cycle_rate"
+        ),
+    )
+
+
+@register(
+    "hodges_lehmann_price",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 30 = 0
+    ),
+    pairs AS (
+      SELECT (a.x + b.x) / 2.0 AS m
+      FROM (SELECT x, row_number() OVER (ORDER BY x) AS r FROM s) a
+      JOIN (SELECT x, row_number() OVER (ORDER BY x) AS r FROM s) b
+        ON a.r <= b.r
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_orders,
+           round(quantile_cont(m, 0.5), 4) AS hodges_lehmann,
+           round((SELECT quantile_cont(x, 0.5) FROM s), 4) AS plain_median,
+           round((SELECT avg(x) FROM s), 4) AS mean
+    FROM pairs
+    """,
+)
+def hodges_lehmann_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median (median of all pairwise Walsh
+    averages) on an order-value sliver — the location estimator that
+    pairs with the Wilcoxon/rank tests the way the mean pairs with the
+    t-test: ~95% Gaussian efficiency yet a 29% breakdown point, sitting
+    BETWEEN the plain median and mean shown alongside. Honestly
+    O(n²/2) pairs by definition — computed on a deterministic sliver
+    (the ``cosine_topk`` guard philosophy); the production
+    approximation subsamples pairs, the estimator is unchanged."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 30 == 0)
+    s = materialize_shared(o.select(F.col("o_totalprice").alias("x")))
+    nrow = s.count()
+    r = s.select("x", F.row_number().over(Window.orderBy("x")).alias("r"))
+    a = r.select(F.col("x").alias("xa"), F.col("r").alias("ra"))
+    b = r.select(F.col("x").alias("xb"), F.col("r").alias("rb"))
+    pairs = a.join(b, F.col("ra") <= F.col("rb")).select(
+        ((F.col("xa") + F.col("xb")) / 2.0).alias("m")
+    )
+    stats = s.agg(
+        F.percentile("x", F.lit(0.5)).alias("med"), F.avg("x").alias("mean")
+    )
+    return (
+        pairs.agg(F.percentile("m", F.lit(0.5)).alias("hl"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit(nrow).cast("bigint").alias("n_orders"),
+            F.round("hl", 4).alias("hodges_lehmann"),
+            F.round("med", 4).alias("plain_median"),
+            F.round("mean", 4).alias("mean"),
+        )
+    )
