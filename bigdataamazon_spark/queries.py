@@ -25153,3 +25153,145 @@ def hodges_lehmann_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean", 4).alias("mean"),
         )
     )
+
+
+@register(
+    "stratification_design_effect",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS stratum, count(*) * 1.0 AS n,
+             avg(o_totalprice) AS m, var_pop(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    ),
+    pool AS (
+      SELECT sum(n) AS nn,
+             sum(n * m) / sum(n) AS gm,
+             sum(n * v) / sum(n) AS within_v
+      FROM g
+    ),
+    tot AS (
+      SELECT pool.within_v
+               + sum(g.n * (g.m - pool.gm) * (g.m - pool.gm)) / pool.nn
+               AS total_v,
+             pool.within_v
+      FROM g CROSS JOIN pool GROUP BY pool.within_v, pool.nn, pool.gm
+    )
+    SELECT round(total_v, 2) AS srs_variance,
+           round(within_v, 2) AS stratified_variance,
+           round(within_v / total_v, 6) AS design_effect,
+           round(1.0 - within_v / total_v, 6) AS variance_reduction
+    FROM tot
+    """,
+)
+def stratification_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of stratifying on order priority (proportional
+    allocation): DEFF = within-stratum variance over total variance —
+    the single number that says whether the stratified samplers
+    (``docs_stratified_fixed_n``, the Neyman/Dalenius design entries)
+    are worth their bookkeeping for THIS variable (DEFF ~1: the strata
+    don't explain the metric, stratification buys nothing — the honest
+    result when priorities don't correlate with value). One grouped
+    moment pass; the decomposition total = within + between is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_pop("o_totalprice").alias("v"),
+    )
+    pool = g.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        (F.sum(F.col("n") * F.col("v")) / F.sum("n")).alias("within_v"),
+    )
+    tot = (
+        g.crossJoin(F.broadcast(pool))
+        .agg(
+            (
+                F.first("within_v")
+                + F.sum(
+                    F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+                )
+                / F.first("nn")
+            ).alias("total_v"),
+            F.first("within_v").alias("within_v"),
+        )
+    )
+    return tot.select(
+        F.round("total_v", 2).alias("srs_variance"),
+        F.round("within_v", 2).alias("stratified_variance"),
+        F.round(F.col("within_v") / F.col("total_v"), 6).alias("design_effect"),
+        F.round(1.0 - F.col("within_v") / F.col("total_v"), 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+@register(
+    "word_burstiness_audit",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS w
+      FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) * 1.0 AS nd FROM toks),
+    dw AS (SELECT w, doc_id, count(*) * 1.0 AS k FROM toks GROUP BY 1, 2),
+    top AS (
+      SELECT w, sum(k) AS cf FROM dw GROUP BY 1
+      ORDER BY cf DESC, w ASC LIMIT 20
+    ),
+    stats AS (
+      SELECT dw.w, max(top.cf) AS cf,
+             count(*) * 1.0 AS df,
+             avg(CASE WHEN dw.k >= 2 THEN 1.0 ELSE 0.0 END) AS p_repeat
+      FROM dw JOIN top USING (w) GROUP BY dw.w
+    )
+    SELECT s.w AS word, CAST(s.cf AS BIGINT) AS corpus_freq,
+           CAST(s.df AS BIGINT) AS doc_freq,
+           round(s.p_repeat, 6) AS p_repeat_given_present,
+           round(1.0 - (1.0 + s.cf / nd.nd) * exp(-s.cf / nd.nd)
+                 / (1.0 - exp(-s.cf / nd.nd)), 6) AS poisson_expected,
+           round(s.p_repeat - (1.0 - (1.0 + s.cf / nd.nd) * exp(-s.cf / nd.nd)
+                 / (1.0 - exp(-s.cf / nd.nd))), 6) AS burstiness_excess
+    FROM stats s CROSS JOIN nd
+    """,
+)
+def word_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church-Gale): for the top-20 words, the
+    probability a word REPEATS in a doc given it appears at all,
+    against the Poisson expectation at the same corpus rate — real
+    text is far burstier than Poisson (a word that appears tends to
+    appear again), which is WHY BM25 saturates tf and why df-based idf
+    beats raw frequency; the excess column quantifies it per word.
+    One (doc, word) count; everything else is rollups of it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    nd = toks.select("doc_id").distinct().count() * 1.0
+    dw = materialize_shared(
+        toks.groupBy("w", "doc_id").agg((F.count(F.lit(1)) * 1.0).alias("k"))
+    )
+    top = (
+        dw.groupBy("w")
+        .agg(F.sum("k").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(20)
+    )
+    stats = (
+        dw.join(F.broadcast(top), "w")
+        .groupBy("w")
+        .agg(
+            F.max("cf").alias("cf"),
+            (F.count(F.lit(1)) * 1.0).alias("df"),
+            F.avg(F.when(F.col("k") >= 2, 1.0).otherwise(0.0)).alias("p_repeat"),
+        )
+    )
+    lam = F.col("cf") / nd
+    pois = 1.0 - (1.0 + lam) * F.exp(-lam) / (1.0 - F.exp(-lam))
+    return stats.select(
+        F.col("w").alias("word"),
+        F.col("cf").cast("bigint").alias("corpus_freq"),
+        F.col("df").cast("bigint").alias("doc_freq"),
+        F.round("p_repeat", 6).alias("p_repeat_given_present"),
+        F.round(pois, 6).alias("poisson_expected"),
+        F.round(F.col("p_repeat") - pois, 6).alias("burstiness_excess"),
+    )
