@@ -25295,3 +25295,104 @@ def word_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pois, 6).alias("poisson_expected"),
         F.round(F.col("p_repeat") - pois, 6).alias("burstiness_excess"),
     )
+
+
+_CENTERED_SHIFT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+mu AS (
+  SELECT d.i AS dim, avg(vec[d.i]) AS m
+  FROM base, unnest(range(1, 65)) AS d(i) GROUP BY 1
+),
+cent AS (
+  SELECT b.vec_id,
+         list(b.vec[mu.dim] - mu.m ORDER BY mu.dim) AS vec
+  FROM base b CROSS JOIN mu
+  GROUP BY b.vec_id
+),
+rn AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base
+),
+cn AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM cent
+),
+raw_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM rn a JOIN rn b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+cen_topk AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC,
+                      b.vec_id ASC) AS rnk
+    FROM cn a JOIN cn b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+ov AS (
+  SELECT r.src, count(c.dst) AS o
+  FROM raw_topk r LEFT JOIN cen_topk c ON c.src = r.src AND c.dst = r.dst
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(o / 5.0), 6) AS mean_overlap_at_5,
+       round(avg(CASE WHEN o = 5 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_unchanged
+FROM ov
+"""
+
+
+@register("centered_cosine_shift_audit", _CENTERED_SHIFT_ORACLE)
+def centered_cosine_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does mean-centering change retrieval? Top-5 overlap
+    between raw-cosine and centered-cosine neighbor lists — the
+    operational consequence of the ``embedding_anisotropy_audit``
+    diagnosis (all-but-the-top centering is free at index time; if
+    overlap is low, the common direction was steering results and the
+    index should be rebuilt centered). The centered side subtracts a
+    broadcast mean vector and runs the SAME production GEMM; the
+    comparison is one per-query join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+    mu = pts.groupBy("dim").agg(F.avg(F.col("xf").cast("double")).alias("m"))
+    cent = (
+        pts.join(F.broadcast(mu), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("dim", (F.col("xf").cast("double") - F.col("m")).alias("v"))
+                )
+            ).alias("z")
+        )
+        .select(
+            "vec_id", F.transform("z", lambda e: e.v.cast("float")).alias("embedding")
+        )
+    )
+    raw = materialize_shared(
+        similarity.cosine_topk(emb, "vec_id", "embedding", k=5).select("src", "dst")
+    )
+    cen = similarity.cosine_topk(cent, "vec_id", "embedding", k=5).select(
+        "src", "dst", F.lit(1).alias("hit")
+    )
+    ov = (
+        raw.join(cen, ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("o"))
+    )
+    return ov.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg(F.col("o") / 5.0), 6).alias("mean_overlap_at_5"),
+        F.round(F.avg(F.when(F.col("o") == 5, 1.0).otherwise(0.0)), 6).alias(
+            "frac_unchanged"
+        ),
+    )
