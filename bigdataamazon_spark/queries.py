@@ -25396,3 +25396,152 @@ def centered_cosine_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_unchanged"
         ),
     )
+
+
+@register(
+    "part_rank_movers",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END
+               AS period,
+             sum(l_extendedprice * (1.0 - l_discount)) AS r
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= DATE '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_partkey, period,
+             row_number() OVER (PARTITION BY period
+                                ORDER BY r DESC, l_partkey ASC) AS rnk
+      FROM rev
+    ),
+    paired AS (
+      SELECT a.l_partkey, a.rnk AS rank_before, b.rnk AS rank_after,
+             a.rnk - b.rnk AS rank_gain
+      FROM ranked a JOIN ranked b
+        ON a.l_partkey = b.l_partkey AND a.period = 0 AND b.period = 1
+    )
+    SELECT l_partkey, CAST(rank_before AS INTEGER) AS rank_before,
+           CAST(rank_after AS INTEGER) AS rank_after,
+           CAST(rank_gain AS INTEGER) AS rank_gain
+    FROM paired
+    ORDER BY abs(rank_gain) DESC, l_partkey ASC LIMIT 25
+    """,
+)
+def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top movers: parts with the largest revenue-RANK change between
+    the pre-1998 and 1998+ periods — the 'what changed' dashboard view
+    that absolute-delta rankings get wrong (a big seller moving 2%
+    swamps a small part that tripled; rank deltas normalize scale
+    away). Two period ranks from one grouped agg + a part-keyed join +
+    TakeOrdered top-25 by absolute movement."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            .cast("int")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("r")
+        )
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("r"), F.asc("l_partkey"))
+    ranked = rev.select("l_partkey", "period", F.row_number().over(w).alias("rnk"))
+    a = ranked.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("rnk").alias("rank_before")
+    )
+    b = ranked.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("rnk").alias("rank_after")
+    )
+    paired = a.join(b, "l_partkey").select(
+        "l_partkey",
+        F.col("rank_before").cast("int").alias("rank_before"),
+        F.col("rank_after").cast("int").alias("rank_after"),
+        (F.col("rank_before") - F.col("rank_after")).cast("int").alias("rank_gain"),
+    )
+    return (
+        paired.orderBy(F.abs(F.col("rank_gain")).desc(), F.asc("l_partkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "marker_mcc_score",
+    """
+    WITH r AS (
+      SELECT (lang = 'en') AS truth,
+             (n_chars BETWEEN 200 AND 2000) AS pred
+      FROM documents
+    ),
+    c AS (
+      SELECT sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) * 1.0 AS tp,
+             sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) * 1.0 AS fp,
+             sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) * 1.0 AS fn,
+             sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) * 1.0 AS tn
+      FROM r
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round((tp + tn) / (tp + tn + fp + fn), 6) AS accuracy,
+           round((tp / (tp + fn) + tn / (tn + fp)) / 2.0, 6)
+             AS balanced_accuracy,
+           round((tp * tn - fp * fn)
+                 / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+             AS mcc
+    FROM c
+    """,
+)
+def marker_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (+ balanced accuracy) for the
+    length-band rater against the lang label — the one-number binary
+    summary that stays honest under class imbalance where plain
+    accuracy lies (a reject-everything filter scores 80% accuracy on a
+    80/20 corpus but MCC 0); completes the classifier-eval family
+    (confusion, kappa, AUC, AP, ECE, F1). One 4-cell agg."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        F.col("n_chars").between(200, 2000).alias("pred"),
+    )
+    t, p = F.col("truth"), F.col("pred")
+    c = r.agg(
+        (F.sum(F.when(p & t, 1).otherwise(0)) * 1.0).alias("tp"),
+        (F.sum(F.when(p & ~t, 1).otherwise(0)) * 1.0).alias("fp"),
+        (F.sum(F.when(~p & t, 1).otherwise(0)) * 1.0).alias("fn"),
+        (F.sum(F.when(~p & ~t, 1).otherwise(0)) * 1.0).alias("tn"),
+    )
+    mcc = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")) / F.sqrt(
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return c.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            (
+                F.col("tp") / (F.col("tp") + F.col("fn"))
+                + F.col("tn") / (F.col("tn") + F.col("fp"))
+            )
+            / 2.0,
+            6,
+        ).alias("balanced_accuracy"),
+        F.round(mcc, 6).alias("mcc"),
+    )
