@@ -25545,3 +25545,90 @@ def marker_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("balanced_accuracy"),
         F.round(mcc, 6).alias("mcc"),
     )
+
+
+@register(
+    "triangle_sampling_audit",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    cop AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM os a JOIN os b USING (ok) WHERE a.s < b.s
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT quantile_cont(c, 0.95) AS p FROM cop),
+    edges AS (SELECT u, v FROM cop, thr WHERE c >= p),
+    ex AS (
+      SELECT count(*) AS t FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    sampled AS (
+      SELECT u, v FROM edges
+      WHERE ('0x' || substr(md5('tri:' || u || ':' || v), 1, 2))::INT < 128
+    ),
+    sx AS (
+      SELECT count(*) AS t FROM sampled e1
+      JOIN sampled e2 ON e1.v = e2.u
+      JOIN sampled e3 ON e1.u = e3.u AND e2.v = e3.v
+    )
+    SELECT CAST(ex.t AS BIGINT) AS exact_triangles,
+           CAST(sx.t AS BIGINT) AS sampled_triangles,
+           round(sx.t * 8.0, 1) AS doulion_estimate,
+           round(abs(sx.t * 8.0 - ex.t) / ex.t, 6) AS rel_error
+    FROM ex CROSS JOIN sx
+    """,
+)
+def triangle_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion sampled triangle counting (Tsourakakis et al. 2009):
+    keep each edge with p=1/2 (deterministic md5 coin), count
+    triangles on the sample, scale by 1/p³=8 — the estimator that cuts
+    the wedge-join cost ~8x at 100 TB graph scale, audited against the
+    exact count (the sketch-vs-exact pattern from the HLL/CMS/AMS
+    family applied to graph aggregates). Both counts use the ordered
+    wedge-closure plan; the sample side's join is the same shape on
+    ~half the edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    cop = materialize_shared(
+        os_.alias("a")
+        .join(os_.alias("b"), "ok")
+        .where(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = cop.agg(F.percentile("c", F.lit(0.95)).alias("p"))
+    edges = materialize_shared(
+        cop.crossJoin(F.broadcast(thr)).where(F.col("c") >= F.col("p")).select("u", "v")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("tri"), F.col("u"), F.col("v"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 128
+    )
+    sampled = materialize_shared(edges.filter(coin))
+
+    def tri_count(e):
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        return (
+            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(
+                e3,
+                (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+            )
+            .count()
+        )
+
+    ex, sx = tri_count(edges), tri_count(sampled)
+    return spark.createDataFrame(
+        [(ex, sx, round(sx * 8.0, 1), round(abs(sx * 8.0 - ex) / ex, 6))],
+        "exact_triangles bigint, sampled_triangles bigint, "
+        "doulion_estimate double, rel_error double",
+    )
