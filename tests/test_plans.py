@@ -1371,3 +1371,25 @@ def test_mus_single_ordered_pass(spark, sf_dir):
         assert op not in plan
     schemas = [sorted(c) for c in _scan_schemas(plan)]
     assert schemas and all(s == ["o_orderkey", "o_totalprice"] for s in schemas)
+
+
+def test_triangle_sampling_wedge_joins_only(spark, sf_dir):
+    plan = _executed_plan(spark, "triangle_sampling_audit", sf_dir)
+    assert "CartesianProduct" not in plan
+    schemas = [sorted(c) for c in _scan_schemas(plan)]
+    assert all(s == ["l_orderkey", "l_suppkey"] for s in schemas)
+
+
+def test_lm_tuning_single_pass_lambda_fan(spark, sf_dir):
+    plan = _executed_plan(spark, "lm_smoothing_tuning", sf_dir)
+    # the train model and the 4-row lambda grid broadcast onto the
+    # eval stream; one scan of text feeds both halves
+    assert plan.count("SortMergeJoin") == 0
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_rank_movers_take_ordered(spark, sf_dir):
+    plan = _executed_plan(spark, "part_rank_movers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
