@@ -508,3 +508,70 @@ def test_bfs_hops_matches_python_bfs(spark, edges):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(KEYS, KEYS), min_size=1, max_size=12, unique=True
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@SLOW
+def test_hits_l1_normalized_and_nonnegative(spark, edges):
+    from bigdataamazon_spark.operators.graph import hits
+
+    es = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(es, ["src", "dst"])
+    out = hits(df, iters=2).collect()
+    hubs = [r.hub for r in out]
+    auths = [r.authority for r in out]
+    # every half-step L1-normalizes: both score vectors sum to 1
+    assert abs(sum(hubs) - 1.0) < 1e-9
+    assert abs(sum(auths) - 1.0) < 1e-9
+    assert all(h >= 0 for h in hubs) and all(a >= 0 for a in auths)
+    # a node with no out-edges can earn no hub mass
+    srcs = {a for a, _ in es}
+    for r in out:
+        if r.node not in srcs:
+            assert r.hub == 0.0
+
+
+@given(
+    sims=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SLOW
+def test_facility_gain_sequence_non_increasing(spark, sims):
+    """Submodularity: the greedy facility-location gain sequence must be
+    non-increasing (up to the 6-decimal rounding the entry applies) —
+    a rising gain means the marginal-gain bookkeeping is wrong."""
+    pool = sorted({a for a, _, _ in sims} | {b for _, b, _ in sims})
+    sim = {}
+    for a, b, s in sims:
+        if a != b:
+            s6 = round(s, 6)
+            sim[(a, b)] = s6
+            sim[(b, a)] = s6
+    for v in pool:
+        sim[(v, v)] = 1.0
+    cur = {v: 0.0 for v in pool}
+    selected, gains = [], []
+    for _ in range(min(4, len(pool))):
+        best = None
+        for c in pool:
+            if c in selected:
+                continue
+            g = round(sum(max(sim.get((v, c), 0.0) - cur[v], 0.0) for v in pool), 6)
+            if best is None or g > best[1]:
+                best = (c, g)
+        selected.append(best[0])
+        gains.append(best[1])
+        for v in pool:
+            cur[v] = max(cur[v], sim.get((v, best[0]), 0.0))
+    assert all(gains[i] >= gains[i + 1] - 1e-6 for i in range(len(gains) - 1))
