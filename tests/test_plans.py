@@ -1393,3 +1393,63 @@ def test_rank_movers_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, "part_rank_movers", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+# --- wave 16 pins -----------------------------------------------------------
+
+
+def test_interval_join_is_equi_not_theta(spark, sf_dir):
+    """order_week_market_exposure: the bounded-span interval join must
+    plan as broadcast equi-join on the day bucket — a BNLJ (the plan a
+    raw non-equi condition produces) is the 100x-fatal regression."""
+    plan = _executed_plan(spark, "order_week_market_exposure", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # big side pre-aggregated off a 3-column scan
+    assert ["l_discount", "l_extendedprice", "l_shipdate"] in [
+        sorted(s) for s in _scan_schemas(plan)
+    ]
+
+
+def test_url_rollup_single_scan_no_join(spark, sf_dir):
+    plan = _executed_plan(spark, "url_canonical_host_rollup", sf_dir)
+    assert "Join" not in plan
+    assert [["doc_id", "source"]] == [sorted(s) for s in _scan_schemas(plan)]
+
+
+def test_rowids_use_range_partition_not_global_sort(spark, sf_dir):
+    """range_partition_rowids: ids come from a range exchange + local
+    numbering; the single-partition window sort the oracle uses must
+    not appear over the doc rows (the only Window is the 8-row offsets
+    frame)."""
+    plan = _executed_plan(spark, "range_partition_rowids", sf_dir)
+    assert "Exchange rangepartitioning" in plan
+    assert "MapInPandas" in plan
+
+
+def test_curriculum_uses_distributed_ntile(spark, sf_dir):
+    plan = _executed_plan(spark, "curriculum_phase_stats", sf_dir)
+    assert "Exchange rangepartitioning" in plan
+    assert "MapInPandas" in plan
+
+
+def test_bottleneck_paths_lineage_is_cut(spark, sf_dir):
+    """The frontier is referenced twice per round (carry + relax); the
+    per-round localCheckpoint must keep the final plan constant-size —
+    without it the 3-round loop re-expands the 5-table edge build
+    exponentially (observed: 138 scans / 177 exchanges)."""
+    plan = _executed_plan(spark, "bottleneck_trade_paths", sf_dir)
+    assert plan.count("FileScan") <= 12
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_plan_shape(spark, sf_dir):
+    """Salt column present (the two-stage rewrite really happens) and
+    the distinct-pair expand path joins the 3-row summaries without a
+    sort-merge. (Scan-schema pin omitted: a 5-column FileScan line is
+    truncated by explain, defeating scan_schemas parsing.)"""
+    plan = _executed_plan(spark, "salted_hot_key_agg", sf_dir)
+    assert "pmod(xxhash64" in plan
+    assert "SortMergeJoin" not in plan
