@@ -126,6 +126,15 @@ HEADLINE = [
     "revenue_diff_in_diff",
     "colbert_maxsim_topk",
     "ate_stratified",
+    # round-4 wave-16/17: interval-join rewrite, distributed rowids,
+    # as-of merge join, distributed ntile curriculum, all-pairs BFS,
+    # watermark accounting — the new physical shapes worth watching
+    "order_week_market_exposure",
+    "range_partition_rowids",
+    "purchase_before_click_asof",
+    "curriculum_phase_stats",
+    "nation_closeness_centrality",
+    "late_event_accounting",
 ]
 
 
