@@ -135,6 +135,11 @@ HEADLINE = [
     "curriculum_phase_stats",
     "nation_closeness_centrality",
     "late_event_accounting",
+    # round-4 wave-18/19: deadline CEP, one-pass 25-sketch fold,
+    # skeleton-collision dedup
+    "funnel_within_deadlines",
+    "hll_intersection_audit",
+    "homoglyph_spoof_pairs",
 ]
 
 
