@@ -1453,3 +1453,50 @@ def test_salted_agg_plan_shape(spark, sf_dir):
     plan = _executed_plan(spark, "salted_hot_key_agg", sf_dir)
     assert "pmod(xxhash64" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- wave 18/19/20 pins ------------------------------------------------------
+
+
+def test_kmv_topk_uses_window_group_limit(spark, sf_dir):
+    """The k-th-minimum-hash rank filter must push below the exchange
+    (WindowGroupLimit) — the plan-level form of KMV's mergeability:
+    each partition ships at most k hashes per group."""
+    plan = _executed_plan(spark, "kmv_distinct_audit", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_positions_broadcast(spark, sf_dir):
+    """The position table is bounded by m=256, so the probe join must
+    broadcast it — never shuffle the probe side."""
+    plan = _executed_plan(spark, "bloom_fpr_audit", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_median_never_sorts_the_world(spark, sf_dir):
+    """Selection must not plan a full-width global sort: the only Sort
+    operators allowed are inside the narrowed-sliver window and the
+    1000-row bin window."""
+    plan = _executed_plan(spark, "distributed_exact_median", sf_dir)
+    assert "TakeOrderedAndProject" not in plan  # not a top-k shortcut
+    # the full value column never range-exchanges for a global sort
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """Deadline funnel: both window passes and the click join key on
+    user_id; no BNLJ from the deadline comparisons."""
+    plan = _executed_plan(spark, "funnel_within_deadlines", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_state_accounting_grid_is_gap_filled(spark, sf_dir):
+    """join_state_accounting result must cover every calendar day in
+    the event range (the gap-filled grid is the semantics)."""
+    from bigdataamazon_spark import queries as registry
+
+    rows = registry.queries()["join_state_accounting"](spark, sf_dir).collect()
+    days = [r["day"] for r in rows]
+    assert len(days) == (max(days) - min(days)).days + 1
