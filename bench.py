@@ -140,6 +140,26 @@ HEADLINE = [
     "funnel_within_deadlines",
     "hll_intersection_audit",
     "homoglyph_spoof_pairs",
+    # round-5: waves 21-26 get the same bench evidence as the rest of
+    # the registry (r04 verdict, action #5) — classifier fold, blocked
+    # edit-distance join, k-truss peel, IPF raking, pivot-pruned ANN,
+    # IC cascade, butterfly count, order-free digest diff, one-parse
+    # variant extraction, constraint quarantine, LSH planning, loss-mask
+    # budgeting, 4-4-5 calendar rollup, event near-dup window
+    "naive_bayes_source_classifier",
+    "symspell_part_matches",
+    "cosupply_ktruss_edges",
+    "ipf_mixture_raking",
+    "pivot_pruned_ann_audit",
+    "ic_cascade_activations",
+    "customer_part_butterflies",
+    "multiset_digest_reconciliation",
+    "variant_props_extraction",
+    "constraint_quarantine_audit",
+    "lsh_parameter_plan",
+    "sft_loss_mask_stats",
+    "fiscal_445_revenue",
+    "near_duplicate_events_dedup",
 ]
 
 
@@ -174,6 +194,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+    sf = infer_sf(sf_dir)
     print(
         json.dumps(
             {
@@ -181,7 +202,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": infer_sf(sf_dir),
+                "sf": sf,
+            }
+        )
+    )
+    # The driver records only a ~2000-char stdout TAIL; with 100+
+    # per-query timings the detailed line's head (including "value") is
+    # truncated away and the driver records parsed=null (r04 verdict,
+    # action #2). Repeat the headline number as a final compact line
+    # with no per-query map so the tail always parses.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
             }
         )
     )

@@ -118,34 +118,79 @@ GREEN_R02 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02
+# hash_match == true rows in CORRECTNESS_r04.json (driver, sf0.01).
+GREEN_R04 = frozenset(
+    {
+        "als_factorization_audit",
+        "ann_recall_audit",
+        "cdc_chunks",
+        "copurchase_part_lift",
+        "copurchase_part_lift_rel",
+        "csv_roundtrip_orders_agg",
+        "custkey_skew_report",
+        "doc_perplexity_scores",
+        "doc_url_extract",
+        "docs_split_assignment",
+        "docs_weighted_sample",
+        "dominant_part_suppliers",
+        "dsir_importance_weights",
+        "embedding_centroids",
+        "event_series_correlation",
+        "events_hourly_gapfill",
+        "frequent_part_itemsets_rel",
+        "fuzzy_brand_probe",
+        "hll_union_audit",
+        "html_strip_docs",
+        "important_part_stock",
+        "json_roundtrip_events_agg",
+        "lineitem_measures_unpivot",
+        "logreg_quality_classifier",
+        "min_cost_supplier_region",
+        "ml_bow_pipeline",
+        "nation_top_customers_listagg",
+        "nation_trade_pagerank",
+        "neardup_canonical_docs",
+        "orc_roundtrip_lineitem_agg",
+        "order_price_equidepth",
+        "order_priority_pivot",
+        "orders_mom_growth",
+        "packed_sequences",
+        "parquet_partition_prune_agg",
+        "part_profit_by_nation_year",
+        "pretraining_manifest",
+        "priority_flag_summary",
+        "priority_status_mode",
+        "quantile_sketch_audit",
+        "quantity_price_spearman",
+        "repeated_span_dedup",
+        "returnflag_price_regression",
+        "signup_retention_cohorts",
+        "supplier_part_concentration",
+        "supplier_price_band_orders",
+        "tfidf_doc_keywords",
+        "urgent_mix_by_returnflag",
+        "user_state_scd2",
+        "winsorized_price_stats",
+    }
+)
 
-# Jump the queue for entries that anchor judge-flagged weak or
-# §2-contract components: the r02 dtype reds (fixed oracles, need a
-# re-green row), the §2-anchored local-parity rows the judge listed
-# (P10/P11 url extract, S2 round-trips, §2.10 UDTF, M4 ML twin,
-# Parquet-sink pruning, Q2-shape), and the new ANN recall audit.
+DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02 | GREEN_R04
+
+# Jump the queue for the LLM-pipeline anchors the round-4 judge named
+# as still lacking a hard driver row (VERDICT r04, action #4): the
+# flagship dedup/quality/tokenizer/multimodal/chunking claims get
+# driver-green rows next window.
 PRIORITY: tuple[str, ...] = (
-    "order_priority_pivot",
-    "urgent_mix_by_returnflag",
-    "packed_sequences",
-    "doc_url_extract",
-    "csv_roundtrip_orders_agg",
-    "json_roundtrip_events_agg",
-    "orc_roundtrip_lineitem_agg",
-    "cdc_chunks",
-    "ml_bow_pipeline",
-    "parquet_partition_prune_agg",
-    "min_cost_supplier_region",
-    "ann_recall_audit",
-    "quantile_sketch_audit",
-    "copurchase_part_lift_rel",
-    "frequent_part_itemsets_rel",
-    "repeated_span_dedup",
-    "dsir_importance_weights",
-    "logreg_quality_classifier",
-    "hll_union_audit",
-    "als_factorization_audit",
+    "semantic_dedup_keepers",
+    "gopher_quality_flags",
+    "unicode_nfc_docs",
+    "bpe_learned_merges",
+    "image_feature_topk",
+    "cdc_chunk_dedup",
+    "curriculum_phase_stats",
+    "sft_loss_mask_stats",
+    "winnowing_fingerprint_pairs",
+    "kneser_ney_bigram_lm",
 )
 
 
@@ -153,10 +198,18 @@ PRIORITY: tuple[str, ...] = (
 # (rows_match=null — r02 record), so a window slot spent on them never
 # produces a hash row. Their correctness claims are hash-pinned by
 # audit twins instead (ann_recall_audit for LSH/IVF,
-# quantile_sketch_audit for the sketch aggregates), so they order LAST
-# with the already-verified entries rather than re-consuming slots.
+# quantile_sketch_audit for the sketch aggregates,
+# minhash_accuracy_audit / als_factorization_audit for the ML twins —
+# all driver-green in r04), so they order LAST with the
+# already-verified entries rather than re-consuming slots.
 ROWS_ONLY_BY_CONTRACT = frozenset(
-    {"cosine_topk_lsh", "cosine_topk_ivf", "approx_order_stats"}
+    {
+        "cosine_topk_lsh",
+        "cosine_topk_ivf",
+        "approx_order_stats",
+        "ml_minhash_neardup_pairs",
+        "ml_als_top_recs",
+    }
 )
 
 
