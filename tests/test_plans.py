@@ -1500,3 +1500,78 @@ def test_state_accounting_grid_is_gap_filled(spark, sf_dir):
     rows = registry.queries()["join_state_accounting"](spark, sf_dir).collect()
     days = [r["day"] for r in rows]
     assert len(days) == (max(days) - min(days)).days + 1
+
+
+# --- wave 21-26 pins (round 5: the r04 verdict's evidence gap) --------------
+
+
+def test_symspell_candidates_equi_join_on_variant(spark, sf_dir):
+    """symspell_part_matches: candidates come from the deletion-variant
+    equi-join — a cartesian (or BNLJ) probe x catalog plan means the
+    SymSpell rewrite silently degraded to the nested-loop it replaces."""
+    plan = _executed_plan(spark, "symspell_part_matches", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ktruss_peels_are_equi_joins_only(spark, sf_dir):
+    """cosupply_ktruss_edges: wedge enumeration and support counting
+    key on the wedge pivot / edge endpoints — all equi-joins. Any
+    non-equi fallback turns the peel quadratic in edges."""
+    plan = _executed_plan(spark, "cosupply_ktruss_edges", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ktruss_returns_lazy_plan(spark, sf_dir):
+    """The registry contract: building the query runs NO jobs beyond
+    parquet footer reads (r04 advice — the old body collected per-peel
+    counts eagerly); the returned frame recomputes on each action."""
+    tracker = spark.sparkContext.statusTracker()
+    registry.queries()["distinct_status_priority"](spark, sf_dir).count()
+    before = set(tracker.getJobIdsForGroup() or [])
+    df = registry.queries()["cosupply_ktruss_edges"](spark, sf_dir)
+    new = set(tracker.getJobIdsForGroup() or []) - before
+    for j in new:  # only 1-task footer-read jobs allowed at build time
+        info = tracker.getJobInfo(j)
+        for s in info.stageIds if info else []:
+            si = tracker.getStageInfo(s)
+            assert si is None or si.numTasks <= 1, "eager action at build time"
+    assert df.count() == 3 and df.count() == 3  # re-executable
+
+
+def test_variant_extraction_parses_once_in_scan_projection(spark, sf_dir):
+    """variant_props_extraction: props parse to VARIANT exactly once in
+    the scan-side projection; typed variant_get does the field access.
+    A second parse_json means an expression re-parses text per field."""
+    plan = _executed_plan(spark, "variant_props_extraction", sf_dir)
+    # parse prints as VariantExpressionEvalUtils.parseJson in the plan
+    assert plan.count("parseJson") == 1
+    assert "variant_get" in plan
+    assert [["event_type", "props"]] == [sorted(s) for s in _scan_schemas(plan)]
+
+
+def test_butterflies_hub_capped_wedge_join(spark, sf_dir):
+    """customer_part_butterflies: the pair join must run against the
+    hub-capped edge set (left-semi degree filter) and stay an equi-join
+    on part — the cap is what bounds sum(d^2) at 100x."""
+    plan = _executed_plan(spark, "customer_part_butterflies", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_digest_is_combiner_friendly_single_pass(spark, sf_dir):
+    """multiset_digest_reconciliation: the digest folds with partial
+    aggregation (map-side combine) — the property that makes it a
+    one-scan, 16-byte-shuffle reconciliation at 100 TB."""
+    plan = _executed_plan(spark, "multiset_digest_reconciliation", sf_dir)
+    assert "partial" in plan.lower()
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+
+
+def test_pivot_pruned_ann_no_cartesian(spark, sf_dir):
+    """pivot_pruned_ann_audit: candidate pruning via pivot distances
+    must never materialize an unbounded all-pairs plan."""
+    plan = _executed_plan(spark, "pivot_pruned_ann_audit", sf_dir)
+    assert "CartesianProduct" not in plan
