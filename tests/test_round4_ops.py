@@ -4,6 +4,7 @@ completeness), and digest invariance."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -99,3 +100,27 @@ def test_retractable_merge_drops_emptied_groups(spark, sf_dir):
     values, this pins the invariant at other SFs)."""
     rows = registry.queries()["retractable_agg_maintenance"](spark, sf_dir).collect()
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("community_modularity_audit", "modularity_contribution"),
+        ("revenue_cusum_changepoint", "cusum"),
+        ("heaps_law_fit", "heaps_beta"),
+    ],
+)
+def test_cancellation_zero_normalized_positive(spark, sf_correctness, name, col):
+    """Round-5 ±0.0 flake fix (r04 verdict #1): entries whose rounded
+    value is a cancellation of float sums must emit +0.0, never -0.0 —
+    on BOTH engines — or the driver hash flips with shuffle order."""
+    import math
+
+    from tests.parity import run_duckdb
+
+    sdf = registry.queries()[name](spark, sf_correctness).toPandas()
+    ddf = run_duckdb(registry.oracle_sql()[name], sf_correctness)
+    for df, side in ((sdf, "spark"), (ddf, "duckdb")):
+        for v in df[col].dropna():
+            if v == 0.0:
+                assert math.copysign(1.0, v) > 0, f"-0.0 leaked on {side}"
