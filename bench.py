@@ -174,18 +174,24 @@ def main() -> None:
     qs = registry.queries()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footers + plan caches
-        # min of two timed runs: this box shows bursty hypervisor CPU
-        # steal (uniform 2-4x inflation for seconds at a time); the min
-        # is the query's real cost, the mean is the host's mood
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+        # One broken or renamed query must not zero the whole round's
+        # bench record — report it and keep timing the rest.
+        try:
+            fn = qs[name]
+            fn(spark, sf_dir).count()  # warm: JVM/codegen + parquet footers + plan caches
+            # min of two timed runs: this box shows bursty hypervisor CPU
+            # steal (uniform 2-4x inflation for seconds at a time); the min
+            # is the query's real cost, the mean is the host's mood
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:160]
         # CacheManager matches persisted plans across calls, so the warm
         # run legitimately feeds the timed run — but left alone, every
         # query's blocks pile up in the shared heap and later queries pay
@@ -211,17 +217,16 @@ def main() -> None:
     # truncated away and the driver records parsed=null (r04 verdict,
     # action #2). Repeat the headline number as a final compact line
     # with no per-query map so the tail always parses.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    if errors:
+        compact["errors"] = errors
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
