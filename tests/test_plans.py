@@ -1575,3 +1575,17 @@ def test_pivot_pruned_ann_no_cartesian(spark, sf_dir):
     must never materialize an unbounded all-pairs plan."""
     plan = _executed_plan(spark, "pivot_pruned_ann_audit", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_recursive_reach_iterates_over_cached_corridors(spark, sf_dir):
+    """recursive_trade_reach (round-5 rewrite): the recursion must
+    reference the persisted corridor table — UnionLoop re-evaluates its
+    inputs per iteration, so an InMemoryTableScan here is the
+    difference between re-running the 6-table corridor aggregate per
+    hop (5.7 s) and scanning <= 50 cached rows (2.1 s at sf0.1)."""
+    plan = _executed_plan(spark, "recursive_trade_reach", sf_dir)
+    # inside UnionLoop the cached corridors print as InMemoryRelation
+    # (the loop body stays logical until each iteration executes)
+    assert "UnionLoopRef" in plan
+    assert "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
