@@ -1589,3 +1589,33 @@ def test_recursive_reach_iterates_over_cached_corridors(spark, sf_dir):
     assert "UnionLoopRef" in plan
     assert "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_intersection_single_scan_no_joins(spark, sf_dir):
+    """hll_intersection_audit folds all 25 HLL sketches in ONE
+    aggregate over ONE scan (r04 judge audit) — a join or second scan
+    means the inclusion-exclusion fold degraded to the 15-scan naive
+    form it exists to replace."""
+    plan = _executed_plan(spark, "hll_intersection_audit", sf_dir)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_ann_recall_audit_no_allpairs(spark, sf_dir):
+    """ann_recall_audit compares exact/LSH/IVF top-k tables via keyed
+    joins only — a cartesian anywhere means a recall leg regressed to
+    unguarded all-pairs."""
+    plan = _executed_plan(spark, "ann_recall_audit", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_clusters_lineage_is_cut(spark, sf_dir):
+    """neardup_clusters (checkpointed CC loop): the returned plan must
+    be constant-size — zero FileScans means the per-round checkpoint
+    truncated the iterative lineage (same discipline as
+    bottleneck_trade_paths)."""
+    plan = _executed_plan(spark, "neardup_clusters", sf_dir)
+    assert plan.count("FileScan") == 0
+    assert "CartesianProduct" not in plan
