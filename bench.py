@@ -201,17 +201,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = infer_sf(sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    detailed = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # A failed query is absent from `queries`, which would silently
+    # understate the total — mark failures on BOTH lines (r05 advice).
+    if errors:
+        detailed["n_errors"] = len(errors)
+        detailed["errors"] = errors
+    print(json.dumps(detailed))
     # The driver records only a ~2000-char stdout TAIL; with 100+
     # per-query timings the detailed line's head (including "value") is
     # truncated away and the driver records parsed=null (r04 verdict,
@@ -225,6 +227,7 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        compact["n_errors"] = len(errors)
         compact["errors"] = errors
     print(json.dumps(compact))
 

@@ -174,34 +174,92 @@ GREEN_R04 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02 | GREEN_R04
+# hash_match == true rows in CORRECTNESS_r05.json (driver, sf0.01).
+GREEN_R05 = frozenset(
+    {
+        "ab_conversion_ztest",
+        "benford_price_digits",
+        "bigram_lm_pmi",
+        "bm25_search",
+        "bow_cosine_topk_dfcap",
+        "bpe_learned_merges",
+        "cdc_chunk_dedup",
+        "curriculum_phase_stats",
+        "customer_revenue_gini",
+        "data_quality_dashboard",
+        "docs_stratified_fixed_n",
+        "embedding_dim_covariance",
+        "events_dow_hour_profile",
+        "events_per_user_sample",
+        "gopher_quality_flags",
+        "image_feature_topk",
+        "imputed_event_values",
+        "incremental_daily_counts",
+        "kneser_ney_bigram_lm",
+        "lang_token_fertility",
+        "monthly_revenue_ewma",
+        "monthly_revenue_seasonality",
+        "nation_part_jaccard",
+        "nation_ship_lead_time",
+        "ngram_jaccard_pairs_prefix",
+        "order_total_reconciliation",
+        "orders_content_checksum",
+        "orders_snapshot_diff",
+        "part_entity_resolution",
+        "part_fuzzy_name_pairs",
+        "priority_price_iqr_outliers",
+        "priority_price_moments",
+        "priority_segment_chisq",
+        "priority_transition_matrix",
+        "quantity_discount_heatmap",
+        "returnflag_price_mad",
+        "revenue_lorenz_deciles",
+        "revenue_pareto_ratio",
+        "rolling_wau_7d",
+        "segment_balance_ks",
+        "semantic_dedup_keepers",
+        "sft_loss_mask_stats",
+        "supplier_cosupply_triangles",
+        "table_profile_lineitem",
+        "token_budget_allocation",
+        "unicode_nfc_docs",
+        "user_churn_survival",
+        "user_grouped_split",
+        "user_value_twap",
+        "winnowing_fingerprint_pairs",
+    }
+)
 
-# Jump the queue for the LLM-pipeline anchors the round-4 judge named
-# as still lacking a hard driver row (VERDICT r04, action #4): the
-# flagship dedup/quality/tokenizer/multimodal/chunking claims get
-# driver-green rows next window.
+DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05
+
+# Jump the queue for the bench-headline flagships the round-5 judge
+# named as still lacking a hard driver row (VERDICT r05, action #2).
+# minhash_accuracy_audit closes the ml_minhash_neardup_pairs rows-only
+# evidence chain (its audit twin must itself be driver-green).
 PRIORITY: tuple[str, ...] = (
-    "semantic_dedup_keepers",
-    "gopher_quality_flags",
-    "unicode_nfc_docs",
-    "bpe_learned_merges",
-    "image_feature_topk",
-    "cdc_chunk_dedup",
-    "curriculum_phase_stats",
-    "sft_loss_mask_stats",
-    "winnowing_fingerprint_pairs",
-    "kneser_ney_bigram_lm",
+    "recursive_trade_reach",
+    "mmr_diversified_search",
+    "hll_intersection_audit",
+    "symspell_part_matches",
+    "cosupply_ktruss_edges",
+    "naive_bayes_source_classifier",
+    "customer_part_butterflies",
+    "minhash_accuracy_audit",
+    "ipf_mixture_raking",
+    "variant_props_extraction",
 )
 
 
 # No-oracle entries: the driver can only log spark_rows for these
 # (rows_match=null — r02 record), so a window slot spent on them never
 # produces a hash row. Their correctness claims are hash-pinned by
-# audit twins instead (ann_recall_audit for LSH/IVF,
-# quantile_sketch_audit for the sketch aggregates,
-# minhash_accuracy_audit / als_factorization_audit for the ML twins —
-# all driver-green in r04), so they order LAST with the
-# already-verified entries rather than re-consuming slots.
+# audit twins instead (ann_recall_audit for LSH/IVF and
+# als_factorization_audit for ALS, both driver-green in r04;
+# quantile_sketch_audit driver-green r02; minhash_accuracy_audit for
+# the MinHash ML twin is in the r06 PRIORITY window — until its hash
+# row lands, ml_minhash_neardup_pairs leans on the in-repo parity
+# sweep only), so they order LAST with the already-verified entries
+# rather than re-consuming slots.
 ROWS_ONLY_BY_CONTRACT = frozenset(
     {
         "cosine_topk_lsh",

@@ -1564,10 +1564,17 @@ def test_butterflies_hub_capped_wedge_join(spark, sf_dir):
 def test_digest_is_combiner_friendly_single_pass(spark, sf_dir):
     """multiset_digest_reconciliation: the digest folds with partial
     aggregation (map-side combine) — the property that makes it a
-    one-scan, 16-byte-shuffle reconciliation at 100 TB."""
+    one-scan, 16-byte-shuffle reconciliation at 100 TB. The only join
+    allowed is the 1-row x 1-row scalar cross (comparing the two
+    digests); a data-sized shuffle join here would mean the multisets
+    are being reconciled row-by-row instead of by digest."""
     plan = _executed_plan(spark, "multiset_digest_reconciliation", sf_dir)
     assert "partial" in plan.lower()
-    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # both join inputs must be scalar aggregates (SinglePartition
+    # exchanges feeding global HashAggregates), never table scans
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_pivot_pruned_ann_no_cartesian(spark, sf_dir):
