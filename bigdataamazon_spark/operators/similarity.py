@@ -189,6 +189,19 @@ def posting_cosine_topk(
 # before any task runs). The posting-list join takes over there.
 DENSE_VOCAB_MAX = 2048
 
+# Absolute document-frequency cap applied by default when the router
+# falls back to the posting-list join. The posting join's edge volume is
+# Σ df(word)² — with the cap, per-word edge volume is ≤ max_df²
+# regardless of corpus size, so total work grows linearly with the
+# vocabulary instead of quadratically with hot-word df. Measured on the
+# 100×-docs multi-domain stress corpus: uncapped ≈ 4.7e10 edge rows
+# (exhausts local disk); max_df=1000 → 1.6× wall at 100× data
+# (BASELINE.md round-2/round-6 scaling tables). The cap only exists in
+# the fallback regime (n_docs > EXACT_PAIRS_MAX_ROWS or |V| >
+# dense_vocab_max); inside the dense regime results stay bit-exact
+# uncapped cosine.
+POSTING_FALLBACK_MAX_DF = 1000
+
 
 def bow_topk_auto(
     cnt: DataFrame,
@@ -196,6 +209,7 @@ def bow_topk_auto(
     *,
     tfidf: bool = False,
     dense_vocab_max: int = DENSE_VOCAB_MAX,
+    fallback_max_df: int | None = POSTING_FALLBACK_MAX_DF,
     round_to: int | None = 6,
 ) -> DataFrame:
     """Vocabulary-driven physical routing for bag-of-words cosine top-k
@@ -209,12 +223,21 @@ def bow_topk_auto(
       explodes at compile time and the GEMM's driver collect explodes
       at runtime.
 
-    Both paths compute the SAME exact cosine (no df pruning here — see
-    ``posting_cosine_topk(max_df_frac=...)`` for the capped variant),
-    so routing never changes results, only the physical plan.
-    ``tfidf=True`` weights counts by smoothed idf ln((N+1)/(df+1))+1 —
-    driver literals on the dense path (bounded by dense_vocab_max), a
-    distributed word join on the posting path.
+    Inside the dense regime both paths compute the SAME exact cosine,
+    so routing never changes results, only the physical plan. In the
+    FALLBACK regime (where the dense plan cannot run at all) the
+    posting join applies ``fallback_max_df`` — CountVectorizer
+    ``max_df`` semantics: words above the absolute df cap leave the
+    vector space, bounding per-word edge volume at max_df² regardless
+    of corpus size. Uncapped, the fallback dies on hot words (measured
+    ~4.7e10 edge rows / disk exhaustion at the 100×-docs stress); the
+    cap is what makes the registered auto-routed entries safe to call
+    at any scale. Pass ``fallback_max_df=None`` for the exact
+    (unbounded) posting join. ``tfidf=True`` weights counts by
+    smoothed idf ln((N+1)/(df+1))+1 — driver literals on the dense
+    path (bounded by dense_vocab_max), a distributed word join on the
+    posting path; idf uses each word's own df, so pruning other words
+    never changes a kept word's weight.
     """
     cnt = materialize_shared(cnt)
     # ONE routing job for both cardinalities (two separate distinct
@@ -265,7 +288,7 @@ def bow_topk_auto(
         cnt = cnt.join(idf, "word").select(
             "doc_id", "word", (F.col("c") * F.col("_idf")).alias("c")
         )
-    return posting_cosine_topk(cnt, k=k, round_to=round_to)
+    return posting_cosine_topk(cnt, k=k, round_to=round_to, max_df=fallback_max_df)
 
 
 def cosine_topk_expr(

@@ -672,6 +672,46 @@ def test_bow_auto_routing_flips_without_changing_results(spark, sf_dir):
         assert d == s, f"tfidf={tfidf}: routing changed results"
 
 
+def test_bow_auto_fallback_applies_absolute_df_cap(spark):
+    """r06 (VERDICT r05 #3): when the router falls back to the posting
+    join, POSTING_FALLBACK_MAX_DF applies by default — hot words leave
+    the vector space (reduced-space cosine) so the fallback never
+    explodes on near-universal words. fallback_max_df=None restores the
+    exact unbounded join; the DENSE path never applies the cap."""
+    counts = {
+        1: {"hot": 2, "x": 1},
+        2: {"hot": 1, "x": 1, "y": 3},
+        3: {"hot": 5, "y": 1},
+        4: {"hot": 1, "x": 2, "y": 2},
+    }
+    rows = [(d, w, c) for d, wc in counts.items() for w, c in wc.items()]
+    cnt = spark.createDataFrame(rows, ["doc_id", "word", "c"])
+
+    def pairs(df):
+        return {(r["src"], r["dst"]): r["score"] for r in df.collect()}
+
+    exact = pairs(similarity.bow_topk_auto(cnt, k=3))  # dense path
+    # dense path ignores the cap even when it would prune everything
+    assert pairs(similarity.bow_topk_auto(cnt, k=3, fallback_max_df=1)) == exact
+    # fallback path, cap wide enough: identical exact cosine
+    assert (
+        pairs(similarity.bow_topk_auto(cnt, k=3, dense_vocab_max=0, fallback_max_df=4))
+        == exact
+    )
+    # fallback path, cap prunes "hot" (df=4 > 3): reduced-space cosine ==
+    # the posting operator's own max_df semantics
+    capped = pairs(
+        similarity.bow_topk_auto(cnt, k=3, dense_vocab_max=0, fallback_max_df=3)
+    )
+    assert capped == pairs(similarity.posting_cosine_topk(cnt, k=3, max_df=3))
+    assert capped != exact
+    # None = exact unbounded posting join
+    assert (
+        pairs(similarity.bow_topk_auto(cnt, k=3, dense_vocab_max=0, fallback_max_df=None))
+        == exact
+    )
+
+
 def test_exact_gemm_guard_trips_above_max_rows(spark, sf_dir):
     """Scale guard lives INSIDE the exact operators: above max_rows the
     broadcast-GEMM path must refuse to collect the corpus to the driver
