@@ -12,10 +12,16 @@ neighbors' labels; converged when no label changes. Rounds needed =
 graph diameter, and near-dup clusters are shallow (near-cliques plus
 short chains), so this terminates in a handful of rounds. Each round
 is one shuffle join + one agg, both combiner-friendly. For adversarial
-long-path graphs the published fix is large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond"),
-which this module's loop structure would host unchanged; dedup graphs
-don't need it.
+long-path graphs (diameter ≫ rounds) the published fix is
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", 2014) — implemented here as
+``connected_components_star`` and wired in as an automatic fallback:
+if min-label propagation has not converged after ``max_iter`` rounds,
+``connected_components`` finishes with the star algorithm (O(log²)
+rounds regardless of diameter) instead of returning under-merged
+labels. Dedup graphs are shallow so the fallback almost never fires;
+it exists so a pathological near-dup chain can never silently
+under-merge.
 
 Driver-loop discipline: the per-round ``labels`` frame is
 ``localCheckpoint``-ed — lineage would otherwise double every round
@@ -78,8 +84,97 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # max_iter rounds without convergence: the graph's diameter
+        # exceeds the propagation budget (adversarial chain). Finish
+        # exactly with large-star/small-star instead of returning
+        # under-merged labels — O(log²) rounds regardless of diameter.
+        result = connected_components_star(und, src="a", dst="b")
+        und.unpersist()
+        return result
     und.unpersist()
     return labels
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set oriented larger-endpoint-first (u > v),
+    self-loops dropped, duplicates collapsed."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the min of its closed neighborhood. Output stays in
+    the canonical u > v orientation (the emitted min is ≤ the center,
+    which is < the emitted neighbor)."""
+    und = e.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+        e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    m = und.groupBy("c").agg(F.least(F.min("n"), F.col("c")).alias("m"))
+    return (
+        und.join(m, "c")
+        .filter(F.col("n") > F.col("c"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node rewires its smaller-or-equal
+    neighbors (and itself) to the min of its smaller neighborhood."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        e.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center = m.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(center).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, label) by alternating large-star/small-star (Kiveris et
+    al. 2014): converges to a star forest centered at each component's
+    min id in O(log²|V|) rounds REGARDLESS of graph diameter — the
+    exact-CC algorithm for adversarial long chains where min-label
+    propagation needs O(diameter) rounds. Same output contract as
+    ``connected_components`` (isolated nodes absent). Each round is
+    two groupBy-min + two joins on the shrinking edge set; the edge
+    frame is localCheckpoint-ed per round so lineage stays flat.
+    Convergence check = the round leaves the edge set unchanged
+    (two anti-joins on the checkpointed frames)."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        grew = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+        shrank = e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+        prev, e = e, new_e
+        if grew == 0 and shrank == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds (needs ~log²|V|); raise max_iter"
+        )
+    # fixpoint = star forest: leaves point at their component min, and
+    # each center is its own label
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .distinct()
+    )
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:

@@ -37,6 +37,59 @@ def test_cc_long_path_converges(spark):
     assert len(got) == 12
 
 
+def test_cc_star_diameter64_path(spark):
+    """large-star/small-star (Kiveris et al. 2014): a 65-node path of
+    diameter 64 — min-label propagation would need 64 rounds; the star
+    algorithm must reach the min-rooted star forest in O(log²) rounds
+    (assert ≤ 10 by pinning max_iter)."""
+    edges = [(i, i + 1) for i in range(1, 65)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.label
+        for r in graph.connected_components_star(df, max_iter=10).collect()
+    }
+    assert len(got) == 65
+    assert set(got.values()) == {1}
+
+
+def test_cc_star_converges_fast_on_star_graph(spark):
+    """A graph that is already (almost) a star must converge within 2
+    rounds: center 1 with leaves 2..20 plus one wrong-way edge."""
+    edges = [(1, i) for i in range(2, 21)] + [(20, 21)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.label
+        for r in graph.connected_components_star(df, max_iter=2).collect()
+    }
+    assert len(got) == 21
+    assert set(got.values()) == {1}
+
+
+def test_cc_star_two_components_string_ids(spark):
+    """Same output contract as connected_components: label = min id of
+    the component, string ids order lexicographically."""
+    edges = [("b", "a"), ("c", "b"), ("z", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.label for r in graph.connected_components_star(df).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_cc_falls_back_to_star_on_adversarial_diameter(spark):
+    """connected_components with max_iter below the diameter must NOT
+    return under-merged labels: the star fallback finishes exactly.
+    (Pre-r06 behavior: labels froze at whatever min had propagated.)"""
+    edges = [(i, i + 1) for i in range(1, 65)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.label
+        for r in graph.connected_components(df, max_iter=5).collect()
+    }
+    assert len(got) == 65
+    assert set(got.values()) == {1}
+
+
 def test_dedup_keepers_one_per_cluster(spark):
     df = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "src bigint, dst bigint")
     keepers = {r.keeper_id for r in graph.dedup_keepers(graph.connected_components(df)).collect()}
