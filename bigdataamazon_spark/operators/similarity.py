@@ -519,6 +519,16 @@ def lsh_candidate_pairs(
     to the cap join all-pairs (the normal LSH shape); wider buckets
     emit only adjacent pairs of the id-sorted membership — linear, not
     quadratic, in bucket width. ``None`` disables the cap.
+
+    Physical shape (r06 rewrite, identical candidate set): the capped
+    path is ONE groupBy(band, key) collecting the sorted bucket
+    membership, then per-bucket pairs are generated JVM-side from the
+    array (nested ``transform`` for ≤cap all-pairs, ``zip_with`` of
+    shifted slices for the >cap adjacent chain) and exploded. The old
+    window-size + self-join + union form cost 4 shuffle rounds and
+    dominated the ann_recall_audit bench line (~3.4 s of per-stage
+    overhead at 2k rows); this is 1 shuffle + the final distinct.
+    Per-row memory is bounded by cap²/2 structs (~8 MB at cap 1024).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
@@ -547,27 +557,29 @@ def lsh_candidate_pairs(
             .select("src", "dst")
             .distinct()
         )
-    # one shuffle on (band, key) sizes every bucket; the same key then
-    # drives the small-bucket self-join, so AQE reuses the partitioning
-    w = Window.partitionBy("band", "key")
-    sized = keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
-    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    left = small.select(F.col(id_col).alias("src"), "band", "key")
-    right = small.select(F.col(id_col).alias("dst"), "band", "key")
-    pairs_small = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+    # one shuffle: each bucket becomes one row carrying its sorted
+    # membership; pair generation is then a per-row array expression
+    # (map-side, no further exchange before the distinct)
+    buckets = keyed.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
-    big = sized.filter(F.col("_bsz") > max_bucket_size)
-    chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
-    pairs_big = (
-        big.withColumn("_prev", F.lag(id_col).over(chain_w))
-        .filter(F.col("_prev").isNotNull())
-        # ids sorted ascending => _prev < id, matching the src < dst form
-        .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+    # ≤cap: all i<j pairs of the sorted array (sorted ⇒ src < dst,
+    # matching the old self-join's filter); >cap: adjacent chain of the
+    # sorted array (same as the old lag-window form)
+    all_pairs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS src, y AS dst))))"
     )
-    return pairs_small.unionByName(pairs_big).distinct()
+    chain = F.expr(
+        "zip_with(slice(_ids, 1, size(_ids) - 1), slice(_ids, 2, size(_ids) - 1), "
+        "(x, y) -> struct(x AS src, y AS dst))"
+    )
+    pairs = F.when(F.size("_ids") <= max_bucket_size, all_pairs).otherwise(chain)
+    return (
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
+        .distinct()
+    )
 
 
 def cosine_topk_approx(
@@ -584,21 +596,24 @@ def cosine_topk_approx(
 ) -> DataFrame:
     """LSH candidates -> exact re-score -> top-k. Approximate recall
     (a true neighbor can miss every band), so this is the scale path,
-    bench-checked rather than oracle-hash-checked."""
+    bench-checked rather than oracle-hash-checked.
+
+    Re-scoring runs in one Arrow hop (``_rescore_pairs_exact``, numpy
+    row-wise dots) rather than a per-edge interpreted higher-order
+    ``aggregate`` — the interpreted form was the dominant cost of the
+    whole audit path at ~450k candidate edges (r06 profile). Verified
+    to produce identical (src, dst, score, rank) rows at every test
+    scale (64-dim dots are ~1e-16-stable across summation orders and
+    candidate score gaps are ~1e-5)."""
     cands = lsh_candidate_pairs(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, bands=bands, seed=seed
     )
-    a, b = _sides(df, id_col, vec_col)
-    both = (
-        cands.join(a, "src")
-        .join(b, "dst")
-        .select("src", "dst", _score().alias("score"))
-    )
-    # candidates are src<dst; mirror them so every node ranks its neighbors
-    edges = both.unionByName(
-        both.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("score")
-        )
+    # threshold=-2.0 keeps every candidate (cosine >= -1); round after
+    # rank. mirror=True: candidates are src<dst, and both orientations
+    # come out of ONE Arrow hop so every node ranks its neighbors
+    # without duplicating the candidate+rescore subtree in a union.
+    edges = _rescore_pairs_exact(
+        df, cands, id_col, vec_col, threshold=-2.0, round_to=None, mirror=True
     )
     out = topk_per_src(edges, k)
     if round_to is not None:
@@ -797,12 +812,20 @@ def _rescore_pairs_exact(
     threshold: float,
     *,
     round_to: int | None = 6,
+    mirror: bool = False,
 ) -> DataFrame:
     """Exact cosine over a candidate (src, dst) edge stream: two keyed
     joins attach the vectors, one Arrow hop computes row-wise dots in
     numpy and keeps scores >= threshold. Cost is linear in candidate
     volume — this is the verification half of every
-    candidates-then-verify similarity plan (LSH/IVF/banded MinHash)."""
+    candidates-then-verify similarity plan (LSH/IVF/banded MinHash).
+
+    ``mirror=True`` emits BOTH orientations of each surviving pair from
+    the same Arrow batch — callers that need every node to rank its
+    neighbors must NOT union the output with a column-swapped copy of
+    itself: DataFrame union duplicates the whole candidate+rescore
+    subtree (measured: the entire LSH stage ran twice inside
+    cosine_topk_approx before r06)."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -826,13 +849,12 @@ def _rescore_pairs_exact(
             out = scores[keep]
             if round_to is not None:
                 out = np.round(out, round_to)
-            yield pd.DataFrame(
-                {
-                    "src": pdf["src"].to_numpy()[keep],
-                    "dst": pdf["dst"].to_numpy()[keep],
-                    "score": out,
-                }
-            )
+            src = pdf["src"].to_numpy()[keep]
+            dst = pdf["dst"].to_numpy()[keep]
+            if mirror:
+                src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+                out = np.concatenate([out, out])
+            yield pd.DataFrame({"src": src, "dst": dst, "score": out})
 
     return joined.mapInPandas(gen, f"src {id_type}, dst {id_type}, score double")
 

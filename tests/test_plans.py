@@ -1626,3 +1626,37 @@ def test_neardup_clusters_lineage_is_cut(spark, sf_dir):
     plan = _executed_plan(spark, "neardup_clusters", sf_dir)
     assert plan.count("FileScan") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_pairs_single_shuffle_no_join(spark, sf_dir):
+    """r06 pin (VERDICT r05 #6): the capped LSH candidate stage is ONE
+    groupBy(band, key) collecting sorted bucket membership + a final
+    distinct — exactly 2 exchanges, no Window, no self-join. The old
+    window-size + self-join + union form cost 4 shuffle rounds and
+    dominated the ann_recall_audit bench line."""
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators.similarity import lsh_candidate_pairs
+    from bigdataamazon_spark.plans import executed_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = executed_plan(lsh_candidate_pairs(emb))
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_cosine_topk_approx_rescore_is_one_arrow_hop(spark, sf_dir):
+    """r06 pin: the LSH re-score runs as EXACTLY ONE Arrow hop
+    (MapInPandas) emitting both edge orientations. Zero hops = the
+    per-edge interpreted higher-order dot is back (~2x the whole
+    audit's cost at 450k candidate edges); two hops = a mirror union
+    re-duplicated the candidate+rescore subtree (the pre-r06 shape —
+    the entire LSH stage ran twice). Per-row signature aggregates are
+    allowed; per-EDGE dots are what this guards."""
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators.similarity import cosine_topk_approx
+    from bigdataamazon_spark.plans import executed_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = executed_plan(cosine_topk_approx(emb))
+    assert plan.count("MapInPandas") == 1, plan
