@@ -9,6 +9,12 @@ Usage::
     python -m bigdataamazon_spark <query_name> [sf_dir] [--limit N]
     python -m bigdataamazon_spark --list
     python -m bigdataamazon_spark <query_name> --explain   # plan census
+    python -m bigdataamazon_spark --report out.html [sf_dir] [--open]
+
+``--report`` writes the reference's full figure set (describe/top-N
+tables, histogram, KDE, correlation heatmap, scatters, word cloud) as
+one standalone SVG-in-HTML page (``report.py``); ``--open`` launches it
+in the default browser (``amazon1.py:38-39,332``).
 
 ``--explain`` defers to the plan-audit CLI (python -m
 bigdataamazon_spark.plans) so both surfaces stay consistent.
@@ -28,6 +34,21 @@ def main(argv: list[str]) -> int:
         return 0
     if argv[0] == "--list":
         print("\n".join(names))
+        return 0
+    if argv[0] == "--report":
+        out = argv[1]
+        rest = argv[2:]
+        open_browser = "--open" in rest
+        rest = [a for a in rest if a != "--open"]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+
+        from .report import write_analytics_report
+        from .session import get_spark
+
+        path = write_analytics_report(
+            get_spark("report"), sf_dir, out, open_browser=open_browser
+        )
+        print(f"wrote {path}")
         return 0
     name = argv[0]
     if name not in names:
