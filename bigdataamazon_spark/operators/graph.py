@@ -153,20 +153,38 @@ def connected_components_star(
     ``connected_components`` (isolated nodes absent). Each round is
     two groupBy-min + two joins on the shrinking edge set; the edge
     frame is localCheckpoint-ed per round so lineage stays flat.
-    Convergence check = the round leaves the edge set unchanged
-    (two anti-joins on the checkpointed frames)."""
+    Convergence = the round leaves the edge set unchanged AND the set
+    is structurally a star forest (no leaf has two centers, no node is
+    both leaf and center). Kiveris et al. prove stability implies the
+    star shape; the structural check is a cheap belt-and-suspenders so
+    the label extraction below can never silently emit a multi-label
+    node if an implementation detail ever violates the theorem's
+    preconditions."""
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         grew = new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
         shrank = e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
-        prev, e = e, new_e
+        e = new_e
         if grew == 0 and shrank == 0:
-            break
+            multi_center = (
+                e.groupBy("u")
+                .agg(F.count_distinct("v").alias("_nc"))
+                .filter(F.col("_nc") > 1)
+                .limit(1)
+                .count()
+            )
+            leaf_center = (
+                e.select("u").join(e.select(F.col("v").alias("u")), "u")
+                .limit(1)
+                .count()
+            )
+            if multi_center == 0 and leaf_center == 0:
+                break
     else:
         raise RuntimeError(
-            f"connected_components_star: no fixpoint after {max_iter} "
-            "rounds (needs ~log²|V|); raise max_iter"
+            f"connected_components_star: no star-forest fixpoint after "
+            f"{max_iter} rounds (needs ~log²|V|); raise max_iter"
         )
     # fixpoint = star forest: leaves point at their component min, and
     # each center is its own label
