@@ -36,6 +36,9 @@ def main(argv: list[str]) -> int:
         print("\n".join(names))
         return 0
     if argv[0] == "--report":
+        if len(argv) < 2 or argv[1].startswith("--"):
+            print("usage: --report OUT.html [sf_dir] [--open]", file=sys.stderr)
+            return 2
         out = argv[1]
         rest = argv[2:]
         open_browser = "--open" in rest

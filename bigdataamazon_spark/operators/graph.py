@@ -89,7 +89,16 @@ def connected_components(
         # exceeds the propagation budget (adversarial chain). Finish
         # exactly with large-star/small-star instead of returning
         # under-merged labels — O(log²) rounds regardless of diameter.
-        result = connected_components_star(und, src="a", dst="b")
+        # The star algorithm canonicalizes away self-loops, but the
+        # propagation contract keeps self-loop-only nodes (they are in
+        # und and label themselves) — union them back so the node set
+        # never depends on which path converged.
+        star = connected_components_star(und, src="a", dst="b")
+        nodes = und.select(F.col("a").alias("node")).distinct()
+        lonely = nodes.join(star, "node", "left_anti").withColumn(
+            "label", F.col("node")
+        )
+        result = star.unionByName(lonely)
         und.unpersist()
         return result
     und.unpersist()

@@ -23,13 +23,22 @@ def duplicate_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _hist_bounds(df: DataFrame, col: str, bins: int):
+    """(bounds_df, width_expr): the ONE place the equi-width bin
+    arithmetic lives — histogram() and histogram_with_edges() both
+    derive from it so counts and edge labels can never drift apart."""
+    c = F.col(col)
+    bounds = df.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    return bounds, width
+
+
 def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
     """A4 (``amazon1.py:68,92``): equi-width histogram with data-driven
     bounds. One agg for min/max (broadcast back), one hash-agg for the
     bucket counts — two scans, no sort, no driver round-trip."""
     c = F.col(col)
-    bounds = df.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
-    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    bounds, width = _hist_bounds(df, col, bins)
     bucket = F.least(F.floor((c - F.col("_mn")) / width), F.lit(bins - 1)).cast("bigint")
     return (
         df.select(c)
@@ -37,6 +46,19 @@ def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_with_edges(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """``histogram`` plus (lo, hi) bin edges from the SAME bounds agg —
+    the presentation layer (report.py) labels bars with these instead
+    of re-encoding the width formula and re-scanning for min/max."""
+    bounds, width = _hist_bounds(df, col, bins)
+    return histogram(df, col, bins).crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        (F.col("_mn") + F.col("bucket") * width).alias("lo"),
+        (F.col("_mn") + (F.col("bucket") + 1) * width).alias("hi"),
+        "n",
     )
 
 

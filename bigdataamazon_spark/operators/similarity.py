@@ -520,15 +520,21 @@ def lsh_candidate_pairs(
     emit only adjacent pairs of the id-sorted membership — linear, not
     quadratic, in bucket width. ``None`` disables the cap.
 
-    Physical shape (r06 rewrite, identical candidate set): the capped
-    path is ONE groupBy(band, key) collecting the sorted bucket
-    membership, then per-bucket pairs are generated JVM-side from the
-    array (nested ``transform`` for ≤cap all-pairs, ``zip_with`` of
-    shifted slices for the >cap adjacent chain) and exploded. The old
-    window-size + self-join + union form cost 4 shuffle rounds and
-    dominated the ann_recall_audit bench line (~3.4 s of per-stage
-    overhead at 2k rows); this is 1 shuffle + the final distinct.
-    Per-row memory is bounded by cap²/2 structs (~8 MB at cap 1024).
+    Physical shape (r06 rewrite, identical candidate set): bucket
+    sizes come from one combiner-friendly agg whose output (one row
+    per bucket) is tiny, so the over-cap key list BROADCASTS and
+    routes rows map-side — no bucket self-join anywhere. ≤cap buckets
+    go through one groupBy collecting the sorted membership (the
+    collect_list buffer and emitted row are bounded by the cap) with
+    all i<j pairs generated JVM-side from the array; >cap (degenerate)
+    buckets keep the old spillable WINDOW chain — collect_list cannot
+    spill within a group, so a mega-bucket of near-identical replicas
+    must stream through the window buffer rather than materialize as
+    one array. The old form dragged EVERY row through the window +
+    self-join + union (4 shuffle rounds, ~3.4 s of per-stage overhead
+    at 2k rows and the dominant ann_recall_audit cost); now the hot
+    path is the size agg + one bounded groupBy + distinct, and the
+    window touches only degenerate-bucket rows (normally none).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
@@ -557,29 +563,50 @@ def lsh_candidate_pairs(
             .select("src", "dst")
             .distinct()
         )
-    # one shuffle: each bucket becomes one row carrying its sorted
-    # membership; pair generation is then a per-row array expression
-    # (map-side, no further exchange before the distinct)
-    buckets = keyed.groupBy("band", "key").agg(
+    # keyed feeds three subtrees (size agg + both routing joins):
+    # persist, or the signature projection re-runs per consumer
+    keyed = materialize_shared(keyed)
+    # bucket sizes first: a combiner-friendly agg whose OUTPUT is one
+    # row per bucket, so the over-cap key list is tiny by construction
+    # (degenerate hashes are few) and broadcasts
+    hot = (
+        keyed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select("band", "key")
+    )
+    # ≤cap buckets: one groupBy collecting the sorted membership — the
+    # collect_list buffer and the emitted row are bounded by the cap
+    # (≤ ~8 KB of ids at cap 1024), then all i<j pairs come from a
+    # per-row array expression (sorted ⇒ src < dst, matching the old
+    # self-join's filter). No further exchange before the distinct.
+    small = keyed.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    buckets = small.groupBy("band", "key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
-    # ≤cap: all i<j pairs of the sorted array (sorted ⇒ src < dst,
-    # matching the old self-join's filter); >cap: adjacent chain of the
-    # sorted array (same as the old lag-window form)
     all_pairs = F.expr(
         "flatten(transform(_ids, (x, i) -> "
         "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS src, y AS dst))))"
     )
-    chain = F.expr(
-        "zip_with(slice(_ids, 1, size(_ids) - 1), slice(_ids, 2, size(_ids) - 1), "
-        "(x, y) -> struct(x AS src, y AS dst))"
-    )
-    pairs = F.when(F.size("_ids") <= max_bucket_size, all_pairs).otherwise(chain)
-    return (
-        buckets.select(F.explode(pairs).alias("_p"))
+    pairs_small = (
+        buckets.select(F.explode(all_pairs).alias("_p"))
         .select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
-        .distinct()
     )
+    # >cap (degenerate) buckets: adjacent chain of the id-sorted
+    # membership via a WINDOW, not collect_list — the window buffer
+    # spills (ExternalAppendOnlyUnsafeRowBuffer), so a pathological
+    # mega-bucket of near-identical replicas streams instead of
+    # materializing as one in-memory array/row. This is exactly the
+    # case the cap exists for, so it must not assume the bucket fits.
+    big = keyed.join(F.broadcast(hot), ["band", "key"], "left_semi")
+    chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+    pairs_big = (
+        big.withColumn("_prev", F.lag(id_col).over(chain_w))
+        .filter(F.col("_prev").isNotNull())
+        # ids sorted ascending ⇒ _prev < id, matching the src < dst form
+        .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def cosine_topk_approx(
@@ -604,7 +631,11 @@ def cosine_topk_approx(
     whole audit path at ~450k candidate edges (r06 profile). Verified
     to produce identical (src, dst, score, rank) rows at every test
     scale (64-dim dots are ~1e-16-stable across summation orders and
-    candidate score gaps are ~1e-5)."""
+    candidate score gaps are ~1e-5). Zero-norm vectors: cosine is NaN
+    and the edge is DROPPED — matching the exact-GEMM operators
+    (``cosine_threshold_pairs`` etc., where NaN fails the >= mask);
+    the pre-r06 Catalyst form instead floated NaN edges to rank 1
+    (descending sort treats NaN as greatest), which was the bug."""
     cands = lsh_candidate_pairs(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, bands=bands, seed=seed
     )
@@ -893,8 +924,7 @@ def eps_neighborhood_pairs(
     Replaces the unguarded all-pairs form the r05 verdict flagged on
     ``dbscan_embedding_clusters`` (What's wrong #2): no registered
     caller now errors or quadratically explodes above the guard."""
-    n = df.count()
-    if max_rows is None or n <= max_rows:
+    if max_rows is None or df.count() <= max_rows:
         return cosine_threshold_pairs(
             df, id_col, vec_col, threshold, round_to=round_to, max_rows=None
         )

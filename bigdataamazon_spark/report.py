@@ -56,17 +56,16 @@ def build_report_figures(spark: SparkSession, sf_dir: str) -> list[tuple[str, st
 
     q = registry.queries()
 
-    hist_rows = q["orders_price_histogram"](spark, sf_dir).limit(1000).collect()
-    pr = load_table(spark, sf_dir, "orders").agg(
-        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
-    ).first()
-    width = (float(pr["mx"]) - float(pr["mn"])) / 30.0 or 1.0
-    bins = [
-        (float(pr["mn"]) + r["bucket"] * width,
-         float(pr["mn"]) + (r["bucket"] + 1) * width,
-         int(r["n"]))
-        for r in hist_rows
-    ]
+    # histogram_with_edges single-sources the bin arithmetic with the
+    # registered histogram query (same bounds agg, same width formula)
+    from .operators.relational import histogram_with_edges
+
+    hist_rows = (
+        histogram_with_edges(load_table(spark, sf_dir, "orders"), "o_totalprice", 30)
+        .limit(1000)
+        .collect()
+    )
+    bins = [(float(r["lo"]), float(r["hi"]), int(r["n"])) for r in hist_rows]
     hist_svg = svg_mod.svg_histogram(
         bins, title="Order Total Price (30-bin histogram)",
         x_label="o_totalprice", y_label="orders",
@@ -90,9 +89,16 @@ def build_report_figures(spark: SparkSession, sf_dir: str) -> list[tuple[str, st
     labels = sorted({k for p in pairs for k in p})
     heat_svg = svg_mod.svg_heatmap(labels, pairs)
 
+    # top-N BY COUNT, deterministic tiebreak — a bare limit() takes
+    # whichever rows arrive first and silently drops the most frequent
+    # words on any corpus with >500 distinct words. orderBy+limit plans
+    # as TakeOrderedAndProject (executors keep 500 rows each).
     words = [
         (r["word"], int(r["n"]))
-        for r in q["word_frequency"](spark, sf_dir).limit(500).collect()
+        for r in q["word_frequency"](spark, sf_dir)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(500)
+        .collect()
     ]
     cloud_svg = svg_mod.svg_wordcloud(words, title="Document Word Frequency")
 
@@ -155,7 +161,10 @@ def write_analytics_report(
     with open(path, "w", encoding="utf-8") as f:
         f.write(doc)
     if open_browser:
+        import pathlib
         import webbrowser
 
-        webbrowser.open(f"file://{path}")
+        # as_uri() needs an absolute path; f"file://{relative}" would
+        # parse the filename as the URL host
+        webbrowser.open(pathlib.Path(path).resolve().as_uri())
     return path

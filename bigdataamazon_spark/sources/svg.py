@@ -164,13 +164,16 @@ def svg_scatter(
     (price-vs-ratings and the log-x ratings-count scatter). The sample
     cap is the caller's job (``scatter_sample`` collects ≤ a fixed N);
     an uncapped scatter is just a slower histogram."""
-    if not points:
-        raise ValueError("svg_scatter: empty points")
     if log_x:
         points = [(x, y) for x, y in points if x > 0]
         tx = math.log10
     else:
         tx = float
+    if not points:
+        raise ValueError(
+            "svg_scatter: no plottable points"
+            + (" (log_x drops x <= 0)" if log_x else "")
+        )
     xs = [tx(x) for x, _ in points]
     ys = [y for _, y in points]
     x0, x1 = min(xs), max(xs)

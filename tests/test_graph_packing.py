@@ -90,6 +90,24 @@ def test_cc_falls_back_to_star_on_adversarial_diameter(spark):
     assert set(got.values()) == {1}
 
 
+def test_cc_fallback_keeps_selfloop_only_nodes(spark):
+    """r06 review fix: the node set must not depend on which path
+    converged. A self-loop-only node is kept (label = itself) by the
+    propagation path; the star fallback canonicalizes self-loops away,
+    so the fallback unions such nodes back."""
+    edges = [(1, 1)] + [(i, i + 1) for i in range(10, 75)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    converged = {
+        r.node: r.label for r in graph.connected_components(df).collect()
+    }
+    fallback = {
+        r.node: r.label
+        for r in graph.connected_components(df, max_iter=5).collect()
+    }
+    assert converged == fallback
+    assert fallback[1] == 1 and set(fallback) == {1, *range(10, 76)}
+
+
 def test_dedup_keepers_one_per_cluster(spark):
     df = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "src bigint, dst bigint")
     keepers = {r.keeper_id for r in graph.dedup_keepers(graph.connected_components(df)).collect()}

@@ -1628,21 +1628,26 @@ def test_neardup_clusters_lineage_is_cut(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_lsh_candidate_pairs_single_shuffle_no_join(spark, sf_dir):
-    """r06 pin (VERDICT r05 #6): the capped LSH candidate stage is ONE
-    groupBy(band, key) collecting sorted bucket membership + a final
-    distinct — exactly 2 exchanges, no Window, no self-join. The old
-    window-size + self-join + union form cost 4 shuffle rounds and
-    dominated the ann_recall_audit bench line."""
+def test_lsh_candidate_pairs_no_shuffle_join_bounded_buffers(spark, sf_dir):
+    """r06 pin (VERDICT r05 #6): the capped LSH candidate stage must
+    (a) never self-join buckets through a shuffle join — the over-cap
+    key routing is BROADCAST (the bucket-size agg's output is one row
+    per bucket, tiny by construction); (b) collect bucket membership
+    only for ≤cap buckets (bounded collect_list buffer), with exactly
+    one Window for the spillable over-cap chain; (c) persist the keyed
+    signatures so the three consumers don't re-run the projection. The
+    pre-r06 form dragged every row through window + self-join + union
+    and dominated the ann_recall_audit bench line."""
     from bigdataamazon_spark.catalog import load_table
     from bigdataamazon_spark.operators.similarity import lsh_candidate_pairs
     from bigdataamazon_spark.plans import executed_plan
 
     emb = load_table(spark, sf_dir, "embeddings")
     plan = executed_plan(lsh_candidate_pairs(emb))
-    assert plan.count("Exchange") == 2, plan
-    assert "Window" not in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Window") == 1, plan
+    assert "InMemoryTableScan" in plan  # keyed persisted once
 
 
 def test_cosine_topk_approx_rescore_is_one_arrow_hop(spark, sf_dir):

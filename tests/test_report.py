@@ -78,6 +78,10 @@ def test_empty_inputs_raise():
         S.svg_histogram([])
     with pytest.raises(ValueError):
         S.svg_wordcloud([])
+    # log_x with every x <= 0 empties the point set AFTER the filter —
+    # must raise the clean error, not min()'s bare ValueError
+    with pytest.raises(ValueError, match="log_x"):
+        S.svg_scatter([(0.0, 1.0), (-2.0, 3.0)], log_x=True)
 
 
 def test_scatter_sample_is_deterministic_and_bounded(spark, sf_dir):
