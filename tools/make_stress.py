@@ -58,6 +58,35 @@ def make_sfx(src: str, out: str, *, doc_reps: int = 100, emb_reps: int = 10) -> 
         )
 
 
+def make_sfdup(src: str, out: str, *, n: int = 30000, dim: int = 64) -> None:
+    """Degenerate mega-bucket stress: ``n`` near-identical embeddings.
+
+    Every vector is the same fixed base (dim i -> 0.5 + i/dim, all
+    hyperplane dots safely away from zero) plus a 1e-6 * row jitter, so
+    ALL rows land in ONE bucket in EVERY band of the hyperplane LSH —
+    the worst case ``lsh_candidate_pairs``'s over-cap branch exists
+    for. A quadratic bucket expansion here is n^2/2 = 450M pairs; the
+    capped window chain must emit only the adjacent chain (n-1 pairs
+    per band) and stream through the spillable window buffer.
+    """
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    base = ", ".join(f"{0.5 + i / dim:.6f} + 0.000001 * v.k" for i in range(dim))
+    con.execute(f"""
+        COPY (
+          SELECT v.k AS vec_id,
+                 CAST([{base}] AS FLOAT[]) AS embedding,
+                 'dup' AS label
+          FROM (SELECT unnest(range({n})) AS k) v
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def make_sfy(src: str, out: str, *, reps: int = 10) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -96,7 +125,12 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--sfx", default="/tmp/sfx")
     ap.add_argument("--sfy", default="/tmp/sfy")
+    ap.add_argument("--sfdup", default=None,
+                    help="also write the mega-bucket dup stress here")
     args = ap.parse_args()
     make_sfx(args.src, args.sfx)
     make_sfy(args.src, args.sfy)
-    print("wrote", args.sfx, "and", args.sfy)
+    if args.sfdup:
+        make_sfdup(args.src, args.sfdup)
+    print("wrote", args.sfx, "and", args.sfy,
+          *([args.sfdup] if args.sfdup else []))
