@@ -228,7 +228,11 @@ def main() -> None:
     }
     if errors:
         compact["n_errors"] = len(errors)
-        compact["errors"] = errors
+        # names only, hard-bounded: full messages on the compact line
+        # could push its HEAD past the driver's ~2000-char stdout tail,
+        # re-creating the parsed=null truncation this line exists to
+        # prevent. Details live on the detailed line above.
+        compact["failed"] = sorted(errors)[:10]
     print(json.dumps(compact))
 
 

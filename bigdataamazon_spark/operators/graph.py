@@ -98,7 +98,12 @@ def connected_components(
         lonely = nodes.join(star, "node", "left_anti").withColumn(
             "label", F.col("node")
         )
-        result = star.unionByName(lonely)
+        # materialize BEFORE unpersisting: lonely derives from und, so
+        # dropping the cache first would force the caller's first
+        # action to recompute the symmetrized-distinct edge set from
+        # scratch. The (node, label) result is node-bounded, and this
+        # path is already eager (it only fires after max_iter rounds).
+        result = star.unionByName(lonely).localCheckpoint(eager=True)
         und.unpersist()
         return result
     und.unpersist()

@@ -23,38 +23,54 @@ def duplicate_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _hist_width(bins: int) -> Column:
+    """The ONE place the equi-width formula lives — bucketing and edge
+    labels both use it (over the carried _mn/_mx columns) so counts and
+    edges can never drift apart."""
+    return (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+
+
 def _hist_bounds(df: DataFrame, col: str, bins: int):
-    """(bounds_df, width_expr): the ONE place the equi-width bin
-    arithmetic lives — histogram() and histogram_with_edges() both
-    derive from it so counts and edge labels can never drift apart."""
+    """(bounds_df, width_expr) for the equi-width bin arithmetic."""
     c = F.col(col)
     bounds = df.agg(F.min(c).alias("_mn"), F.max(c).alias("_mx"))
-    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
-    return bounds, width
+    return bounds, _hist_width(bins)
 
 
-def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
-    """A4 (``amazon1.py:68,92``): equi-width histogram with data-driven
-    bounds. One agg for min/max (broadcast back), one hash-agg for the
-    bucket counts — two scans, no sort, no driver round-trip."""
+def _hist_counts(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """(bucket, n, _mn, _mx): bucket counts with the bounds CARRIED
+    THROUGH the aggregate (first() on broadcast constants is free), so
+    edge labels never need a second bounds scan."""
     c = F.col(col)
     bounds, width = _hist_bounds(df, col, bins)
     bucket = F.least(F.floor((c - F.col("_mn")) / width), F.lit(bins - 1)).cast("bigint")
     return (
         df.select(c)
         .crossJoin(F.broadcast(bounds))
-        .select(bucket.alias("bucket"))
+        .select(bucket.alias("bucket"), "_mn", "_mx")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_mn").alias("_mn"),
+            F.first("_mx").alias("_mx"),
+        )
     )
+
+
+def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """A4 (``amazon1.py:68,92``): equi-width histogram with data-driven
+    bounds. One agg for min/max (broadcast back), one hash-agg for the
+    bucket counts — two scans, no sort, no driver round-trip."""
+    return _hist_counts(df, col, bins).select("bucket", "n")
 
 
 def histogram_with_edges(df: DataFrame, col: str, bins: int) -> DataFrame:
     """``histogram`` plus (lo, hi) bin edges from the SAME bounds agg —
     the presentation layer (report.py) labels bars with these instead
-    of re-encoding the width formula and re-scanning for min/max."""
-    bounds, width = _hist_bounds(df, col, bins)
-    return histogram(df, col, bins).crossJoin(F.broadcast(bounds)).select(
+    of re-encoding the width formula or re-scanning for min/max (the
+    bounds ride through the count agg; still exactly two scans)."""
+    width = _hist_width(bins)
+    return _hist_counts(df, col, bins).select(
         "bucket",
         (F.col("_mn") + F.col("bucket") * width).alias("lo"),
         (F.col("_mn") + (F.col("bucket") + 1) * width).alias("hi"),

@@ -522,8 +522,10 @@ def lsh_candidate_pairs(
 
     Physical shape (r06 rewrite, identical candidate set): bucket
     sizes come from one combiner-friendly agg whose output (one row
-    per bucket) is tiny, so the over-cap key list BROADCASTS and
-    routes rows map-side — no bucket self-join anywhere. ≤cap buckets
+    per bucket) is normally tiny, so AQE broadcasts the over-cap key
+    list at runtime and routes rows map-side — unhinted, so a
+    dup-heavy corpus with n/cap over-cap keys degrades to a shuffle
+    join instead of a forced driver-side collect. ≤cap buckets
     go through one groupBy collecting the sorted membership (the
     collect_list buffer and emitted row are bounded by the cap) with
     all i<j pairs generated JVM-side from the array; >cap (degenerate)
@@ -567,8 +569,13 @@ def lsh_candidate_pairs(
     # persist, or the signature projection re-runs per consumer
     keyed = materialize_shared(keyed)
     # bucket sizes first: a combiner-friendly agg whose OUTPUT is one
-    # row per bucket, so the over-cap key list is tiny by construction
-    # (degenerate hashes are few) and broadcasts
+    # row per bucket, so the over-cap key list is NORMALLY tiny (zero
+    # rows on non-degenerate corpora) — but it is bounded only by
+    # n_rows/cap, so the routing joins below carry NO broadcast hint:
+    # AQE converts them to broadcast at runtime when hot is actually
+    # small (the executed plan on real corpora — pinned), and keeps a
+    # shuffle join on a dup-heavy corpus where n/cap keys would
+    # otherwise be FORCED through a driver collect.
     hot = (
         keyed.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -580,7 +587,7 @@ def lsh_candidate_pairs(
     # (≤ ~8 KB of ids at cap 1024), then all i<j pairs come from a
     # per-row array expression (sorted ⇒ src < dst, matching the old
     # self-join's filter). No further exchange before the distinct.
-    small = keyed.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    small = keyed.join(hot, ["band", "key"], "left_anti")
     buckets = small.groupBy("band", "key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
@@ -598,7 +605,7 @@ def lsh_candidate_pairs(
     # mega-bucket of near-identical replicas streams instead of
     # materializing as one in-memory array/row. This is exactly the
     # case the cap exists for, so it must not assume the bucket fits.
-    big = keyed.join(F.broadcast(hot), ["band", "key"], "left_semi")
+    big = keyed.join(hot, ["band", "key"], "left_semi")
     chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
     pairs_big = (
         big.withColumn("_prev", F.lag(id_col).over(chain_w))

@@ -65,7 +65,13 @@ def build_report_figures(spark: SparkSession, sf_dir: str) -> list[tuple[str, st
         .limit(1000)
         .collect()
     )
-    bins = [(float(r["lo"]), float(r["hi"]), int(r["n"])) for r in hist_rows]
+    # histogram() groups NULL values into a bucket=NULL row whose
+    # lo/hi are NULL — skip it rather than crash the whole page
+    bins = [
+        (float(r["lo"]), float(r["hi"]), int(r["n"]))
+        for r in hist_rows
+        if r["lo"] is not None and r["hi"] is not None
+    ]
     hist_svg = svg_mod.svg_histogram(
         bins, title="Order Total Price (30-bin histogram)",
         x_label="o_totalprice", y_label="orders",
@@ -84,7 +90,11 @@ def build_report_figures(spark: SparkSession, sf_dir: str) -> list[tuple[str, st
         body = c[len("corr_"):]
         for a in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
             if body.startswith(a + "_"):
-                pairs[(a, body[len(a) + 1:])] = float(corr_row[c])
+                # corr() is NULL for a constant / <2-non-null measure;
+                # svg_heatmap renders missing cells blank, so skip
+                # rather than crash on float(None)
+                if corr_row[c] is not None:
+                    pairs[(a, body[len(a) + 1:])] = float(corr_row[c])
                 break
     labels = sorted({k for p in pairs for k in p})
     heat_svg = svg_mod.svg_heatmap(labels, pairs)

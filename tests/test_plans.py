@@ -1630,9 +1630,12 @@ def test_neardup_clusters_lineage_is_cut(spark, sf_dir):
 
 def test_lsh_candidate_pairs_no_shuffle_join_bounded_buffers(spark, sf_dir):
     """r06 pin (VERDICT r05 #6): the capped LSH candidate stage must
-    (a) never self-join buckets through a shuffle join — the over-cap
-    key routing is BROADCAST (the bucket-size agg's output is one row
-    per bucket, tiny by construction); (b) collect bucket membership
+    (a) never self-join buckets through a shuffle join on a REAL
+    corpus — the over-cap key routing joins are unhinted and AQE
+    converts them to broadcast at runtime (hot is normally empty; on a
+    dup-heavy corpus with n/cap over-cap keys they degrade to a
+    shuffle join instead of forcing a driver collect); (b) collect
+    bucket membership
     only for ≤cap buckets (bounded collect_list buffer), with exactly
     one Window for the spillable over-cap chain; (c) persist the keyed
     signatures so the three consumers don't re-run the projection. The
