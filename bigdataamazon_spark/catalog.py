@@ -70,13 +70,31 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# Per-session memo of table handles: a DataFrame is an immutable lazy
+# plan, but BUILDING one (spark.read.parquet) pays a file listing +
+# footer schema read (~130 ms measured on this box) EVERY call — the
+# single biggest constant in query build time (104 headline builds x
+# ~1.5 tables x 3 bench runs ≈ tens of seconds of pure re-listing).
+# This is the engine's table-catalog metadata cache, the same role a
+# metastore plays in a production deployment: list/describe once per
+# (session, dir, table), reuse the handle. WeakKey so a stopped
+# session's entries don't outlive it.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_TABLE_HANDLES: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    path = table_path(sf_dir, name)
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    per = _TABLE_HANDLES.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per.get(key)
+    if df is None:
+        path = table_path(sf_dir, name)
+        df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+        per[key] = df
+    return df
 
 
 _SHARED_CACHE: deque[DataFrame] = deque()
