@@ -82,6 +82,7 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 from weakref import WeakKeyDictionary  # noqa: E402
 
 _TABLE_HANDLES: WeakKeyDictionary = WeakKeyDictionary()
+_NPARTS_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -152,7 +153,15 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     case), this is a no-op and no shuffle is added.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # the .rdd probe compiles a physical plan per call (~50-150 ms);
+    # a handle's plan is immutable, so its partition count is too —
+    # memoize per DataFrame object (table handles are themselves
+    # memoized above, so hot-path callers hit this cache every time)
+    n = _NPARTS_CACHE.get(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPARTS_CACHE[df] = n
+    if n >= target:
         return df
     return df.repartition(target)
 
