@@ -453,3 +453,41 @@ def test_arrow_table_interchange_roundtrip(spark):
     back = df.orderBy("k").toArrow()
     assert back.column("k").to_pylist() == [1, 2, 3]
     assert back.column("x").to_pylist() == [1.5, 2.5, None]
+
+
+def test_load_table_memoizes_handles_per_session_and_dir(spark, sf_dir):
+    """The catalog's metadata cache: repeated load_table calls return
+    the SAME immutable handle (no re-listing / footer re-read), keyed
+    by (session, abspath(sf_dir), name) so distinct dirs and tables
+    never cross-bind."""
+    from bigdataamazon_spark.catalog import load_table
+
+    a = load_table(spark, sf_dir, "orders")
+    b = load_table(spark, sf_dir, "orders")
+    assert a is b
+    # a relative spelling of the same dir hits the same entry
+    rel = os.path.relpath(sf_dir)
+    assert load_table(spark, rel, "orders") is a
+    # different table / different dir -> different handles
+    assert load_table(spark, sf_dir, "lineitem") is not a
+    # the memo must not change what the handle reads
+    assert a.count() == spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).count()
+
+
+def test_widen_partition_probe_is_memoized_and_semantics_free(spark, sf_dir):
+    """widen()'s .rdd partition probe compiles a plan per call; the
+    count is memoized per handle. The widened frame must contain the
+    same rows and at least defaultParallelism partitions."""
+    from bigdataamazon_spark.catalog import _NPARTS_CACHE, load_table, widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    w1 = widen(docs)
+    assert docs in _NPARTS_CACHE  # probe cached on the handle
+    n_cached = _NPARTS_CACHE[docs]
+    w2 = widen(docs)
+    assert _NPARTS_CACHE[docs] == n_cached
+    target = spark.sparkContext.defaultParallelism
+    assert w1.rdd.getNumPartitions() >= min(target, docs.count())
+    assert w1.count() == w2.count() == docs.count()
