@@ -199,8 +199,26 @@ def main() -> None:
         # query's caches to its own measurement.
         spark.catalog.clearCache()
 
+    for line in emit_lines(timings, errors, infer_sf(sf_dir)):
+        print(line)
+
+
+def emit_lines(
+    timings: dict[str, float], errors: dict[str, str], sf: float
+) -> list[str]:
+    """The two-line stdout contract, as data so it is unit-testable.
+
+    Line 1 (detailed): full per-query map (+ full error messages when
+    any query failed — a failed query is absent from ``queries``, which
+    would otherwise silently understate the total; r05 advice).
+    Line 2 (compact): the driver records only a ~2000-char stdout TAIL;
+    with 100+ per-query timings the detailed line's head (including
+    "value") is truncated away and the driver records parsed=null (r04
+    verdict, action #2). The compact line repeats the headline number
+    with no per-query map and — under errors — only a hard-bounded list
+    of failing names, so the LAST line always parses whatever breaks.
+    """
     total = round(sum(timings.values()), 4)
-    sf = infer_sf(sf_dir)
     detailed = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -208,17 +226,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # A failed query is absent from `queries`, which would silently
-    # understate the total — mark failures on BOTH lines (r05 advice).
-    if errors:
-        detailed["n_errors"] = len(errors)
-        detailed["errors"] = errors
-    print(json.dumps(detailed))
-    # The driver records only a ~2000-char stdout TAIL; with 100+
-    # per-query timings the detailed line's head (including "value") is
-    # truncated away and the driver records parsed=null (r04 verdict,
-    # action #2). Repeat the headline number as a final compact line
-    # with no per-query map so the tail always parses.
     compact = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -227,13 +234,11 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        detailed["n_errors"] = len(errors)
+        detailed["errors"] = errors
         compact["n_errors"] = len(errors)
-        # names only, hard-bounded: full messages on the compact line
-        # could push its HEAD past the driver's ~2000-char stdout tail,
-        # re-creating the parsed=null truncation this line exists to
-        # prevent. Details live on the detailed line above.
         compact["failed"] = sorted(errors)[:10]
-    print(json.dumps(compact))
+    return [json.dumps(detailed), json.dumps(compact)]
 
 
 if __name__ == "__main__":

@@ -51,3 +51,28 @@ def test_observation_metrics_ride_the_action(spark):
     assert got["n"] == n_rows
     assert got["null_keys"] == 0
     assert got["total"] > 0
+
+
+def test_bench_emit_lines_contract():
+    """The driver keeps only a ~2000-char stdout tail and parses the
+    LAST line: the compact line must stay bounded (and hold the same
+    headline value as the detailed line) even when MANY queries fail
+    with long messages — the r04 parsed=null truncation class."""
+    import json
+
+    import bench
+
+    timings = {f"q{i}": 0.5 for i in range(104)}
+    errors = {f"bad{i:02d}": "SomeError: " + "x" * 150 for i in range(30)}
+    lines = bench.emit_lines(timings, errors, 0.1)
+    assert len(lines) == 2
+    detailed, compact = (json.loads(ln) for ln in lines)
+    assert detailed["value"] == compact["value"] == round(104 * 0.5, 4)
+    assert detailed["n_errors"] == compact["n_errors"] == 30
+    assert len(detailed["queries"]) == 104
+    assert "queries" not in compact and "errors" not in compact
+    assert len(compact["failed"]) == 10  # names only, hard-bounded
+    assert len(lines[1]) < 2000, len(lines[1])
+    # clean run: no error keys at all
+    d2, c2 = (json.loads(ln) for ln in bench.emit_lines(timings, {}, 0.1))
+    assert "n_errors" not in d2 and "n_errors" not in c2 and "failed" not in c2
