@@ -1602,11 +1602,16 @@ def test_hll_intersection_single_scan_no_joins(spark, sf_dir):
     """hll_intersection_audit folds all 25 HLL sketches in ONE
     aggregate over ONE scan (r04 judge audit) — a join or second scan
     means the inclusion-exclusion fold degraded to the 15-scan naive
-    form it exists to replace."""
+    form it exists to replace. The one-row agg sits behind a cache
+    barrier (r06: CollapseProject otherwise folds the 60 explode-struct
+    fields into the agg's result expressions and the optimizer re-walks
+    the blown-up tree per action — 2.6 s of planning for 0.3 s of
+    compute), which costs one extra exchange on a 1-row frame."""
     plan = _executed_plan(spark, "hll_intersection_audit", sf_dir)
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
-    assert plan.count("Exchange") <= 2
+    assert "InMemoryTableScan" in plan  # the barrier
+    assert plan.count("Exchange") <= 3
 
 
 def test_ann_recall_audit_no_allpairs(spark, sf_dir):
