@@ -1036,7 +1036,9 @@ def test_fuzzy_pairs_verify_is_thresholded_no_cartesian(spark, sf_dir):
 
 def test_stump_grid_broadcasts_scan_pruned(spark, sf_dir):
     plan = _executed_plan(spark, "decision_stump_audit", sf_dir)
-    # the threshold grid joins the unpivoted stream as a broadcast —
+    # histogram form (r06): the decile arrays reach the unpivoted
+    # stream as a 1-row broadcast and each row buckets map-side; the
+    # only hash joins are over the <=30-row bucket/total tables —
     # shuffling the |features|×n stream on feature (3 keys) would be a
     # skew disaster at scale
     assert plan.count("BroadcastHashJoin") >= 1
