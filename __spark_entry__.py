@@ -7,6 +7,22 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``bigdataamazon_spark/``; this module is the
 thin adapter.
+
+Rows-only-by-contract entries (no ``oracle_sql`` key — the driver
+records spark_rows only). Each is approximate or iterative by nature
+and its correctness is hash-pinned by a driver-green audit twin:
+
+- ``cosine_topk_lsh``   -> twin ``ann_recall_audit`` (r04): exact-vs-LSH
+  recall receipt over the same corpus/parameters.
+- ``cosine_topk_ivf``   -> twin ``ann_recall_audit`` (r04), plus
+  ``ivf_index_topk``/``pq_codebook_audit`` for the index path.
+- ``ml_als_top_recs``   -> twin ``als_factorization_audit`` (r04):
+  reconstruction-error contract on the same factorization.
+- ``ml_minhash_neardup_pairs`` -> twin ``minhash_accuracy_audit`` (r06):
+  signature-vs-exact-Jaccard tolerance receipt.
+
+(``approx_order_stats`` was drained in r07: it now emits exact group
+stats plus sketch-tolerance contract flags and carries a full oracle.)
 """
 
 from __future__ import annotations

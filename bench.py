@@ -238,6 +238,11 @@ def emit_lines(
         detailed["errors"] = errors
         compact["n_errors"] = len(errors)
         compact["failed"] = sorted(errors)[:10]
+        # one truncated sample message so a tail-window capture of only
+        # the compact line still records WHY the run failed, not just
+        # which names did
+        first = sorted(errors)[0]
+        compact["sample_error"] = f"{first}: {str(errors[first])[:120]}"
     return [json.dumps(detailed), json.dumps(compact)]
 
 

@@ -86,6 +86,13 @@ _NPARTS_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized table handle. STATIC-DATA ASSUMPTION: the handle pins
+    the file listing + schema snapshot taken at first load, so parquet
+    files rewritten in-place under ``sf_dir`` mid-session would be read
+    stale (or as deleted files). Callers that regenerate a dataset
+    within one session must call ``invalidate_tables(spark, sf_dir)``
+    first (stress tooling spawns a fresh process per dataset, so it
+    never needs to; an in-session regenerator would)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     per = _TABLE_HANDLES.setdefault(spark, {})
@@ -96,6 +103,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
         per[key] = df
     return df
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Drop memoized handles for ``sf_dir`` — or for every dir when
+    None — so the next load re-lists the files. Returns the number of
+    dropped handles. (``_NPARTS_CACHE`` is keyed by the DataFrame
+    handle itself, so its entries die with the dropped handles.)"""
+    per = _TABLE_HANDLES.get(spark)
+    if not per:
+        return 0
+    want = None if sf_dir is None else os.path.abspath(sf_dir)
+    doomed = [k for k in per if want is None or k[0] == want]
+    for k in doomed:
+        per.pop(k, None)
+    return len(doomed)
 
 
 _SHARED_CACHE: deque[DataFrame] = deque()

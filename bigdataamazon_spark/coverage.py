@@ -230,54 +230,122 @@ GREEN_R05 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05
+# hash_match == true rows in CORRECTNESS_r06.json (driver, sf0.01).
+GREEN_R06 = frozenset(
+    {
+        "approx_quantile_audit",
+        "bloom_join_audit",
+        "bpe_encoded_vocab",
+        "cosupply_ktruss_edges",
+        "cumulative_unique_users",
+        "customer_order_overlaps",
+        "customer_part_butterflies",
+        "customer_rfm_segments",
+        "daily_revenue_rolling_median",
+        "event_sequence_conversions",
+        "events_ohlc_daily",
+        "frequent_part_itemsets_ml",
+        "hashed_doc_features",
+        "heavy_hitter_words",
+        "hll_distinct_audit",
+        "hll_intersection_audit",
+        "holt_linear_revenue",
+        "intra_doc_dedup",
+        "ipf_mixture_raking",
+        "join_size_estimate_audit",
+        "merged_schema_orders_agg",
+        "minhash_accuracy_audit",
+        "ml_embedding_summary",
+        "ml_linear_regression_audit",
+        "mmr_diversified_search",
+        "multi_touch_attribution",
+        "naive_bayes_source_classifier",
+        "nation_supplier_hhi",
+        "null_semantics_audit",
+        "orders_backlog_timeline",
+        "quantity_weighted_median_price",
+        "recursive_trade_reach",
+        "revenue_autocorrelation",
+        "revenue_cusum_changepoint",
+        "revenue_decimal_exact",
+        "revenue_grouping_sets",
+        "revenue_yoy_growth",
+        "salted_join_revenue",
+        "segment_target_encoding",
+        "session_entry_exit",
+        "shipment_sla_by_priority",
+        "supplier_kcore_members",
+        "symspell_part_matches",
+        "token_zipf_fit",
+        "user_activity_streaks",
+        "user_event_history_features",
+        "value_psi_drift",
+        "value_quantile_normalized",
+        "variant_props_extraction",
+        "vocab_shift_report",
+    }
+)
 
-# Jump the queue for the bench-headline flagships the round-5 judge
-# named as still lacking a hard driver row (VERDICT r05, action #2).
-# minhash_accuracy_audit closes the ml_minhash_neardup_pairs rows-only
-# evidence chain (its audit twin must itself be driver-green).
+DRIVER_VERIFIED: frozenset[str] = (
+    GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05 | GREEN_R06
+)
+
+# Round-7 window (VERDICT r06, action #1): re-attest the round-6
+# rewrites whose driver rows predate their biggest diffs —
+# dbscan_embedding_clusters / cms_word_count_audit /
+# decision_stump_audit were rewritten in r06 with no post-rewrite
+# driver row; neardup_clusters' star-CC path and the BOW/TF-IDF
+# df-cap default landed after their r02/r01 rows; and
+# xml_roundtrip_orders_agg is the only S2 format with no driver row.
+# Re-attest names may already sit in DRIVER_VERIFIED — the ordering
+# function deliberately puts PRIORITY first regardless so the driver
+# re-checks the changed code.
 PRIORITY: tuple[str, ...] = (
-    "recursive_trade_reach",
-    "mmr_diversified_search",
-    "hll_intersection_audit",
-    "symspell_part_matches",
-    "cosupply_ktruss_edges",
-    "naive_bayes_source_classifier",
-    "customer_part_butterflies",
-    "minhash_accuracy_audit",
-    "ipf_mixture_raking",
-    "variant_props_extraction",
+    "dbscan_embedding_clusters",
+    "cms_word_count_audit",
+    "decision_stump_audit",
+    "neardup_clusters",
+    "bow_cosine_topk",
+    "bow_cosine_topk_sparse",
+    "tfidf_cosine_topk",
+    "xml_roundtrip_orders_agg",
+    # changed in r07 — full-Porter ruleset, size-router serving, and the
+    # rows-only drain respectively; each needs a post-change row.
+    "stemmed_word_freq",
+    "cosine_topk",
+    "approx_order_stats",
 )
 
 
 # No-oracle entries: the driver can only log spark_rows for these
 # (rows_match=null — r02 record), so a window slot spent on them never
 # produces a hash row. Their correctness claims are hash-pinned by
-# audit twins instead (ann_recall_audit for LSH/IVF and
-# als_factorization_audit for ALS, both driver-green in r04;
-# quantile_sketch_audit driver-green r02; minhash_accuracy_audit for
-# the MinHash ML twin is in the r06 PRIORITY window — until its hash
-# row lands, ml_minhash_neardup_pairs leans on the in-repo parity
-# sweep only), so they order LAST with the already-verified entries
-# rather than re-consuming slots.
+# audit twins instead, all now driver-green: ann_recall_audit (r04)
+# for cosine_topk_lsh/_ivf, quantile_sketch_audit (r04) for
+# approx_order_stats, als_factorization_audit (r04) for
+# ml_als_top_recs, minhash_accuracy_audit (r06) for
+# ml_minhash_neardup_pairs. They order LAST with the already-verified
+# entries rather than re-consuming slots.
 ROWS_ONLY_BY_CONTRACT = frozenset(
     {
         "cosine_topk_lsh",
         "cosine_topk_ivf",
-        "approx_order_stats",
         "ml_minhash_neardup_pairs",
         "ml_als_top_recs",
     }
 )
+# approx_order_stats left this set in r07: it now emits exact group
+# stats + sketch-tolerance contract flags and carries a full oracle.
 
 
 def order_for_driver(names: list[str]) -> list[str]:
-    """Priority entries first, then never-driver-verified entries
-    (registration order kept in each group), verified and rows-only
-    entries last."""
-    prio = [n for n in PRIORITY if n in names and n not in DRIVER_VERIFIED]
+    """Priority entries first (even if already driver-verified — the
+    PRIORITY list exists to re-attest entries whose code changed after
+    their green row), then never-driver-verified entries (registration
+    order kept in each group), verified and rows-only entries last."""
+    prio = [n for n in PRIORITY if n in names]
     done_set = DRIVER_VERIFIED | ROWS_ONLY_BY_CONTRACT
     rest = set(prio) | done_set
     pending = [n for n in names if n not in rest]
-    done = [n for n in names if n in done_set]
+    done = [n for n in names if n in done_set and n not in set(prio)]
     return prio + pending + done

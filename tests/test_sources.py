@@ -491,3 +491,22 @@ def test_widen_partition_probe_is_memoized_and_semantics_free(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     assert w1.rdd.getNumPartitions() >= min(target, docs.count())
     assert w1.count() == w2.count() == docs.count()
+
+
+def test_invalidate_tables_drops_memoized_handles(spark, sf_dir):
+    """load_table pins the first-load file listing (static-data
+    assumption); invalidate_tables is the escape hatch for callers that
+    regenerate a dataset mid-session."""
+    from bigdataamazon_spark.catalog import _TABLE_HANDLES, invalidate_tables, load_table
+
+    a = load_table(spark, sf_dir, "region")
+    assert load_table(spark, sf_dir, "region") is a  # memoized handle
+    n = invalidate_tables(spark, sf_dir)
+    assert n >= 1
+    b = load_table(spark, sf_dir, "region")
+    assert b is not a  # re-listed after invalidation
+    # other dirs untouched by a scoped invalidation
+    load_table(spark, sf_dir, "nation")
+    assert invalidate_tables(spark, "/nonexistent") == 0
+    assert invalidate_tables(spark) >= 1  # global flush drops the rest
+    assert not _TABLE_HANDLES.get(spark)

@@ -76,7 +76,9 @@ def make_sfdup(src: str, out: str, *, n: int = 30000, dim: int = 64) -> None:
         COPY (
           SELECT v.k AS vec_id,
                  CAST([{base}] AS FLOAT[]) AS embedding,
-                 'dup' AS label
+                 CAST(0 AS INTEGER) AS label  -- keep schema identical to
+                 -- the canonical embeddings table (label INTEGER), so
+                 -- label-aggregating queries behave the same on sfdup
           FROM (SELECT unnest(range({n})) AS k) v
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
