@@ -21,6 +21,7 @@ heuristic this engine owns, SURVEY.md §4):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -497,6 +498,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 LSH_MAX_BUCKET_SIZE = 1024
 
 
+def _lsh_keyed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    *,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, band, key) bucket membership — the shared signature stage.
+
+    One Arrow hop for ALL signatures: Q @ planesᵀ in BLAS, sign bits
+    packed per band. The pre-r07 form was n_planes interpreted
+    higher-order ``aggregate`` expressions per row — the same
+    interpreted-lambda tax the r06 rescore rewrite removed, and a
+    dominant candidate-stage cost once the router widens the signature
+    with n (40+ planes at 50k rows). ``keep_vec=True`` rides the vector
+    along for bucket-local scoring (saves the join-back shuffle)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    pt = planes.T.copy()
+    weights = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        q = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (q @ pt > 0).astype(np.int64)
+        keys = bits.reshape(len(q), bands, rows_per_band) @ weights
+        return pd.Series(list(keys))
+
+    extra = [as_double_array(vec_col).alias("_vec")] if keep_vec else []
+    return df.select(
+        F.col(id_col), _band_keys(as_double_array(vec_col)).alias("_bk"), *extra
+    ).select(F.col(id_col), F.posexplode("_bk").alias("band", "key"), *(["_vec"] if keep_vec else []))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -538,24 +577,7 @@ def lsh_candidate_pairs(
     path is the size agg + one bounded groupBy + distinct, and the
     window touches only degenerate-bucket rows (normally none).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    rows_per_band = n_planes // bands
-    vec = as_double_array(vec_col)
-    bits = [
-        (dot(vec, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0).cast("int").alias(f"_b{i}")
-        for i in range(n_planes)
-    ]
-    sig = df.select(F.col(id_col), *bits)
-    band_keys = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(rows_per_band):
-            key = key * 2 + F.col(f"_b{b * rows_per_band + j}")
-        band_keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")).alias(f"_band{b}"))
-    keyed = (
-        sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bk"))
-        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    keyed = _lsh_keyed(df, id_col, vec_col, dim, n_planes, bands, seed)
     if max_bucket_size is None:
         left = keyed.select(F.col(id_col).alias("src"), "band", "key")
         right = keyed.select(F.col(id_col).alias("dst"), "band", "key")
@@ -962,11 +984,29 @@ def similarity_topk_auto(
     **lsh_kwargs,
 ) -> DataFrame:
     """The one owned planner heuristic (SURVEY.md §4): exact all-pairs
-    below EXACT_PAIRS_MAX_ROWS, LSH above."""
+    below EXACT_PAIRS_MAX_ROWS, LSH above.
+
+    When routing to LSH, band width is sized to the corpus unless the
+    caller pinned ``n_planes``: with b bits per band there are only 2^b
+    buckets, so a FIXED signature width stops discriminating as n grows
+    — at 50k rows the 4-bit default leaves ~3k-row buckets, ALL over
+    ``LSH_MAX_BUCKET_SIZE``, and every bucket silently degrades to the
+    adjacent-chain (connectivity-only, top-k recall ~0; caught by the
+    r07 router receipt). Sizing rule: 2^bits ≈ n / 64 — mean bucket
+    ~64 keeps candidate volume ~O(64·n·bands) and per-band match
+    probability for a 0.998-cosine neighbor at (1-θ/π)^bits ≈ 0.93,
+    i.e. ~1 across 4 bands. Bits are clamped to [4, 20] (int-safe key
+    packing; 2^20 buckets cover n ≈ 67M per engine)."""
+    import math
+
     n = df.count()
     if n <= EXACT_PAIRS_MAX_ROWS:
         # max_rows=None: already counted here, skip the duplicate guard job
         return cosine_topk(df, id_col, vec_col, k, max_rows=None)
+    if "n_planes" not in lsh_kwargs:
+        bands = lsh_kwargs.get("bands", 4)
+        bits = max(4, min(20, math.ceil(math.log2(max(n, 128) / 64))))
+        lsh_kwargs["n_planes"] = bits * bands
     return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
 
 

@@ -1116,3 +1116,31 @@ def test_prefilter_ann_beats_postfilter(spark):
         if r["src"] == 1 and r["dst"] in valid
     }
     assert len(got_post) < 2  # post-filter under-returns
+
+
+def test_router_sizes_lsh_bands_with_corpus(spark, monkeypatch):
+    """Above the exact bound the router must WIDEN the band signature
+    with n: fixed-width bands stop discriminating as the corpus grows
+    (at 50k rows a 4-bit band leaves ~3k-row buckets, all over the
+    width cap, and recall silently collapses to the adjacent chain —
+    the r07 router-receipt bug)."""
+    import pyspark.sql.functions as F
+
+    from bigdataamazon_spark.operators import similarity
+
+    seen: dict = {}
+
+    def fake_approx(df, id_col="vec_id", vec_col="embedding", k=5, **kw):
+        seen.update(kw)
+        return df.limit(0)
+
+    monkeypatch.setattr(similarity, "cosine_topk_approx", fake_approx)
+    df = spark.range(50000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    similarity.similarity_topk_auto(df, k=5)
+    # ceil(log2(50000/64)) = 10 bits per band x 4 bands
+    assert seen["n_planes"] == 40
+    seen.clear()
+    similarity.similarity_topk_auto(df, k=5, n_planes=16)  # caller pin wins
+    assert seen["n_planes"] == 16
