@@ -8,21 +8,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in ``bigdataamazon_spark/``; this module is the
 thin adapter.
 
-Rows-only-by-contract entries (no ``oracle_sql`` key — the driver
-records spark_rows only). Each is approximate or iterative by nature
-and its correctness is hash-pinned by a driver-green audit twin:
-
-- ``cosine_topk_lsh``   -> twin ``ann_recall_audit`` (r04): exact-vs-LSH
-  recall receipt over the same corpus/parameters.
-- ``cosine_topk_ivf``   -> twin ``ann_recall_audit`` (r04), plus
-  ``ivf_index_topk``/``pq_codebook_audit`` for the index path.
-- ``ml_als_top_recs``   -> twin ``als_factorization_audit`` (r04):
-  reconstruction-error contract on the same factorization.
-- ``ml_minhash_neardup_pairs`` -> twin ``minhash_accuracy_audit`` (r06):
-  signature-vs-exact-Jaccard tolerance receipt.
-
-(``approx_order_stats`` was drained in r07: it now emits exact group
-stats plus sketch-tolerance contract flags and carries a full oracle.)
+Every registered entry carries an oracle as of r07 — the historical
+rows-only five were drained: ``approx_order_stats`` (exact group stats
++ sketch-tolerance flags), ``cosine_topk_lsh`` (full SQL replay — the
+seeded hyperplanes are literals in the oracle, the ``ann_recall_audit``
+mechanism), and ``cosine_topk_ivf`` / ``ml_minhash_neardup_pairs`` /
+``ml_als_top_recs`` (self-auditing form: exact replayable columns next
+to tolerance contract flags, because KMeans fits, Spark-internal hash
+seeds, and iterative ALS are not SQL-expressible; a regression flips a
+flag and hash-reds the row). Audit twins ``ann_recall_audit``,
+``quantile_sketch_audit``, ``als_factorization_audit`` and
+``minhash_accuracy_audit`` additionally hash-pin the approximate paths.
 """
 
 from __future__ import annotations

@@ -314,28 +314,25 @@ PRIORITY: tuple[str, ...] = (
     "stemmed_word_freq",
     "cosine_topk",
     "approx_order_stats",
+    # drained from rows-only in r07 (each now carries an oracle and has
+    # never produced a hash row): LSH full replay; IVF / ML-MinHash /
+    # ALS self-audit forms.
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "ml_minhash_neardup_pairs",
+    "ml_als_top_recs",
 )
 
 
-# No-oracle entries: the driver can only log spark_rows for these
-# (rows_match=null — r02 record), so a window slot spent on them never
-# produces a hash row. Their correctness claims are hash-pinned by
-# audit twins instead, all now driver-green: ann_recall_audit (r04)
-# for cosine_topk_lsh/_ivf, quantile_sketch_audit (r04) for
-# approx_order_stats, als_factorization_audit (r04) for
-# ml_als_top_recs, minhash_accuracy_audit (r06) for
-# ml_minhash_neardup_pairs. They order LAST with the already-verified
-# entries rather than re-consuming slots.
-ROWS_ONLY_BY_CONTRACT = frozenset(
-    {
-        "cosine_topk_lsh",
-        "cosine_topk_ivf",
-        "ml_minhash_neardup_pairs",
-        "ml_als_top_recs",
-    }
-)
-# approx_order_stats left this set in r07: it now emits exact group
-# stats + sketch-tolerance contract flags and carries a full oracle.
+# No-oracle entries: none since r07. approx_order_stats was drained in
+# the r06 closing session (exact group stats + sketch-tolerance flags);
+# cosine_topk_lsh gained a full SQL replay oracle (seeded hyperplanes
+# as literals, the ann_recall_audit mechanism); cosine_topk_ivf,
+# ml_minhash_neardup_pairs and ml_als_top_recs were restructured into
+# self-auditing form (exact replayable columns + tolerance contract
+# flags) because KMeans / Spark-internal hash seeds / iterative ALS are
+# not SQL-expressible. The set stays for order_for_driver's contract.
+ROWS_ONLY_BY_CONTRACT: frozenset[str] = frozenset()
 
 
 def order_for_driver(names: list[str]) -> list[str]:

