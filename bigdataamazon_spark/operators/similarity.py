@@ -638,6 +638,126 @@ def lsh_candidate_pairs(
     return pairs_small.unionByName(pairs_big).distinct()
 
 
+def lsh_scored_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+    per_src_topk: int | None = None,
+) -> DataFrame:
+    """Every distinct LSH candidate pair WITH its exact cosine, scored
+    bucket-locally: (src, dst, score), src < dst, NaN (zero-norm)
+    edges dropped.
+
+    ``per_src_topk=k`` switches to the DIRECTED per-source form: each
+    bucket emits only every member's local top-k neighbors (both
+    orientations, same (score desc, dst asc) total order), deduped
+    across bands. Top-k of a union equals top-k over the union of
+    per-bucket top-k's under one total order, so a downstream global
+    top-k loses nothing — while the shuffle shrinks from Σ bucket²
+    pairs to ≤ n·bands·k rows (36M -> 2M at the 50k receipt).
+
+    Why not candidates -> join-back -> per-edge rescore (the pre-r07
+    ``cosine_topk_approx`` shape)? That plan ships BOTH vectors for
+    EVERY edge through the join and the Arrow hop — at 50k vectors /
+    40 planes the candidate set is ~8M pairs and the vector traffic is
+    ~16 GB, 90% of the whole query's wall clock (measured: 92 s of
+    103 s). Scoring inside the bucket ships each vector once per band
+    membership (n·bands rows, ~100 MB at the same scale) and computes
+    the bucket's pair scores as ONE local GEMM — candidate volume is
+    already bounded by the width cap, so the per-group matrix is at
+    most cap² doubles. Measured at 50k×64, 40 planes: 103 s -> 14 s,
+    identical output.
+
+    Over-cap (degenerate) buckets keep the r06 spillable WINDOW chain
+    (adjacent pairs of the id-sorted membership, then per-edge Arrow
+    rescore of the bounded chain): applyInPandas must materialize a
+    whole group in one pandas frame, which is exactly what a mega-
+    bucket of near-identical replicas must never do.
+
+    Scores are dot/(|a|·|b|) in float64 both here and in the per-edge
+    kernel; a pair surfacing from several bands (or from both the
+    bucket and chain routes) collapses via max(score) — the values
+    agree to the last ulp-or-so and every consumer rounds after rank.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    keyed = materialize_shared(
+        _lsh_keyed(df, id_col, vec_col, dim, n_planes, bands, seed, keep_vec=True)
+    )
+    hot = (
+        keyed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > (max_bucket_size or 2**62))
+        .select("band", "key")
+    )
+    small = keyed.join(hot, ["band", "key"], "left_anti")
+
+    def bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"src": ids[:0], "dst": ids[:0], "score": np.array([], dtype=np.float64)}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.array(pdf["_vec"].tolist(), dtype=np.float64)[order]
+        nrm = np.linalg.norm(v, axis=1)
+        s = (v @ v.T) / np.outer(nrm, nrm)
+        if per_src_topk is None:
+            iu, ju = np.triu_indices(len(ids), 1)
+            sc = s[iu, ju]
+            keep = ~np.isnan(sc)
+            return pd.DataFrame(
+                {"src": ids[iu][keep], "dst": ids[ju][keep], "score": sc[keep]}
+            )
+        # directed local top-k: -inf the diagonal and NaN cells, stable
+        # argsort on -score over ascending-id columns == the global
+        # (score desc, dst asc) total order
+        np.fill_diagonal(s, -np.inf)
+        s = np.nan_to_num(s, nan=-np.inf, posinf=np.inf, neginf=-np.inf)
+        kk = min(per_src_topk, len(ids) - 1)
+        top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+        sc = np.take_along_axis(s, top, axis=1).ravel()
+        keep = np.isfinite(sc)
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids, kk)[keep],
+                "dst": ids[top].ravel()[keep],
+                "score": sc[keep],
+            }
+        )
+
+    pairs_small = small.groupBy("band", "key").applyInPandas(
+        bucket_gemm, f"src {id_type}, dst {id_type}, score double"
+    )
+    big = keyed.join(hot, ["band", "key"], "left_semi")
+    chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+    chain = (
+        big.withColumn("_prev", F.lag(id_col).over(chain_w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("src"), F.col(id_col).alias("dst"))
+    )
+    pairs_big = _rescore_pairs_exact(
+        df,
+        chain,
+        id_col,
+        vec_col,
+        threshold=-2.0,
+        round_to=None,
+        mirror=per_src_topk is not None,
+    )
+    return (
+        pairs_small.unionByName(pairs_big)
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+    )
+
+
 def cosine_topk_approx(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -650,30 +770,33 @@ def cosine_topk_approx(
     seed: int = 42,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """LSH candidates -> exact re-score -> top-k. Approximate recall
-    (a true neighbor can miss every band), so this is the scale path,
-    bench-checked rather than oracle-hash-checked.
+    """LSH candidates -> exact score -> top-k. Approximate recall
+    (a true neighbor can miss every band) — the scale path; since r07
+    it is ALSO oracle-hash-checked (``cosine_topk_lsh`` replays the
+    seeded hyperplanes in SQL).
 
-    Re-scoring runs in one Arrow hop (``_rescore_pairs_exact``, numpy
-    row-wise dots) rather than a per-edge interpreted higher-order
-    ``aggregate`` — the interpreted form was the dominant cost of the
-    whole audit path at ~450k candidate edges (r06 profile). Verified
-    to produce identical (src, dst, score, rank) rows at every test
-    scale (64-dim dots are ~1e-16-stable across summation orders and
-    candidate score gaps are ~1e-5). Zero-norm vectors: cosine is NaN
-    and the edge is DROPPED — matching the exact-GEMM operators
-    (``cosine_threshold_pairs`` etc., where NaN fails the >= mask);
-    the pre-r06 Catalyst form instead floated NaN edges to rank 1
-    (descending sort treats NaN as greatest), which was the bug."""
-    cands = lsh_candidate_pairs(
-        df, id_col, vec_col, dim=dim, n_planes=n_planes, bands=bands, seed=seed
-    )
-    # threshold=-2.0 keeps every candidate (cosine >= -1); round after
-    # rank. mirror=True: candidates are src<dst, and both orientations
-    # come out of ONE Arrow hop so every node ranks its neighbors
-    # without duplicating the candidate+rescore subtree in a union.
-    edges = _rescore_pairs_exact(
-        df, cands, id_col, vec_col, threshold=-2.0, round_to=None, mirror=True
+    Scoring is bucket-local (``lsh_scored_pairs``, one GEMM per LSH
+    bucket) rather than per-edge: the r06 per-edge Arrow hop beat the
+    interpreted higher-order ``aggregate`` it replaced, but still
+    shipped both vectors for every candidate edge — the dominant cost
+    once the router widens signatures with n (measured 92 of 103 s at
+    50k×64). Verified to produce identical (src, dst, score, rank)
+    rows at every test scale (64-dim dots are ~1e-16-stable across
+    summation orders and candidate score gaps are ~1e-5). Zero-norm
+    vectors: cosine is NaN and the edge is DROPPED — matching the
+    exact-GEMM operators (``cosine_threshold_pairs`` etc., where NaN
+    fails the >= mask); the pre-r06 Catalyst form instead floated NaN
+    edges to rank 1 (descending sort treats NaN as greatest), which
+    was the bug."""
+    edges = lsh_scored_pairs(
+        df,
+        id_col,
+        vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        per_src_topk=k,
     )
     out = topk_per_src(edges, k)
     if round_to is not None:
@@ -960,7 +1083,10 @@ def eps_neighborhood_pairs(
     base = materialize_shared(df.select(id_col, vec_col))
     cand = None
     for s in seeds:
-        p = lsh_candidate_pairs(
+        # bucket-local scoring (r07): vectors ship once per band
+        # membership instead of twice per candidate edge — see
+        # lsh_scored_pairs for the measured traffic argument.
+        p = lsh_scored_pairs(
             base,
             id_col,
             vec_col,
@@ -971,9 +1097,14 @@ def eps_neighborhood_pairs(
             max_bucket_size=max_bucket_size,
         )
         cand = p if cand is None else cand.unionByName(p)
-    return _rescore_pairs_exact(
-        base, cand.distinct(), id_col, vec_col, threshold, round_to=round_to
+    out = (
+        cand.groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+        .filter(F.col("score") >= threshold)
     )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
 
 
 def similarity_topk_auto(
