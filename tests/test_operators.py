@@ -1146,3 +1146,64 @@ def test_router_sizes_lsh_bands_with_corpus(spark, monkeypatch):
     seen.clear()
     similarity.similarity_topk_auto(df, k=5, n_planes=16)  # caller pin wins
     assert seen["n_planes"] == 16
+
+
+def test_lsh_scored_pairs_modes_agree(spark):
+    """per_src_topk mode must yield the same global top-k as scoring
+    every candidate pair (top-k of a union == top-k over per-bucket
+    top-k's under one total order), on a random corpus whose buckets
+    are nontrivial."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(800)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    k = 4
+    full = similarity.lsh_scored_pairs(
+        df, "vec_id", "embedding", dim=16, n_planes=12, bands=4
+    )
+    mirrored = full.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("score")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("score"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.score")
+    want = {
+        (r["src"], r["dst"], r["rank"])
+        for r in similarity.topk_per_src(mirrored, k).collect()
+    }
+    local = similarity.lsh_scored_pairs(
+        df, "vec_id", "embedding", dim=16, n_planes=12, bands=4, per_src_topk=k
+    )
+    got = {
+        (r["src"], r["dst"], r["rank"])
+        for r in similarity.topk_per_src(local, k).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_lsh_scored_pairs_megabucket_stays_linear(spark):
+    """An all-one-bucket corpus must route through the chain (n-1
+    pairs), never the in-kernel GEMM (n^2/2 pairs)."""
+    import numpy as np
+
+    from bigdataamazon_spark.operators import similarity
+
+    n = 3000
+    base = np.ones(8)
+    rows = [(i, (base + 1e-9 * i).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    pairs = similarity.lsh_scored_pairs(
+        df, "vec_id", "embedding", dim=8, n_planes=8, bands=2,
+        max_bucket_size=64,
+    )
+    assert pairs.count() == n - 1
