@@ -1132,8 +1132,14 @@ def similarity_topk_auto(
     r07 router receipt). Sizing rule: 2^bits ≈ n / 64 — mean bucket
     ~64 keeps candidate volume ~O(64·n·bands) and per-band match
     probability for a 0.998-cosine neighbor at (1-θ/π)^bits ≈ 0.93,
-    i.e. ~1 across 4 bands. Bits are clamped to [4, 20] (int-safe key
-    packing; 2^20 buckets cover n ≈ 67M per engine)."""
+    i.e. ~1 across 4 bands. Bits are clamped to [4, 20]: at the clamp
+    the mean bucket is n/2^20, which stays under LSH_MAX_BUCKET_SIZE
+    (no silent chain degradation) up to n ≈ 1B rows per table. Beyond
+    that regime a 4-band/wider-bits signature is the wrong recall
+    trade no matter the width — pick bands/planes explicitly from the
+    S-curve planner (``lsh_parameter_plan``) or shard the corpus; the
+    heuristic here intentionally covers only the
+    single-table-up-to-~1B regime."""
     import math
 
     n = df.count()
