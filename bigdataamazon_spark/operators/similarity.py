@@ -504,6 +504,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 LSH_MAX_BUCKET_SIZE = 1024
 
 
+def _sized_bits(n: int) -> int:
+    """Band width (bits per band) sized to the corpus: 2^bits ≈ n/64,
+    clamped [4, 20] — mean bucket ~64 keeps candidate volume
+    ~O(64·n·bands) and stays under LSH_MAX_BUCKET_SIZE (no silent
+    chain degradation) up to n ≈ 1B rows per table. Shared by
+    similarity_topk_auto and eps_neighborhood_pairs; see the router
+    docstring for the recall arithmetic and the regime boundary."""
+    import math
+
+    return max(4, min(20, math.ceil(math.log2(max(n, 128) / 64))))
+
+
 def _lsh_keyed(
     df: DataFrame,
     id_col: str,
@@ -1057,7 +1069,7 @@ def eps_neighborhood_pairs(
     max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
     round_to: int | None = 6,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     bands: int = 4,
     seeds: tuple[int, ...] = (42, 1337),
     max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
@@ -1082,10 +1094,20 @@ def eps_neighborhood_pairs(
     Replaces the unguarded all-pairs form the r05 verdict flagged on
     ``dbscan_embedding_clusters`` (What's wrong #2): no registered
     caller now errors or quadratically explodes above the guard."""
-    if max_rows is None or df.count() <= max_rows:
+    n = df.count()
+    if max_rows is None or n <= max_rows:
         return cosine_threshold_pairs(
             df, id_col, vec_col, threshold, round_to=round_to, max_rows=None
         )
+    if n_planes is None:
+        # size the band signature to the corpus, same rule (and same
+        # failure mode) as similarity_topk_auto: a FIXED width leaves
+        # every bucket over the cap as n grows, the chain route then
+        # emits only id-adjacent pairs, and the eps graph silently
+        # comes back (near-)EMPTY — measured 0 pairs at threshold 0.9
+        # on the 50k near-dup stress corpus with the old fixed 16
+        # planes, vs the full replica cliques with sized bands.
+        n_planes = _sized_bits(n) * bands
     base = materialize_shared(df.select(id_col, vec_col))
     cand = None
     for s in seeds:
@@ -1140,16 +1162,13 @@ def similarity_topk_auto(
     S-curve planner (``lsh_parameter_plan``) or shard the corpus; the
     heuristic here intentionally covers only the
     single-table-up-to-~1B regime."""
-    import math
-
     n = df.count()
     if n <= EXACT_PAIRS_MAX_ROWS:
         # max_rows=None: already counted here, skip the duplicate guard job
         return cosine_topk(df, id_col, vec_col, k, max_rows=None)
     if "n_planes" not in lsh_kwargs:
         bands = lsh_kwargs.get("bands", 4)
-        bits = max(4, min(20, math.ceil(math.log2(max(n, 128) / 64))))
-        lsh_kwargs["n_planes"] = bits * bands
+        lsh_kwargs["n_planes"] = _sized_bits(n) * bands
     return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
 
 
