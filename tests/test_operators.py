@@ -1207,3 +1207,39 @@ def test_lsh_scored_pairs_megabucket_stays_linear(spark):
         max_bucket_size=64,
     )
     assert pairs.count() == n - 1
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """The two physical plans behind simhash_neardup_pairs (n^2 BNLJ
+    below the route cap, pigeonhole-banded equi-join above) must return
+    identical rows — banding is exact by construction: a pair within
+    max_hamming flipped bits leaves >= 1 of max_hamming+1 bands
+    untouched."""
+    import random
+
+    from bigdataamazon_spark.operators import dedup
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    random.seed(9)
+    sigs = []
+    for i in range(1500):
+        base_u = random.getrandbits(64)
+        sigs.append((i, to_i64(base_u)))
+        if i % 10 == 0:  # planted near-dup within the radius
+            fl = base_u
+            for b in random.sample(range(64), random.randint(0, 6)):
+                fl ^= 1 << b
+            sigs.append((100000 + i, to_i64(fl)))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long").cache()
+    via_bnlj = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(df).collect()
+    }
+    via_bands = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(df, max_rows=0).collect()
+    }
+    assert via_bands == via_bnlj
+    assert len(via_bnlj) >= 150  # the planted dups were found
