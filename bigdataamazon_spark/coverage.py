@@ -286,41 +286,79 @@ GREEN_R06 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = (
-    GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05 | GREEN_R06
+# hash_match == true rows in CORRECTNESS_r07.json (driver, sf0.01).
+GREEN_R07 = frozenset(
+    {
+        "approx_order_stats",
+        "audio_similarity_topk",
+        "bow_cosine_topk",
+        "bow_cosine_topk_sparse",
+        "cms_word_count_audit",
+        "conformal_price_interval",
+        "consistent_hash_rebalance_audit",
+        "contrastive_negatives",
+        "cosine_topk",
+        "cosine_topk_ivf",
+        "cosine_topk_lsh",
+        "customer_k_anonymity",
+        "customer_l_diversity",
+        "dbscan_embedding_clusters",
+        "decision_stump_audit",
+        "doc_readability",
+        "doc_sentiment_scores",
+        "filtered_ann_topk",
+        "forecast_backtest_accuracy",
+        "frequent_event_sequences",
+        "hybrid_rank_fusion",
+        "incremental_join_maintenance",
+        "lateral_top_orders_per_segment",
+        "ml_als_top_recs",
+        "ml_minhash_neardup_pairs",
+        "nation_trade_bfs_hops",
+        "nation_trade_communities",
+        "nation_trade_ppr",
+        "neardup_clusters",
+        "order_price_bootstrap_ci",
+        "part_name_autocomplete",
+        "part_price_size_skyline",
+        "phrase_search_positional",
+        "priority_status_mutual_info",
+        "purged_time_splits",
+        "quantity_woe_iv",
+        "regression_calibration_bins",
+        "retrieval_eval_metrics",
+        "revenue_m4_downsample",
+        "revenue_window_motifs",
+        "ridge_cv_model_selection",
+        "source_temperature_mixing",
+        "sql_udf_revenue_bands",
+        "stemmed_word_freq",
+        "tfidf_cosine_topk",
+        "theil_sen_trend",
+        "top_event_trigram_paths",
+        "user_balance_clamped",
+        "xml_roundtrip_orders_agg",
+        "zorder_layout_skipping_audit",
+    }
 )
 
-# Round-7 window (VERDICT r06, action #1): re-attest the round-6
-# rewrites whose driver rows predate their biggest diffs —
-# dbscan_embedding_clusters / cms_word_count_audit /
-# decision_stump_audit were rewritten in r06 with no post-rewrite
-# driver row; neardup_clusters' star-CC path and the BOW/TF-IDF
-# df-cap default landed after their r02/r01 rows; and
-# xml_roundtrip_orders_agg is the only S2 format with no driver row.
-# Re-attest names may already sit in DRIVER_VERIFIED — the ordering
-# function deliberately puts PRIORITY first regardless so the driver
-# re-checks the changed code.
+DRIVER_VERIFIED: frozenset[str] = (
+    GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05 | GREEN_R06 | GREEN_R07
+)
+
+# Round-8 window (VERDICT r07, action #1): re-attest the entries whose
+# physical plans changed in r07 but whose last driver row predates the
+# change — simhash_neardup_pairs gained the size-route (r01 row),
+# embedding_neardup_pairs and minhash_lsh_pairs share the band-sizing /
+# LSH stages the r07 `_sized_bits` fix touched (r01 rows). Re-attest
+# names may already sit in DRIVER_VERIFIED — the ordering function
+# deliberately puts PRIORITY first regardless so the driver re-checks
+# the changed code. The rest of the 50-entry window fills with the
+# never-verified backlog in registration order.
 PRIORITY: tuple[str, ...] = (
-    "dbscan_embedding_clusters",
-    "cms_word_count_audit",
-    "decision_stump_audit",
-    "neardup_clusters",
-    "bow_cosine_topk",
-    "bow_cosine_topk_sparse",
-    "tfidf_cosine_topk",
-    "xml_roundtrip_orders_agg",
-    # changed in r07 — full-Porter ruleset, size-router serving, and the
-    # rows-only drain respectively; each needs a post-change row.
-    "stemmed_word_freq",
-    "cosine_topk",
-    "approx_order_stats",
-    # drained from rows-only in r07 (each now carries an oracle and has
-    # never produced a hash row): LSH full replay; IVF / ML-MinHash /
-    # ALS self-audit forms.
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "ml_minhash_neardup_pairs",
-    "ml_als_top_recs",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "minhash_lsh_pairs",
 )
 
 
