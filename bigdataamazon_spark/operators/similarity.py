@@ -536,6 +536,15 @@ def _lsh_keyed(
     dominant candidate-stage cost once the router widens the signature
     with n (40+ planes at 50k rows). ``keep_vec=True`` rides the vector
     along for bucket-local scoring (saves the join-back shuffle)."""
+    if n_planes % bands:
+        # fail eagerly on the driver — the reshape below would otherwise
+        # raise a ValueError inside the executor as an opaque Arrow UDF
+        # error (the pre-r07 loop form silently used only the first
+        # bands*(n_planes//bands) planes, which is not a config to honor)
+        raise ValueError(
+            f"n_planes={n_planes} must be divisible by bands={bands} "
+            "(band keys pack equal-width bit groups)"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     pt = planes.T.copy()
@@ -707,13 +716,21 @@ def lsh_scored_pairs(
     keyed = materialize_shared(
         _lsh_keyed(df, id_col, vec_col, dim, n_planes, bands, seed, keep_vec=True)
     )
-    hot = (
-        keyed.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > (max_bucket_size or 2**62))
-        .select("band", "key")
-    )
-    small = keyed.join(hot, ["band", "key"], "left_anti")
+    if max_bucket_size is None:
+        # no cap: skip the bucket-size agg and both routing joins
+        # entirely. `is None` is the only no-cap sentinel (matching
+        # lsh_candidate_pairs); an explicit 0 means every non-trivial
+        # bucket is over-cap, not "uncapped".
+        hot = None
+        small = keyed
+    else:
+        hot = (
+            keyed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "key")
+        )
+        small = keyed.join(hot, ["band", "key"], "left_anti")
 
     def bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -753,6 +770,11 @@ def lsh_scored_pairs(
     pairs_small = small.groupBy("band", "key").applyInPandas(
         bucket_gemm, f"src {id_type}, dst {id_type}, score double"
     )
+    if hot is None:
+        return (
+            pairs_small.groupBy("src", "dst")
+            .agg(F.max("score").alias("score"))
+        )
     big = keyed.join(hot, ["band", "key"], "left_semi")
     chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
     chain = (

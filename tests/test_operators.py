@@ -1209,6 +1209,51 @@ def test_lsh_scored_pairs_megabucket_stays_linear(spark):
     assert pairs.count() == n - 1
 
 
+def test_lsh_scored_pairs_none_cap_sentinel(spark):
+    """ADVICE r07: `max_bucket_size or 2**62` treated an explicit 0 as
+    'no cap' — the opposite of the caller's intent. None must be the
+    only no-cap sentinel (matching lsh_candidate_pairs): with no
+    over-cap buckets None and the default cap agree exactly, while an
+    explicit 0 routes EVERY bucket through the linear chain."""
+    import numpy as np
+
+    from bigdataamazon_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    uncapped = similarity.lsh_scored_pairs(
+        df, dim=8, n_planes=8, bands=2, max_bucket_size=None
+    )
+    capped = similarity.lsh_scored_pairs(
+        df, dim=8, n_planes=8, bands=2, max_bucket_size=1024
+    )
+    a, b = uncapped.select("src", "dst"), capped.select("src", "dst")
+    assert uncapped.count() == capped.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    zero = similarity.lsh_scored_pairs(
+        df, dim=8, n_planes=8, bands=2, max_bucket_size=0
+    ).count()
+    assert 0 < zero < capped.count()
+
+
+def test_lsh_keyed_rejects_indivisible_planes(spark):
+    """ADVICE r07: n_planes not divisible by bands used to raise an
+    opaque ValueError inside the executor's Arrow kernel (and before
+    r07, silently dropped planes). Must fail eagerly at plan build."""
+    import pytest
+
+    from bigdataamazon_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.lsh_scored_pairs(df, dim=8, n_planes=18, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.lsh_candidate_pairs(df, dim=8, n_planes=18, bands=4)
+
+
 def test_simhash_banded_equals_allpairs(spark):
     """The two physical plans behind simhash_neardup_pairs (n^2 BNLJ
     below the route cap, pigeonhole-banded equi-join above) must return
