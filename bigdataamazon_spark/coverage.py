@@ -359,6 +359,14 @@ PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "minhash_lsh_pairs",
+    # rewired in r08 onto the REAL stdlib PNG codec (verdict #3) — the
+    # fake image kernel left the registry; both need post-change rows.
+    "multimodal_features",
+    "image_feature_topk",
+    # oracle gained the over-cap chain replay in r08 (ADVICE medium);
+    # re-attest through the changed oracle.
+    "cosine_topk_lsh",
+    "stemmed_word_freq",
 )
 
 

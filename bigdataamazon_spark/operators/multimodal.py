@@ -7,15 +7,24 @@ per-item decode/feature work happens in Arrow-batched pandas stages
 bytes never leave the executor, Python sees them as zero-copy Arrow
 buffers, and the decode stage parallelizes per partition.
 
-Decode kernels: ``decode_mode="fake"`` derives deterministic
-pseudo-features from the bytes so the full pipeline — schema, batching,
-partitioning, output shape — is real and tested (and SQL-replayable by
-the DuckDB oracle, since every fake value is a pure function of the md5
-hex digest). ``decode_mode="real"`` uses PIL (images) / PyAV (video)
-when importable — probed once at import time — and raises
-``NotImplementedError`` at the exact seam otherwise, so this container
-(no media libs) exercises the fake path while an image with PIL runs
-the real kernels unchanged.
+Decode kernels, by modality:
+
+- **Images: REAL, stdlib, no seam** (since r08). ``encode_png_gray`` /
+  ``decode_png`` are a genuine PNG codec on ``zlib`` + ``struct`` (the
+  public W3C/RFC-2083 container: chunk CRCs, deflate, all five scanline
+  filters), so ``with_synthetic_png`` -> ``png_features`` runs a real
+  encode -> decode -> feature pipeline in any container, with
+  md5-derived pixels a DuckDB oracle replays hash-exactly — the same
+  pattern the audio modality proved in r02/r07.
+- **Audio: REAL, stdlib, no seam** — RIFF/WAV through ``wave``.
+- **Video: gated.** No stdlib container parser exists for any video
+  format, so ``sample_frames(decode_mode="real")`` needs PyAV (probed
+  once at import) and raises ``NotImplementedError`` at the exact seam
+  otherwise; ``decode_mode="fake"`` derives deterministic,
+  SQL-replayable frame payloads so the 1->N fan-out plumbing is fully
+  tested here. ``decode_blobs``/``resize_images`` keep their fake modes
+  for the digest-blob entries and PIL real modes for non-PNG formats;
+  PNG-blob resize runs REAL via the stdlib codec with no PIL.
 """
 
 from __future__ import annotations
@@ -152,20 +161,39 @@ def resize_images(
 
     fake mode emits a deterministic stand-in payload (digest of the
     input bytes + target dims) with the requested dims; real mode
-    decodes with PIL, resizes, and re-encodes PNG (NotImplementedError
-    when pillow is absent).
+    resizes PNG inputs with the stdlib codec (decode -> nearest-neighbor
+    sample -> re-encode, no third-party import), and falls back to PIL
+    for other formats (NotImplementedError when pillow is absent AND
+    the input is not a PNG).
     """
     if decode_mode not in ("fake", "real"):
         raise ValueError(f"decode_mode must be 'fake' or 'real', got {decode_mode!r}")
     import hashlib
 
-    def _real_resize(pdf: pd.DataFrame) -> pd.DataFrame:
-        Image = _require_pil()
-        import io  # noqa: PLC0415
+    def _resize_png_stdlib(blob: bytes) -> bytes:
+        import numpy as np  # noqa: PLC0415
 
+        w, h, ch, px = decode_png(blob)
+        ri = (np.arange(height) * h) // height
+        cols = (
+            ((np.arange(width) * w) // width)[:, None] * ch + np.arange(ch)
+        ).ravel()
+        out = px[ri][:, cols]
+        return encode_png(
+            [bytes(bytearray(row)) for row in out], width, height, n_channels=ch
+        )
+
+    def _real_resize(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for blob in pdf["blob"]:
-            img = Image.open(io.BytesIO(bytes(blob))).resize((width, height))
+            raw = bytes(blob)
+            if raw[:8] == PNG_SIG:
+                out.append(_resize_png_stdlib(raw))
+                continue
+            Image = _require_pil()
+            import io  # noqa: PLC0415
+
+            img = Image.open(io.BytesIO(raw)).resize((width, height))
             buf = io.BytesIO()
             img.save(buf, format="PNG")
             out.append(buf.getvalue())
@@ -248,6 +276,229 @@ def sample_frames(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Images: REAL in-container PNG codec (stdlib zlib + struct), SQL-replayable
+# pixels — the audio pattern applied to the image modality (r07 verdict #3).
+# The container format is the public PNG spec (W3C / RFC 2083): signature,
+# IHDR, zlib-deflated filtered scanlines in IDAT, IEND, CRC-32 per chunk.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+PNG_FEATURE_BANDS = 8
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def encode_png(
+    scanlines: list[bytes], width: int, height: int, *, n_channels: int = 1
+) -> bytes:
+    """A genuine 8-bit PNG from raw scanline bytes (gray / gray+alpha /
+    RGB / RGBA by ``n_channels``): IHDR + one IDAT (filter-0 scanlines,
+    deflate) + IEND, CRC-32 on every chunk. Any standards-compliant
+    viewer opens the output; the point is the blob is a REAL container,
+    not a digest stand-in."""
+    import struct
+    import zlib
+
+    if n_channels not in _PNG_CTYPE:
+        raise ValueError(f"n_channels must be 1/2/3/4, got {n_channels}")
+    stride = width * n_channels
+    if len(scanlines) != height or any(len(s) != stride for s in scanlines):
+        raise ValueError("scanlines must be height rows of width*channels bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PNG_CTYPE[n_channels], 0, 0, 0)
+    raw = b"".join(b"\x00" + s for s in scanlines)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray(scanlines: list[bytes], width: int, height: int) -> bytes:
+    """Grayscale form of :func:`encode_png` (the synthetic-corpus shape)."""
+    return encode_png(scanlines, width, height, n_channels=1)
+
+
+def decode_png(blob: bytes):
+    """REAL stdlib PNG decoder: chunk walk, IHDR parse, IDAT inflate,
+    and full scanline unfiltering (all five spec filters — None, Sub,
+    Up, Average, Paeth), returning ``(width, height, n_channels,
+    pixels)`` with ``pixels`` an (h, w*channels) uint8 ndarray. Supports
+    8-bit gray/RGB/gray+alpha/RGBA, non-interlaced — i.e. everything a
+    filter-0 encoder (ours or a standard one) emits, plus the filter
+    types real encoders pick. Not a seam: no third-party import, runs
+    in any container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(blob[:8]) != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    b = bytes(blob)
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("not a PNG: missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} ctype={ctype} interlace={interlace}); "
+            "this decoder handles 8-bit non-interlaced gray/RGB/LA/RGBA"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left context
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0  # left
+                up = prev[i]
+                if ft == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (line[i] + (a + up) // 2) & 0xFF
+                else:
+                    c = prev[i - ch] if i >= ch else 0  # upper-left
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, ch, out
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    import hashlib
+
+    hx = hashlib.md5(f"png:{doc_id}".encode()).hexdigest()
+    return 16 + int(hx[0:2], 16) % 16, 8 + int(hx[2:4], 16) % 8
+
+
+def _png_scanline(doc_id: int, r: int, width: int) -> bytes:
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(f"png:{doc_id}:{r}:{j}".encode()).digest()
+        for j in range((width + 15) // 16)
+    )
+    return raw[:width]
+
+
+def with_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE PNG blob per row: 8-bit grayscale, dims
+    16..31 × 8..15 from ``md5('png:{id}')``, scanline bytes the
+    concatenated digests of ``'png:{id}:{row}:{chunk}'`` — a real
+    container (spec-compliant chunks, CRCs, deflate) whose every pixel
+    a DuckDB oracle recomputes from the same hashes without ever
+    parsing a PNG. The image twin of ``with_synthetic_wav``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                w, h = _png_dims(doc_id)
+                blobs.append(
+                    encode_png_gray(
+                        [_png_scanline(doc_id, r, w) for r in range(h)], w, h
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "png": blobs})
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id bigint, png binary")
+
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, n_channels int, "
+    "n_pixels int, mean_lum double, std_lum double, n_edges int, "
+    "band_sums array<long>"
+)
+
+
+def png_features(df: DataFrame, blob_col: str = "png") -> DataFrame:
+    """Image feature extraction over PNG blobs via the REAL stdlib
+    decoder (``decode_png`` — chunk walk, inflate, unfilter), no import
+    seam: luminance mean/population-std, horizontal edge count
+    (|Δ| >= 32 between neighbors in a row), and 8 row-band pixel SUMS
+    (rows r ≡ j mod 8) as the retrieval feature vector. Sums and
+    counts are exact integers and every float is one division/sqrt of
+    exact sums, so a SQL oracle recomputing the md5-derived pixels
+    matches bit-for-bit. Arrow batches in, scalars out; blobs never
+    leave the executor."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_bytes", "width", "height", "n_channels",
+                "n_pixels", "mean_lum", "std_lum", "n_edges", "band_sums",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                w, h, ch, px = decode_png(bytes(blob))
+                v = px.astype(np.int64)
+                n = w * h * ch
+                s, ss = int(v.sum()), int((v * v).sum())
+                mean = s / n
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(bytes(blob)))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(ch)
+                rows["n_pixels"].append(n)
+                rows["mean_lum"].append(mean)
+                rows["std_lum"].append(float(np.sqrt(ss / n - mean * mean)))
+                rows["n_edges"].append(int((np.abs(np.diff(v, axis=1)) >= 32).sum()))
+                bands = np.arange(h) % PNG_FEATURE_BANDS
+                rows["band_sums"].append(
+                    [int(v[bands == j].sum()) for j in range(PNG_FEATURE_BANDS)]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(feats, PNG_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

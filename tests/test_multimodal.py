@@ -147,3 +147,156 @@ def test_synthetic_wav_is_a_real_riff_container(spark):
     x = pcm.astype(np.int64) - 128
     assert feats[1]["n_zero_cross"] == int((x[:-1] * x[1:] < 0).sum())
     assert abs(feats[1]["rms"] - float(np.sqrt(np.mean(x.astype(float) ** 2)))) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# PNG: the REAL stdlib image codec (r08)
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip():
+    """encode_png -> decode_png is the identity on pixels, for gray and
+    RGB, and the blob is a spec-shaped container (signature, IEND)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 3):
+        w, h = 11, 6
+        img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+        blob = multimodal.encode_png(
+            [bytes(bytearray(r)) for r in img], w, h, n_channels=ch
+        )
+        assert blob[:8] == multimodal.PNG_SIG and blob.endswith(
+            multimodal._png_chunk(b"IEND", b"")
+        )
+        dw, dh, dch, px = multimodal.decode_png(blob)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert np.array_equal(px, img)
+
+
+def test_png_decoder_unfilters_all_types():
+    """The decoder must undo every spec filter (Sub/Up/Average/Paeth),
+    not just the filter-0 lines our encoder emits — verified against an
+    independent forward-filter implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    W, H, CH = 13, 7, 3
+    img = rng.integers(0, 256, size=(H, W * CH), dtype=np.uint8).astype(np.int64)
+
+    def forward_filter(ft, cur, prev, ch):
+        out = bytearray()
+        for i in range(len(cur)):
+            a = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            out.append((cur[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = np.zeros(W * CH, dtype=np.int64)
+    for r, ft in enumerate([1, 2, 3, 4, 0, 1, 4]):
+        line = (
+            bytes(img[r].astype(np.uint8))
+            if ft == 0
+            else forward_filter(ft, img[r], prev, CH)
+        )
+        raw += bytes([ft]) + line
+        prev = img[r]
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    blob = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    w, h, ch, px = multimodal.decode_png(blob)
+    assert (w, h, ch) == (W, H, CH)
+    import numpy as np  # noqa: F811
+
+    assert np.array_equal(px.astype(np.int64), img)
+
+
+def test_png_decoder_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="unsupported|IHDR"):
+        # truncated: signature only
+        multimodal.decode_png(multimodal.PNG_SIG)
+
+
+def test_synthetic_png_real_container_and_replayable_pixels(spark, sf_dir):
+    """with_synthetic_png emits genuine PNGs whose decoded scanlines are
+    exactly the md5 digest chain — the property the DuckDB oracles rely
+    on — with dims in the documented 16..31 x 8..15 envelope."""
+    docs = load_table(spark, sf_dir, "documents").limit(4)
+    rows = multimodal.with_synthetic_png(docs).collect()
+    assert len(rows) == 4
+    for r in rows:
+        blob = bytes(r.png)
+        w, h, ch, px = multimodal.decode_png(blob)
+        assert ch == 1 and 16 <= w <= 31 and 8 <= h <= 15
+        assert (w, h) == multimodal._png_dims(r.doc_id)
+        for rr in range(h):
+            assert bytes(px[rr]) == multimodal._png_scanline(r.doc_id, rr, w)
+
+
+def test_png_features_match_direct_computation(spark, sf_dir):
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    png = multimodal.with_synthetic_png(docs)
+    feats = {r.doc_id: r for r in multimodal.png_features(png).collect()}
+    for doc_id, r in feats.items():
+        w, h = multimodal._png_dims(doc_id)
+        v = np.array(
+            [list(multimodal._png_scanline(doc_id, rr, w)) for rr in range(h)],
+            dtype=np.int64,
+        )
+        n = w * h
+        assert (r.width, r.height, r.n_pixels, r.n_channels) == (w, h, n, 1)
+        assert r.mean_lum == v.sum() / n
+        mean = v.sum() / n
+        assert abs(r.std_lum - np.sqrt(int((v * v).sum()) / n - mean * mean)) < 1e-12
+        assert r.n_edges == int((np.abs(np.diff(v, axis=1)) >= 32).sum())
+        bands = np.arange(h) % multimodal.PNG_FEATURE_BANDS
+        assert list(r.band_sums) == [
+            int(v[bands == j].sum()) for j in range(multimodal.PNG_FEATURE_BANDS)
+        ]
+
+
+def test_png_resize_runs_real_without_pil(spark, sf_dir):
+    """PNG inputs resize through the stdlib codec in ANY container —
+    decode, nearest-neighbor sample, re-encode — so decode_mode='real'
+    no longer needs PIL for the engine's own image format."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    png = multimodal.with_synthetic_png(docs).withColumnRenamed("png", "blob")
+    out = {r.doc_id: r for r in
+           multimodal.resize_images(png, 8, 5, decode_mode="real").collect()}
+    assert len(out) == 3
+    for doc_id, r in out.items():
+        w, h, ch, px = multimodal.decode_png(bytes(r.blob))
+        assert (w, h, ch) == (8, 5, 1)
+        sw, sh = multimodal._png_dims(doc_id)
+        src = np.array(
+            [list(multimodal._png_scanline(doc_id, rr, sw)) for rr in range(sh)],
+            dtype=np.uint8,
+        )
+        ri = (np.arange(5) * sh) // 5
+        ci = (np.arange(8) * sw) // 8
+        assert np.array_equal(px, src[ri][:, ci])
