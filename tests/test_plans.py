@@ -1090,6 +1090,11 @@ def test_kneser_ney_marginals_broadcast_one_text_scan_col(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("SortMergeJoin") == 0
     assert _scan_schemas(plan) and all(c == ["text"] for c in _scan_schemas(plan))
+    # exchange/agg-count pin (r07 verdict #5): this entry drifted
+    # 0.40 -> 0.74 s across benches with untouched code; a constant
+    # physical shape proves the drift is host noise, not a plan change
+    assert plan.count("Exchange") == 10
+    assert plan.count("HashAggregate") == 14
 
 
 def test_ips_rollups_broadcast_events_pruned(spark, sf_dir):
@@ -1109,6 +1114,10 @@ def test_fd_audit_is_join_free(spark, sf_dir):
         assert op not in plan
     # each candidate's scan reads exactly its (X, Y) column pair
     assert all(len(c) == 2 for c in _scan_schemas(plan))
+    # shape pin for the bench drifter (r07 verdict #5; 0.29 -> 0.42 s
+    # with untouched code): constant operator counts == host noise
+    assert plan.count("Exchange") == 15
+    assert plan.count("HashAggregate") == 30
 
 
 def test_recursive_reach_uses_native_union_loop(spark, sf_dir):
@@ -1434,6 +1443,10 @@ def test_curriculum_uses_distributed_ntile(spark, sf_dir):
     plan = _executed_plan(spark, "curriculum_phase_stats", sf_dir)
     assert "Exchange rangepartitioning" in plan
     assert "MapInPandas" in plan
+    # shape pin for the bench drifter (r07 verdict #5; 0.50 -> 0.71 s
+    # with untouched code): constant operator counts == host noise
+    assert plan.count("Exchange") == 28
+    assert plan.count("HashAggregate") == 18
 
 
 def test_bottleneck_paths_lineage_is_cut(spark, sf_dir):

@@ -46,15 +46,33 @@ def main() -> None:
 
     names = sorted(registry.queries().keys())[lo:hi]
     bad: list[tuple[str, str]] = []
+    per_name: dict[str, str] = {}
     for n in names:
         try:
             p = compare(spark, n, sf_dir)
             if p:
                 bad.append((n, p[0][:160]))
+            per_name[n] = "green" if not p else "red"
         except Exception as e:  # noqa: BLE001
             bad.append((n, f"EXC {type(e).__name__}: {e}"[:160]))
+            per_name[n] = "red"
         spark.catalog.clearCache()
     print(json.dumps({"range": [lo, hi], "bad": bad, "n": len(names)}))
+    # shard artifact for tools/merge_sweep.py (r07 verdict #6: publish
+    # the full sweep as a diffable SWEEP_rN.json next to CORRECTNESS)
+    out = os.environ.get("SWEEP_SHARD_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "layout": "local[11]/7-shuffle",
+                    "sf_dir": sf_dir,
+                    "range": [lo, hi],
+                    "entries": per_name,
+                    "bad": bad,
+                },
+                f,
+            )
     spark.stop()
 
 

@@ -1,16 +1,54 @@
 #!/usr/bin/env python
-"""Time registry queries at an arbitrary sf_dir (stress studies).
+"""Stress harness: ad-hoc timing mode + the per-round scale-correctness GATE.
 
-Same min-of-2-warm methodology as bench.py, but query set and data dir
-come from the command line:
+Timing mode (same min-of-2-warm methodology as bench.py; query set and
+data dir from the command line):
 
     python tools/run_stress.py /tmp/sfx minhash_lsh_pairs neardup_clusters
+
+Gate mode (r07 verdict #2 — the three r07 silent-at-scale bugs were only
+caught because the stress battery happened to be re-run late in the
+session; this makes it a committed, per-round artifact):
+
+    python tools/run_stress.py --gate --out STRESS_r08.json
+
+For every size-routed operator, regenerate a /tmp corpus ABOVE its route
+boundary — where the approximate/banded path actually executes — and
+assert a floor against exact ground truth:
+
+  lsh_router_topk_recall   similarity_topk_auto at 50k rows (exact cap
+                           20k): sampled top-5 recall vs numpy exact GT
+                           >= 0.95 (r07 receipt: the pre-fix router
+                           measured 0.0 here).
+  eps_pairs_recall         eps_neighborhood_pairs at 50k rows, θ=0.9:
+                           sampled per-probe neighbor recall >= 0.95
+                           (r07 receipt: 0 of 600k pairs pre-fix).
+  ivf_recall               ivf_topk (deterministic quantizer) at 50k:
+                           sampled recall >= the 0.5 contract floor.
+  simhash_routes_identical banded route (forced via max_rows=0) vs BNLJ
+                           route at 25k docs: identical pair sets —
+                           banding is exact by pigeonhole, so ANY
+                           difference is a bug, not a recall trade.
+  minhash_megabucket_chain 30k identical docs (every bucket a
+                           mega-bucket): the posting cap must emit the
+                           spillable n-1 chain, never the n² bucket
+                           blow-up.
+  lsh_oracle_overcap_parity cosine_topk_lsh full Spark<->DuckDB parity
+                           at 25k vectors, where every fixed-16-plane
+                           bucket is over LSH_MAX_BUCKET_SIZE — pins the
+                           r08 oracle chain-replay (ADVICE r07 medium)
+                           above the corpus size that used to red it.
+
+Emits one JSON line (and --out file): {"checks": {...}, "n_fail": N};
+exit code 1 on any failure so a red gate turns the round red.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -18,12 +56,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from bigdataamazon_spark import queries as registry  # noqa: E402
-from bigdataamazon_spark.session import get_spark  # noqa: E402
+GATE_DIR = "/tmp/stress_gate"
 
 
-def main() -> None:
-    sf_dir, names = sys.argv[1], sys.argv[2:]
+def _timing_mode(sf_dir: str, names: list[str]) -> None:
+    from bigdataamazon_spark import queries as registry
+    from bigdataamazon_spark.session import get_spark
+
     spark = get_spark("bigdataamazon-stress")
     qs = registry.queries()
     timings: dict[str, float | str] = {}
@@ -42,5 +81,219 @@ def main() -> None:
     print(json.dumps({"sf_dir": sf_dir, "queries": timings}))
 
 
+# ---------------------------------------------------------------------------
+# Gate mode
+# ---------------------------------------------------------------------------
+
+
+def _make_corpora() -> dict[str, str]:
+    """Regenerate the above-boundary corpora fresh each run (stale /tmp
+    data must never green a gate)."""
+    from tools.make_stress import make_sfdup, make_sfx
+
+    dirs = {
+        # 50k vectors (5000 × 10 near-dup shifts) + 25k docs — above the
+        # 20k exact-GEMM cap and big enough that fixed-width LSH buckets
+        # go over LSH_MAX_BUCKET_SIZE
+        "sfx10": f"{GATE_DIR}/sfx10",
+        # 25k vectors from sf0.01 ×50 — every fixed-16-plane bucket over
+        # cap (mean bucket ~1560 vs cap 1024)
+        "sflsh25": f"{GATE_DIR}/sflsh25",
+        # 30k byte-identical docs — the mega-bucket pathology
+        "sfdup": f"{GATE_DIR}/sfdup",
+    }
+    shutil.rmtree(GATE_DIR, ignore_errors=True)
+    make_sfx("/root/testdata/sf0.1", dirs["sfx10"], doc_reps=5, emb_reps=10)
+    make_sfx("/root/testdata/sf0.01", dirs["sflsh25"], doc_reps=2, emb_reps=50)
+    make_sfdup("/root/testdata/sf0.01", dirs["sfdup"], n=30000)
+    return dirs
+
+
+def _load_vectors(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return ids, mat
+
+
+def _exact_gt(ids, mat, probe_idx, k: int, eps: float):
+    """numpy exact ground truth for the sampled probes: top-k neighbor
+    id sets and eps-neighbor id sets (cosine)."""
+    import numpy as np
+
+    nrm = np.linalg.norm(mat, axis=1)
+    q = mat[probe_idx]
+    s = (q @ mat.T) / np.outer(nrm[probe_idx], nrm)
+    s[np.arange(len(probe_idx)), probe_idx] = -np.inf
+    top = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    topk = {int(ids[p]): {int(ids[j]) for j in row} for p, row in zip(probe_idx, top)}
+    epsn = {
+        int(ids[p]): {int(ids[j]) for j in np.flatnonzero(s[i] >= eps)}
+        for i, p in enumerate(probe_idx)
+    }
+    return topk, epsn
+
+
+def _recall_topk(rows, gt: dict[int, set], k: int) -> float:
+    hits, total = 0, 0
+    found: dict[int, set] = {}
+    for r in rows:
+        found.setdefault(int(r["src"]), set()).add(int(r["dst"]))
+    for src, want in gt.items():
+        hits += len(found.get(src, set()) & want)
+        total += min(k, len(want))
+    return hits / total if total else 1.0
+
+
+def _gate(out_path: str | None) -> int:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import dedup, similarity
+    from bigdataamazon_spark.session import get_spark
+    from tests.parity import compare
+
+    checks: dict[str, dict] = {}
+
+    def record(name, value, floor, ok, wall, note=""):
+        checks[name] = {
+            "value": round(float(value), 4),
+            "floor": floor,
+            "pass": bool(ok),
+            "wall_sec": round(wall, 1),
+            **({"note": note} if note else {}),
+        }
+        print(f"gate {name}: {'PASS' if ok else 'FAIL'} "
+              f"value={value:.4f} floor={floor} ({wall:.1f}s)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    dirs = _make_corpora()
+    print(f"gate corpora regenerated in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    spark = get_spark("bigdataamazon-stress-gate")
+    ids, mat = _load_vectors(dirs["sfx10"])
+    rng_step = max(1, len(ids) // 500)
+    probe_idx = np.arange(0, len(ids), rng_step)[:500]
+    gt_topk, gt_eps = _exact_gt(ids, mat, probe_idx, k=5, eps=0.9)
+    probe_ids = set(gt_topk)
+    emb = load_table(spark, dirs["sfx10"], "embeddings")
+
+    # 1. LSH router top-k recall above the exact cap
+    t = time.perf_counter()
+    topk = similarity.similarity_topk_auto(emb, "vec_id", "embedding", k=5)
+    rows = topk.filter(F.col("src").isin(list(probe_ids))).collect()
+    rec = _recall_topk(rows, gt_topk, k=5)
+    record("lsh_router_topk_recall", rec, 0.95, rec >= 0.95,
+           time.perf_counter() - t)
+
+    # 2. eps-neighborhood recall above the exact cap
+    t = time.perf_counter()
+    eps_pairs = similarity.eps_neighborhood_pairs(
+        emb, "vec_id", "embedding", threshold=0.9
+    )
+    prows = eps_pairs.filter(
+        F.col("src").isin(list(probe_ids)) | F.col("dst").isin(list(probe_ids))
+    ).collect()
+    found_eps: dict[int, set] = {p: set() for p in probe_ids}
+    for r in prows:
+        s, d = int(r["src"]), int(r["dst"])
+        if s in found_eps:
+            found_eps[s].add(d)
+        if d in found_eps:
+            found_eps[d].add(s)
+    want_total = sum(len(v) for v in gt_eps.values())
+    hit_total = sum(len(found_eps[p] & gt_eps[p]) for p in probe_ids)
+    rec = hit_total / want_total if want_total else 1.0
+    record("eps_pairs_recall", rec, 0.95, rec >= 0.95,
+           time.perf_counter() - t,
+           note=f"{hit_total}/{want_total} sampled true pairs")
+
+    # 3. IVF serving recall (deterministic quantizer, production config)
+    t = time.perf_counter()
+    cent_rows = emb.orderBy("vec_id").limit(16).collect()
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    ivf = similarity.ivf_topk(emb, "vec_id", "embedding", k=5, centroids=centroids)
+    rows = ivf.filter(F.col("src").isin(list(probe_ids))).collect()
+    rec = _recall_topk(rows, gt_topk, k=5)
+    record("ivf_recall", rec, 0.5, rec >= 0.5, time.perf_counter() - t)
+    spark.catalog.clearCache()
+
+    # 4. simhash: banded route (forced via max_rows=0) must equal the
+    # BNLJ route at 25k docs — banding is exact by pigeonhole, so any
+    # difference is a bug, not a recall trade
+    t = time.perf_counter()
+    docs = load_table(spark, dirs["sfx10"], "documents")
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False))
+    sigs = dedup.simhash_signatures(sids).cache()
+    bnlj = dedup.simhash_neardup_pairs(sigs, max_hamming=6, max_rows=10**9)
+    banded = dedup.simhash_neardup_pairs(sigs, max_hamming=6, max_rows=0)
+    n_b = bnlj.count()
+    sym_diff = (
+        bnlj.select("src", "dst").exceptAll(banded.select("src", "dst")).count()
+        + banded.select("src", "dst").exceptAll(bnlj.select("src", "dst")).count()
+    )
+    record("simhash_routes_identical", sym_diff, 0, sym_diff == 0,
+           time.perf_counter() - t, note=f"{n_b} pairs on both routes")
+    sigs.unpersist()
+    spark.catalog.clearCache()
+
+    # 5. LSH bucket-cap mega-bucket pathology: 30k near-identical
+    # vectors land in ONE bucket per band; the over-cap route must emit
+    # the spillable n-1 adjacent chain, never the 450M-pair bucket
+    # blow-up (r06 receipt)
+    t = time.perf_counter()
+    dup_emb = load_table(spark, dirs["sfdup"], "embeddings")
+    n_dup = dup_emb.count()
+    n_pairs = similarity.lsh_candidate_pairs(
+        dup_emb, "vec_id", "embedding", dim=64, n_planes=16, bands=4
+    ).count()
+    record("lsh_megabucket_chain", n_pairs, n_dup - 1, n_pairs == n_dup - 1,
+           time.perf_counter() - t, note=f"{n_dup} near-identical vectors")
+    spark.catalog.clearCache()
+
+    # 6. cosine_topk_lsh oracle parity where every bucket is over cap
+    t = time.perf_counter()
+    probs = compare(spark, "cosine_topk_lsh", dirs["sflsh25"])
+    record("lsh_oracle_overcap_parity", len(probs), 0, not probs,
+           time.perf_counter() - t,
+           note=probs[0][:160] if probs else "bit-identical at 25k vectors")
+
+    n_fail = sum(1 for c in checks.values() if not c["pass"])
+    result = {
+        "gate": "scale-correctness",
+        "corpora": dirs,
+        "checks": checks,
+        "n_fail": n_fail,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    return 1 if n_fail else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", action="store_true")
+    ap.add_argument("--out", default=None, help="also write gate JSON here")
+    ap.add_argument("rest", nargs="*")
+    args = ap.parse_args()
+    if args.gate:
+        return _gate(args.out)
+    if len(args.rest) < 2:
+        ap.error("timing mode needs: SF_DIR QUERY [QUERY...]")
+    _timing_mode(args.rest[0], args.rest[1:])
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
