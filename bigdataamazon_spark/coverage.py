@@ -363,10 +363,13 @@ PRIORITY: tuple[str, ...] = (
     # fake image kernel left the registry; both need post-change rows.
     "multimodal_features",
     "image_feature_topk",
-    # oracle gained the over-cap chain replay in r08 (ADVICE medium);
-    # re-attest through the changed oracle.
-    "cosine_topk_lsh",
-    "stemmed_word_freq",
+    # NOT re-attested despite r08 oracle edits: cosine_topk_lsh (over-
+    # cap chain replay) and stemmed_word_freq (\s+ tokenizer) — both
+    # edits are proven output-identical at the driver's sf0.01 via the
+    # driver-exact compare, both have fresh r07 rows, and the oracle
+    # scale-validity is pinned by the committed stress gate
+    # (STRESS_r08.json lsh_oracle_overcap_parity) — spending 2 more
+    # window slots would slow the 213-name backlog drain for no signal.
 )
 
 
