@@ -63,24 +63,31 @@ def _require_pil():
 
 
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """PIL-backed decode: blob -> dims/channels + an 8-dim feature
-    (per-channel pixel means, zero-padded). Runs only when pillow is
-    importable; unit-tested under a skipif gate."""
-    Image = _require_pil()
-    import io  # noqa: PLC0415
-
+    """Real decode: PNG inputs go through the stdlib codec below (no
+    third-party import); other formats need PIL (per-channel pixel
+    means as the 8-dim feature, zero-padded). PIL branch unit-tested
+    under a skipif gate."""
     import numpy as np  # noqa: PLC0415
 
     n_bytes, widths, heights, chans, feats = [], [], [], [], []
     for blob in pdf["blob"]:
         raw = bytes(blob)
-        img = Image.open(io.BytesIO(raw))
-        arr = np.asarray(img)
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
+        if raw[:8] == PNG_SIG:
+            w, h, ch, px = decode_png(raw)
+            arr = px.reshape(h, w, ch)
+            img_w, img_h = w, h
+        else:
+            Image = _require_pil()
+            import io  # noqa: PLC0415
+
+            img = Image.open(io.BytesIO(raw))
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            img_w, img_h = img.width, img.height
         n_bytes.append(len(raw))
-        widths.append(img.width)
-        heights.append(img.height)
+        widths.append(img_w)
+        heights.append(img_h)
         chans.append(arr.shape[2])
         means = (arr.reshape(-1, arr.shape[2]).mean(axis=0) / 255.0).tolist()
         feats.append([float(x) for x in (means + [0.0] * FEATURE_DIM)[:FEATURE_DIM]])

@@ -300,3 +300,24 @@ def test_png_resize_runs_real_without_pil(spark, sf_dir):
         ri = (np.arange(5) * sh) // 5
         ci = (np.arange(8) * sw) // 8
         assert np.array_equal(px, src[ri][:, ci])
+
+
+def test_decode_blobs_real_mode_handles_png_without_pil(spark, sf_dir):
+    """decode_blobs(decode_mode='real') routes PNG inputs through the
+    stdlib codec, so the real path works in ANY container for the
+    engine's own image format; non-PNG blobs still need PIL."""
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    png = multimodal.with_synthetic_png(docs).withColumnRenamed("png", "blob")
+    rows = {r.doc_id: r for r in
+            multimodal.decode_blobs(png, decode_mode="real").collect()}
+    assert len(rows) == 3
+    for doc_id, r in rows.items():
+        w, h = multimodal._png_dims(doc_id)
+        assert (r.width, r.height, r.n_channels) == (w, h, 1)
+        import numpy as np
+
+        v = np.array(
+            [list(multimodal._png_scanline(doc_id, rr, w)) for rr in range(h)],
+            dtype=np.float64,
+        )
+        assert abs(r.feature[0] - v.mean() / 255.0) < 1e-6
