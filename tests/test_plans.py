@@ -1688,3 +1688,26 @@ def test_cosine_topk_approx_rescore_is_one_arrow_hop(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = executed_plan(cosine_topk_approx(emb))
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_multimodal_png_zero_shuffle_one_column_scan(spark, sf_dir):
+    """The real-PNG feature pipeline (r08): the documents scan reads
+    ONLY doc_id (text never ships — pixels are synthesized from the
+    id), and the encode -> decode -> feature chain is two mapInPandas
+    hops with ZERO exchanges — embarrassingly parallel at any corpus
+    size."""
+    plan = _executed_plan(spark, "multimodal_features", sf_dir)
+    assert _scan_schemas(plan) == [["doc_id"]]
+    assert plan.count("Exchange") == 0
+    assert plan.count("MapInPandas") == 2
+
+
+def test_image_feature_topk_broadcast_gemm_one_column_scan(spark, sf_dir):
+    """PNG decode feeds the broadcast-GEMM top-k: one column scanned,
+    no shuffle beyond the single top-k exchange, no join operators in
+    the plan (the GEMM is an Arrow kernel, not a Spark join)."""
+    plan = _executed_plan(spark, "image_feature_topk", sf_dir)
+    assert _scan_schemas(plan) == [["doc_id"]]
+    assert plan.count("Exchange") == 1
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert op not in plan

@@ -29,10 +29,15 @@ assert a floor against exact ground truth:
                            route at 25k docs: identical pair sets —
                            banding is exact by pigeonhole, so ANY
                            difference is a bug, not a recall trade.
-  minhash_megabucket_chain 30k identical docs (every bucket a
-                           mega-bucket): the posting cap must emit the
+  lsh_megabucket_chain     30k near-identical vectors (every bucket a
+                           mega-bucket): the bucket cap must emit the
                            spillable n-1 chain, never the n² bucket
                            blow-up.
+  minhash_planted_neardup_recall  planted near-copies (last 2 tokens
+                           dropped, shingle Jaccard >= ~0.9) must be
+                           recovered by the banded-LSH candidate path
+                           at >= 0.95 — the probabilistic-recall check
+                           the simhash dual-route equality can't give.
   lsh_oracle_overcap_parity cosine_topk_lsh full Spark<->DuckDB parity
                            at 25k vectors, where every fixed-16-plane
                            bucket is over LSH_MAX_BUCKET_SIZE — pins the
@@ -259,7 +264,56 @@ def _gate(out_path: str | None) -> int:
            time.perf_counter() - t, note=f"{n_dup} near-identical vectors")
     spark.catalog.clearCache()
 
-    # 6. cosine_topk_lsh oracle parity where every bucket is over cap
+    # 6. MinHash banded-LSH recall on planted text near-dups: every
+    # 20th doc gets a near-copy with its last 2 tokens dropped
+    # (3-gram-shingle Jaccard >= ~0.9 on long docs; banded-LSH recall
+    # at s=0.9, 4 bands x 4 rows is 1-(1-s^16/4)^4 ~ 0.99+). The
+    # candidates here are PROBABILISTIC (unlike simhash pigeonhole),
+    # so this is the recall check the dual-route equality can't give.
+    import duckdb
+
+    t = time.perf_counter()
+    nd_dir = f"{GATE_DIR}/sfnd"
+    os.makedirs(nd_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM '{dirs["sfx10"]}/documents.parquet'
+          UNION ALL
+          SELECT doc_id + 50000000,
+                 array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2],
+                                 ' ') AS text,
+                 lang, source, n_chars
+          FROM '{dirs["sfx10"]}/documents.parquet'
+          WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 30
+        ) TO '{nd_dir}/documents.parquet' (FORMAT PARQUET)
+    """)
+    planted = {
+        int(r[0])
+        for r in con.execute(
+            f"""SELECT doc_id FROM '{dirs["sfx10"]}/documents.parquet'
+                WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 30"""
+        ).fetchall()
+    }
+    nd_docs = load_table(spark, nd_dir, "documents")
+    found_pairs = {
+        (int(r["src"]), int(r["dst"]))
+        for r in dedup.minhash_dedup_pairs(nd_docs, 0.5)
+        .filter((F.col("src") % 50000000).isin(list(planted)))
+        .collect()
+    }
+    hits = sum(
+        1 for d in planted
+        if (d, d + 50000000) in found_pairs or (d + 50000000, d) in found_pairs
+    )
+    rec = hits / len(planted) if planted else 1.0
+    record("minhash_planted_neardup_recall", rec, 0.95, rec >= 0.95,
+           time.perf_counter() - t,
+           note=f"{hits}/{len(planted)} planted near-copies recovered")
+    spark.catalog.clearCache()
+
+    # 7. cosine_topk_lsh oracle parity where every bucket is over cap
     t = time.perf_counter()
     probs = compare(spark, "cosine_topk_lsh", dirs["sflsh25"])
     record("lsh_oracle_overcap_parity", len(probs), 0, not probs,
