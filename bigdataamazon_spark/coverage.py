@@ -359,10 +359,12 @@ PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "minhash_lsh_pairs",
-    # rewired in r08 onto the REAL stdlib PNG codec (verdict #3) — the
-    # fake image kernel left the registry; both need post-change rows.
+    # rewired in r08 onto REAL stdlib codecs (verdict #3: PNG for the
+    # image entries, then RIFF/AVI for video in the same round) — the
+    # fake kernels left the registry; each needs a post-change row.
     "multimodal_features",
     "image_feature_topk",
+    "video_frame_samples",
     # NOT re-attested despite r08 oracle edits: cosine_topk_lsh (over-
     # cap chain replay) and stemmed_word_freq (\s+ tokenizer) — both
     # edits are proven output-identical at the driver's sf0.01 via the

@@ -17,14 +17,18 @@ Decode kernels, by modality:
   md5-derived pixels a DuckDB oracle replays hash-exactly — the same
   pattern the audio modality proved in r02/r07.
 - **Audio: REAL, stdlib, no seam** — RIFF/WAV through ``wave``.
-- **Video: gated.** No stdlib container parser exists for any video
-  format, so ``sample_frames(decode_mode="real")`` needs PyAV (probed
-  once at import) and raises ``NotImplementedError`` at the exact seam
-  otherwise; ``decode_mode="fake"`` derives deterministic,
-  SQL-replayable frame payloads so the 1->N fan-out plumbing is fully
-  tested here. ``decode_blobs``/``resize_images`` keep their fake modes
-  for the digest-blob entries and PIL real modes for non-PNG formats;
-  PNG-blob resize runs REAL via the stdlib codec with no PIL.
+- **Video: REAL, stdlib, no seam for uncompressed AVI** (since r08).
+  ``encode_avi_rgb`` / ``decode_avi`` are a genuine RIFF/AVI codec on
+  ``struct`` (the public Microsoft container: avih/strh/strf headers,
+  '00db' DIB frames in bottom-up BGR, idx1), so ``with_synthetic_avi``
+  -> ``avi_frame_features`` runs a real mux -> demux -> feature
+  pipeline in any container with md5-replayable pixels. Compressed
+  video (H.264 etc.) genuinely needs a codec library: that branch of
+  ``sample_frames(decode_mode="real")`` keeps the PyAV probe and
+  raises ``NotImplementedError`` at the exact seam when absent.
+  ``decode_blobs``/``resize_images`` keep their fake modes for the
+  digest-blob entries and PIL real modes for non-PNG formats; PNG-blob
+  resize runs REAL via the stdlib codec with no PIL.
 """
 
 from __future__ import annotations
@@ -250,18 +254,29 @@ def sample_frames(df: DataFrame, *, decode_mode: str = "fake") -> DataFrame:
     import hashlib
 
     def _real_sample(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not HAS_AV:
-            raise NotImplementedError(
-                "real frame sampling needs PyAV/ffmpeg; not importable in "
-                "this environment — the fake path exercises the same plumbing"
-            )
-        import io  # noqa: PLC0415
-
-        import av  # noqa: PLC0415
-
         ids, idxs, frames = [], [], []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            with av.open(io.BytesIO(bytes(blob))) as container:
+            raw = bytes(blob)
+            if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                # uncompressed-DIB AVI: the stdlib demux below, no
+                # third-party import (frames come back as top-down RGB)
+                _w, _h, decoded = decode_avi(raw)
+                for i, fr in enumerate(decoded):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr.tobytes())
+                continue
+            if not HAS_AV:
+                raise NotImplementedError(
+                    "real frame sampling for compressed/non-AVI video needs "
+                    "PyAV/ffmpeg; not importable in this environment — "
+                    "uncompressed AVI demuxes via the stdlib RIFF walker"
+                )
+            import io  # noqa: PLC0415
+
+            import av  # noqa: PLC0415
+
+            with av.open(io.BytesIO(raw)) as container:
                 for i, frame in enumerate(container.decode(video=0)):
                     ids.append(doc_id)
                     idxs.append(i)
@@ -506,6 +521,210 @@ def png_features(df: DataFrame, blob_col: str = "png") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(feats, PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL in-container AVI codec (stdlib struct, RIFF walker) with
+# uncompressed DIB frames — the WAV/PNG pattern applied to the video
+# modality. The container is the public AVI RIFF spec (Microsoft, same
+# RIFF framing as WAV): hdrl(avih + strl(strh/strf BITMAPINFOHEADER)) +
+# movi('00db' raw frames, bottom-up BGR rows) + idx1.
+# ---------------------------------------------------------------------------
+
+AVI_W, AVI_H = 8, 6  # stride 24 bytes = multiple of 4 -> no row padding
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi_rgb(
+    frames: list[bytes], width: int, height: int, *, fps: int = 10
+) -> bytes:
+    """A genuine AVI from raw RGB frames (each ``width*height*3`` bytes,
+    top-down rows): RIFF('AVI ') with avih/strh/strf headers, raw
+    'DIB ' video stream ('00db' chunks, spec layout: bottom-up rows,
+    BGR byte order), and an idx1 index. Any standards-compliant player
+    opens the output; like the WAV/PNG encoders the point is a REAL
+    container, not a digest stand-in."""
+    import struct
+
+    stride = width * 3
+    if stride % 4:
+        raise ValueError("width*3 must be a multiple of 4 (no row-padding support)")
+    if any(len(f) != stride * height for f in frames):
+        raise ValueError("frames must be width*height*3 RGB bytes")
+
+    def to_dib(fdata: bytes) -> bytes:
+        import numpy as np
+
+        arr = np.frombuffer(fdata, dtype=np.uint8).reshape(height, width, 3)
+        return arr[::-1, :, ::-1].tobytes()  # bottom-up rows, BGR
+
+    frame_size = stride * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_payload = b"movi"
+    idx = b""
+    for f in frames:
+        idx += b"00db" + struct.pack("<III", 0x10, len(movi_payload), frame_size)
+        movi_payload += _riff_chunk(b"00db", to_dib(f))
+    movi = _riff_chunk(b"LIST", movi_payload)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(blob: bytes):
+    """REAL stdlib AVI demux: RIFF chunk walk, avih/strf parse, '00db'
+    frame extraction with the DIB layout undone (bottom-up BGR back to
+    top-down RGB). Returns ``(width, height, frames)`` with each frame
+    an (h, w, 3) uint8 ndarray. Supports the uncompressed 24-bit DIB
+    stream our encoder (or any BI_RGB writer at padding-free widths)
+    emits; compressed fourccs raise — that is PyAV's job."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    info = {"w": None, "h": None, "bits": None}
+    raw_frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = data[pos + 8 : pos + 8 + sz]
+            if len(payload) < sz:
+                raise ValueError("corrupt AVI: truncated chunk")
+            if fourcc == b"LIST":
+                walk(payload[4:])
+            elif fourcc == b"avih":
+                if len(payload) < 40:
+                    raise ValueError("corrupt AVI: short avih")
+                info["w"], info["h"] = struct.unpack("<II", payload[32:40])
+            elif fourcc == b"strf":
+                if len(payload) < 20:
+                    raise ValueError("corrupt AVI: short strf")
+                (info["bits"],) = struct.unpack("<H", payload[14:16])
+                (comp,) = struct.unpack("<I", payload[16:20])
+                if comp != 0:
+                    raise ValueError(f"unsupported AVI: compressed stream {comp:#x}")
+            elif fourcc in (b"00db", b"00dc"):
+                raw_frames.append(payload)
+            pos += 8 + sz + (sz & 1)
+
+    walk(b[12:])
+    w, h = info["w"], info["h"]
+    if not w or not h or not raw_frames:
+        raise ValueError("not an AVI: missing avih/frames")
+    if info["bits"] != 24:
+        raise ValueError(f"unsupported AVI: {info['bits']}-bit frames (want 24)")
+    frames = []
+    for raw in raw_frames:
+        if len(raw) != w * h * 3:
+            raise ValueError("corrupt AVI: frame size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        frames.append(arr[::-1, :, ::-1].copy())  # undo bottom-up + BGR
+    return w, h, frames
+
+
+def _avi_n_frames(doc_id: int) -> int:
+    import hashlib
+
+    return 1 + int(hashlib.md5(f"avi:{doc_id}".encode()).hexdigest()[0:2], 16) % 4
+
+
+def _avi_frame_payload(doc_id: int, f: int) -> bytes:
+    """Generation-order frame bytes (top-down RGB rows): row r is the
+    first 24 bytes of md5('avi:{id}:{f}:{r}:0') + md5(...':1') — the
+    same digest-chain construction the WAV/PNG oracles replay."""
+    import hashlib
+
+    out = b""
+    for r in range(AVI_H):
+        raw = b"".join(
+            hashlib.md5(f"avi:{doc_id}:{f}:{r}:{j}".encode()).digest()
+            for j in range(2)
+        )
+        out += raw[: AVI_W * 3]
+    return out
+
+
+def with_synthetic_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a GENUINE AVI blob per row: 8x6 24-bit DIB frames (1-4
+    per doc from the leading digest byte) whose generation-order pixel
+    bytes are md5 digest chains — a real video container a DuckDB
+    oracle replays pixel-exactly without ever parsing RIFF."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                frames = [
+                    _avi_frame_payload(doc_id, f)
+                    for f in range(_avi_n_frames(doc_id))
+                ]
+                blobs.append(encode_avi_rgb(frames, AVI_W, AVI_H))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "avi": blobs})
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id bigint, avi binary")
+
+
+AVI_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, n_bytes int, "
+    "mean_px double, mean_r double, mean_row0 double"
+)
+
+
+def avi_frame_features(df: DataFrame, blob_col: str = "avi") -> DataFrame:
+    """Frame features through the REAL stdlib demux (1->N fan-out in
+    one Arrow hop): per frame, the all-bytes mean plus two
+    scramble-sensitive means — the R channel (reds if the decoder's
+    BGR unswap regressed) and row 0 (reds if the bottom-up unflip
+    regressed). Sums are exact integers over md5-derived bytes, so the
+    SQL oracle recomputes every value bit-for-bit."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_bytes",
+                "mean_px", "mean_r", "mean_row0",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                w, h, frames = decode_avi(bytes(blob))
+                for i, fr in enumerate(frames):
+                    v = fr.astype(np.int64)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_bytes"].append(w * h * 3)
+                    rows["mean_px"].append(int(v.sum()) / (w * h * 3))
+                    rows["mean_r"].append(int(v[:, :, 0].sum()) / (w * h))
+                    rows["mean_row0"].append(int(v[0].sum()) / (w * 3))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(feats, AVI_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -321,3 +321,91 @@ def test_decode_blobs_real_mode_handles_png_without_pil(spark, sf_dir):
             dtype=np.float64,
         )
         assert abs(r.feature[0] - v.mean() / 255.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# AVI: the REAL stdlib video container codec (r08)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_codec_roundtrip():
+    """encode_avi_rgb -> decode_avi is the identity on frames (the
+    bottom-up/BGR DIB scramble is applied and undone), and the blob is
+    a spec-shaped RIFF container."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    w, h = 8, 6
+    frames = [rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+              for _ in range(3)]
+    blob = multimodal.encode_avi_rgb(frames, w, h)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    dw, dh, dec = multimodal.decode_avi(blob)
+    assert (dw, dh, len(dec)) == (w, h, 3)
+    for src, d in zip(frames, dec):
+        assert d.tobytes() == src
+    # the container layout really is scrambled: raw '00db' payload of
+    # frame 0 differs from generation order unless the image is
+    # flip/swap-symmetric (vanishingly unlikely for random bytes)
+    assert frames[0] not in blob or frames[0] == frames[0][::-1]
+
+
+def test_avi_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_avi(b"not a riff container")
+    frames = [multimodal._avi_frame_payload(1, 0)]
+    blob = multimodal.encode_avi_rgb(frames, multimodal.AVI_W, multimodal.AVI_H)
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi(blob[:60])
+
+
+def test_synthetic_avi_real_container_and_replayable_pixels(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(4)
+    rows = multimodal.with_synthetic_avi(docs).collect()
+    assert len(rows) == 4
+    for r in rows:
+        blob = bytes(r.avi)
+        w, h, frames = multimodal.decode_avi(blob)
+        assert (w, h) == (multimodal.AVI_W, multimodal.AVI_H)
+        assert len(frames) == multimodal._avi_n_frames(r.doc_id)
+        for f, fr in enumerate(frames):
+            assert fr.tobytes() == multimodal._avi_frame_payload(r.doc_id, f)
+
+
+def test_sample_frames_real_mode_demuxes_avi_without_pyav(spark, sf_dir):
+    """sample_frames(decode_mode='real') routes uncompressed AVI
+    through the stdlib RIFF walker — real video demux in ANY
+    container; non-AVI blobs still need PyAV."""
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    avi = multimodal.with_synthetic_avi(docs).withColumnRenamed("avi", "blob")
+    out = multimodal.sample_frames(avi, decode_mode="real").collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 3
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == multimodal._avi_n_frames(doc_id)
+        for r in sorted(frames, key=lambda x: x.frame_idx):
+            assert bytes(r.frame) == multimodal._avi_frame_payload(
+                doc_id, r.frame_idx
+            )
+
+
+def test_avi_frame_features_match_direct_computation(spark, sf_dir):
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    avi = multimodal.with_synthetic_avi(docs)
+    rows = multimodal.avi_frame_features(avi).collect()
+    assert rows
+    for r in rows:
+        raw = multimodal._avi_frame_payload(r.doc_id, r.frame_idx)
+        v = np.frombuffer(raw, dtype=np.uint8).reshape(
+            multimodal.AVI_H, multimodal.AVI_W, 3
+        ).astype(np.int64)
+        assert r.n_bytes == 144
+        assert r.mean_px == int(v.sum()) / 144
+        assert r.mean_r == int(v[:, :, 0].sum()) / 48
+        assert r.mean_row0 == int(v[0].sum()) / 24
