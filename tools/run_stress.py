@@ -136,7 +136,14 @@ def _exact_gt(ids, mat, probe_idx, k: int, eps: float):
     q = mat[probe_idx]
     s = (q @ mat.T) / np.outer(nrm[probe_idx], nrm)
     s[np.arange(len(probe_idx)), probe_idx] = -np.inf
-    top = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    # argpartition, not a full row argsort: O(n) per probe instead of
+    # O(n log n) — the difference between 7 minutes and seconds on a
+    # 2M-column score matrix
+    part = np.argpartition(-s, k, axis=1)[:, :k]
+    ord_in_part = np.argsort(
+        np.take_along_axis(-s, part, axis=1), axis=1, kind="stable"
+    )
+    top = np.take_along_axis(part, ord_in_part, axis=1)
     topk = {int(ids[p]): {int(ids[j]) for j in row} for p, row in zip(probe_idx, top)}
     epsn = {
         int(ids[p]): {int(ids[j]) for j in np.flatnonzero(s[i] >= eps)}
