@@ -516,6 +516,28 @@ def _sized_bits(n: int) -> int:
     return max(4, min(20, math.ceil(math.log2(max(n, 128) / 64))))
 
 
+def _lsh_shuffle_partitions(df: DataFrame, keyed_rows: int) -> int | None:
+    """Size the LSH stages' shuffle to the keyed-row volume (~64k rows
+    per task): at 2M vectors the session default of 32 partitions puts
+    ~500k keyed rows — each riding a 64-double vector — into every
+    task's agg/GEMM buffers, and the cached keyed stage spills then
+    OOMs the read-ahead (measured: eps count 762 s at the default vs
+    236 s with sized partitions; BASELINE.md r08 2M receipt). Returns
+    None (leave the session default) whenever the default is already
+    enough, so plans below ~500k rows — and their pins, oracles, and
+    receipts — are byte-identical. Cluster reading: this is the
+    spill-aware `spark.sql.shuffle.partitions` rule applied PER
+    OPERATOR from the row count the routers already know, instead of
+    trusting one global default to fit every stage."""
+    import math
+
+    default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    want = math.ceil(keyed_rows / 65_536)
+    if want <= default:
+        return None
+    return min(want, 4096)
+
+
 def _lsh_keyed(
     df: DataFrame,
     id_col: str,
@@ -676,6 +698,7 @@ def lsh_scored_pairs(
     seed: int = 42,
     max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
     per_src_topk: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Every distinct LSH candidate pair WITH its exact cosine, scored
     bucket-locally: (src, dst, score), src < dst, NaN (zero-norm)
@@ -713,9 +736,17 @@ def lsh_scored_pairs(
     agree to the last ulp-or-so and every consumer rounds after rank.
     """
     id_type = df.schema[id_col].dataType.simpleString()
-    keyed = materialize_shared(
-        _lsh_keyed(df, id_col, vec_col, dim, n_planes, bands, seed, keep_vec=True)
-    )
+    keyed_src = _lsh_keyed(df, id_col, vec_col, dim, n_planes, bands, seed, keep_vec=True)
+    if shuffle_partitions:
+        # hash-partition the cached stage on the group key at a width
+        # sized to the data (callers that counted n pass it via
+        # _lsh_shuffle_partitions): the size agg and the bucket-GEMM
+        # groupBy both require ClusteredDistribution(band, key), so
+        # they reuse this partitioning instead of re-shuffling at the
+        # session default — which at 2M rows buffers ~500k vector-
+        # carrying rows per task and spills (BASELINE.md r08).
+        keyed_src = keyed_src.repartition(shuffle_partitions, "band", "key")
+    keyed = materialize_shared(keyed_src)
     if max_bucket_size is None:
         # no cap: skip the bucket-size agg and both routing joins
         # entirely. `is None` is the only no-cap sentinel (matching
@@ -771,10 +802,10 @@ def lsh_scored_pairs(
         bucket_gemm, f"src {id_type}, dst {id_type}, score double"
     )
     if hot is None:
-        return (
-            pairs_small.groupBy("src", "dst")
-            .agg(F.max("score").alias("score"))
-        )
+        merged = pairs_small
+        if shuffle_partitions:
+            merged = merged.repartition(shuffle_partitions, "src", "dst")
+        return merged.groupBy("src", "dst").agg(F.max("score").alias("score"))
     big = keyed.join(hot, ["band", "key"], "left_semi")
     chain_w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
     chain = (
@@ -791,11 +822,12 @@ def lsh_scored_pairs(
         round_to=None,
         mirror=per_src_topk is not None,
     )
-    return (
-        pairs_small.unionByName(pairs_big)
-        .groupBy("src", "dst")
-        .agg(F.max("score").alias("score"))
-    )
+    merged = pairs_small.unionByName(pairs_big)
+    if shuffle_partitions:
+        # same sizing for the dedup agg: candidate volume is
+        # O(mean_bucket · keyed_rows), the widest shuffle in the plan
+        merged = merged.repartition(shuffle_partitions, "src", "dst")
+    return merged.groupBy("src", "dst").agg(F.max("score").alias("score"))
 
 
 def cosine_topk_approx(
@@ -809,6 +841,7 @@ def cosine_topk_approx(
     bands: int = 4,
     seed: int = 42,
     round_to: int | None = 6,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """LSH candidates -> exact score -> top-k. Approximate recall
     (a true neighbor can miss every band) — the scale path; since r07
@@ -837,6 +870,7 @@ def cosine_topk_approx(
         bands=bands,
         seed=seed,
         per_src_topk=k,
+        shuffle_partitions=shuffle_partitions,
     )
     out = topk_per_src(edges, k)
     if round_to is not None:
@@ -1131,6 +1165,11 @@ def eps_neighborhood_pairs(
         # planes, vs the full replica cliques with sized bands.
         n_planes = _sized_bits(n) * bands
     base = materialize_shared(df.select(id_col, vec_col))
+    # size the LSH shuffle to the keyed volume this router just counted
+    # (None below ~500k rows -> session default, plans unchanged);
+    # measured at 2M rows: eps count 762 s at the 32-partition default
+    # vs 236 s sized — the widest stages buffer vector-carrying rows.
+    sp = _lsh_shuffle_partitions(df, n * bands)
     cand = None
     for s in seeds:
         # bucket-local scoring (r07): vectors ship once per band
@@ -1145,8 +1184,11 @@ def eps_neighborhood_pairs(
             bands=bands,
             seed=s,
             max_bucket_size=max_bucket_size,
+            shuffle_partitions=sp,
         )
         cand = p if cand is None else cand.unionByName(p)
+    if sp:
+        cand = cand.repartition(sp, "src", "dst")
     out = (
         cand.groupBy("src", "dst")
         .agg(F.max("score").alias("score"))
@@ -1191,6 +1233,12 @@ def similarity_topk_auto(
     if "n_planes" not in lsh_kwargs:
         bands = lsh_kwargs.get("bands", 4)
         lsh_kwargs["n_planes"] = _sized_bits(n) * bands
+    # size the LSH shuffle to the keyed volume the router just counted
+    # (None below ~500k rows -> session default, plans unchanged)
+    lsh_kwargs.setdefault(
+        "shuffle_partitions",
+        _lsh_shuffle_partitions(df, n * lsh_kwargs.get("bands", 4)),
+    )
     return cosine_topk_approx(df, id_col, vec_col, k, **lsh_kwargs)
 
 
