@@ -342,36 +342,83 @@ GREEN_R07 = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = (
-    GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05 | GREEN_R06 | GREEN_R07
+# hash_match == true rows in CORRECTNESS_r08.json (driver, sf0.01).
+GREEN_R08 = frozenset(
+    {
+        "ab_sample_size_planning",
+        "ab_sprt_decision",
+        "adamic_adar_link_prediction",
+        "arrow_native_embedding_norms",
+        "ate_stratified",
+        "bigram_gtest_collocations",
+        "brand_bradley_terry",
+        "capture_recapture_user_estimate",
+        "colbert_maxsim_topk",
+        "context_window_fit_audit",
+        "cuped_variance_reduction",
+        "daily_mix_drift_chisq",
+        "doc_textrank_summary",
+        "dp_noisy_nation_counts",
+        "embedding_neardup_pairs",
+        "embedding_pca_top_component",
+        "event_burstiness_fano",
+        "fellegi_sunter_field_weights",
+        "functional_dependency_audit",
+        "hits_authority_scores",
+        "image_feature_topk",
+        "image_phash_neardup",
+        "ips_offpolicy_value",
+        "kmeans_embedding_clusters",
+        "kmeans_silhouette_audit",
+        "kn_doc_perplexity",
+        "length_bucketed_batches",
+        "linear_shap_attributions",
+        "matryoshka_truncation_recall",
+        "minhash_lsh_pairs",
+        "multimodal_features",
+        "nation_balance_fdr_tests",
+        "part_name_fuzzy_pairs",
+        "pca_projection_histogram",
+        "popularity_negative_samples",
+        "pq_codebook_audit",
+        "preference_pairs_by_quality",
+        "quality_rater_agreement",
+        "quantile_regression_grid",
+        "rdd_discontinuity_estimate",
+        "revenue_diff_in_diff",
+        "robust_median_of_means",
+        "rocchio_prf_search",
+        "simhash_neardup_pairs",
+        "source_loo_contribution",
+        "t_closeness_audit",
+        "text_token_dropout_augment",
+        "timeseries_delta_encoding_audit",
+        "video_frame_samples",
+        "vocab_coverage_curve",
+    }
 )
 
-# Round-8 window (VERDICT r07, action #1): re-attest the entries whose
-# physical plans changed in r07 but whose last driver row predates the
-# change — simhash_neardup_pairs gained the size-route (r01 row),
-# embedding_neardup_pairs and minhash_lsh_pairs share the band-sizing /
-# LSH stages the r07 `_sized_bits` fix touched (r01 rows). Re-attest
-# names may already sit in DRIVER_VERIFIED — the ordering function
-# deliberately puts PRIORITY first regardless so the driver re-checks
-# the changed code. The rest of the 50-entry window fills with the
-# never-verified backlog in registration order.
+DRIVER_VERIFIED: frozenset[str] = (
+    GREEN_R01 | GREEN_R02 | GREEN_R04 | GREEN_R05 | GREEN_R06 | GREEN_R07
+    | GREEN_R08
+)
+
+# Round-9 window (VERDICT r08, action #1): re-attest one representative
+# of the LSH-stage entries affected by r08's `_lsh_shuffle_partitions`
+# shuffle-sizing fix (byte-identical plans below ~500k rows, but verify
+# anyway) — embedding_neardup_pairs — plus video_frame_samples, whose
+# RIFF/AVI rewire landed mid-r08 after its green row. r09 in-round
+# additions that changed plans post-r08-row: multimodal_features and
+# image_feature_topk (IHDR-routed PNG decode + vectorized unfilter),
+# stemmed_word_freq (tokenizer regex pinned to an explicit class on
+# both engines). The remaining ~45 window slots fill with the
+# never-verified backlog (169 names after r08) in registration order.
 PRIORITY: tuple[str, ...] = (
-    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
-    "minhash_lsh_pairs",
-    # rewired in r08 onto REAL stdlib codecs (verdict #3: PNG for the
-    # image entries, then RIFF/AVI for video in the same round) — the
-    # fake kernels left the registry; each needs a post-change row.
+    "video_frame_samples",
     "multimodal_features",
     "image_feature_topk",
-    "video_frame_samples",
-    # NOT re-attested despite r08 oracle edits: cosine_topk_lsh (over-
-    # cap chain replay) and stemmed_word_freq (\s+ tokenizer) — both
-    # edits are proven output-identical at the driver's sf0.01 via the
-    # driver-exact compare, both have fresh r07 rows, and the oracle
-    # scale-validity is pinned by the committed stress gate
-    # (STRESS_r08.json lsh_oracle_overcap_parity) — spending 2 more
-    # window slots would slow the 213-name backlog drain for no signal.
+    "stemmed_word_freq",
 )
 
 
