@@ -409,3 +409,101 @@ def test_avi_frame_features_match_direct_computation(spark, sf_dir):
         assert r.mean_px == int(v.sum()) / 144
         assert r.mean_r == int(v[:, :, 0].sum()) / 48
         assert r.mean_row0 == int(v[0].sum()) / 24
+
+
+def test_png_encoder_forward_filters_roundtrip():
+    """encode_png(filters=...) emits genuinely filtered scanlines
+    (Sub/Up/Average/Paeth) that decode back to the identical pixels, for
+    every channel count — the corpus builder for the unfilter paths."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        w, h = 19, 9
+        img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+        rows = [bytes(bytearray(r)) for r in img]
+        for ft in (0, 1, 2, 3, 4):
+            blob = multimodal.encode_png(rows, w, h, n_channels=ch, filters=ft)
+            dw, dh, dch, px = multimodal.decode_png(blob)
+            assert (dw, dh, dch) == (w, h, ch)
+            assert np.array_equal(px, img), (ch, ft)
+        mixed = multimodal.encode_png(
+            rows, w, h, n_channels=ch, filters=[r % 5 for r in range(h)]
+        )
+        assert np.array_equal(multimodal.decode_png(mixed)[3], img)
+    # default stays byte-identical to explicit filter-0 (oracle contract)
+    assert multimodal.encode_png(rows, w, h, n_channels=4) == multimodal.encode_png(
+        rows, w, h, n_channels=4, filters=0
+    )
+    with pytest.raises(ValueError, match="filters"):
+        multimodal.encode_png(rows, w, h, n_channels=4, filters=5)
+
+
+def test_png_batch_decode_matches_per_blob():
+    """decode_png_batch == [decode_png(b)] on a mixed corpus (ragged
+    dims, all channel counts, all filters) — the lockstep vectorization
+    must be invisible semantically."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(23)
+    blobs = []
+    for i in range(60):
+        ch = rnd.choice([1, 2, 3, 4])
+        w, h = rnd.randint(1, 24), rnd.randint(1, 16)
+        rows = [
+            bytes(bytearray(rnd.randrange(256) for _ in range(w * ch)))
+            for _ in range(h)
+        ]
+        blobs.append(
+            multimodal.encode_png(
+                rows,
+                w,
+                h,
+                n_channels=ch,
+                filters=[rnd.randint(0, 4) for _ in range(h)],
+            )
+        )
+    batch = multimodal.decode_png_batch(blobs)
+    for blob, (bw, bh, bch, bpx) in zip(blobs, batch):
+        sw, sh, sch, spx = multimodal.decode_png(blob)
+        assert (sw, sh, sch) == (bw, bh, bch)
+        assert np.array_equal(spx, bpx)
+    assert multimodal.decode_png_batch([]) == []
+
+
+def _png_header_only(depth: int, ctype: int, interlace: int) -> bytes:
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+    return multimodal.PNG_SIG + multimodal._png_chunk(b"IHDR", ihdr)
+
+
+def test_png_ihdr_peek_and_support_gate():
+    blob = multimodal.encode_png([b"ab", b"cd"], 2, 2, n_channels=1)
+    assert multimodal.png_ihdr(blob) == (2, 2, 8, 0, 0)
+    assert multimodal.stdlib_png_supported(blob)
+    assert multimodal.png_ihdr(b"not a png") is None
+    assert not multimodal.stdlib_png_supported(b"not a png")
+    assert not multimodal.stdlib_png_supported(multimodal.PNG_SIG)  # truncated
+    # palette / 16-bit / interlaced: real-encoder formats the stdlib
+    # decoder declines -> must route to PIL, never raise ValueError
+    # out of the signature check (r08 ADVICE, medium).
+    assert not multimodal.stdlib_png_supported(_png_header_only(8, 3, 0))
+    assert not multimodal.stdlib_png_supported(_png_header_only(16, 0, 0))
+    assert not multimodal.stdlib_png_supported(_png_header_only(8, 2, 1))
+
+
+@pytest.mark.skipif(
+    multimodal.HAS_PIL, reason="with pillow installed the PIL branch decodes"
+)
+def test_real_decode_routes_unsupported_png_to_pil_seam():
+    """A palette PNG under decode_mode='real' must hit the declared PIL
+    seam (NotImplementedError), not a ValueError from inside the stdlib
+    decoder the signature check used to route it into."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "blob": [_png_header_only(8, 3, 0)]})
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal._real_decode_batch(pdf)
