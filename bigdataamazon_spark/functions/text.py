@@ -20,13 +20,19 @@ DEFAULT_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in")
 def normalize(col: Column | str) -> Column:
     """lowercase + strip punctuation to spaces (``amazon1.py:128``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " ")
+    return F.regexp_replace(F.lower(c), r"[^a-z0-9 \t\n\r\f\x0B]+", " ")
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization -> array<string>, no empty tokens."""
+    """Whitespace tokenization -> array<string>, no empty tokens.
+
+    The split class is pinned to the EXPLICIT set [ \\t\\n\\r\\f\\x0B]
+    — byte-identical to Java's ASCII ``\\s`` — because DuckDB's RE2
+    ``\\s`` lacks ``\\x0B`` (vertical tab); every oracle that replays a
+    whitespace split uses the same literal class so the two engines
+    tokenize identically on ANY input (ADVICE r08)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(c, r"[ \t\n\r\f\x0B]+"), lambda t: t != F.lit(""))
 
 
 def remove_stopwords(toks: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:

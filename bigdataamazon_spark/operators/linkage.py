@@ -45,7 +45,7 @@ def default_block(name: Column) -> Column:
     """Last whitespace token, lowercased — survives leading-word edits
     (typos rarely rewrite every token) and gives near-uniform groups on
     list-like names ('cold anvil' -> 'anvil')."""
-    return F.lower(F.element_at(F.split(F.trim(name), r"\s+"), -1))
+    return F.lower(F.element_at(F.split(F.trim(name), r"[ \t\n\r\f\x0B]+"), -1))
 
 
 def blocked_fuzzy_pairs(

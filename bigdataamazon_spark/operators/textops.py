@@ -33,7 +33,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # same pattern runs on Spark's Java regex AND DuckDB's RE2 — verified
 # to tokenize identically). Counts subword-ish units: contractions,
 # space-prefixed letter runs, digit runs, punctuation runs, whitespace.
-BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+|[ \t\n\r\f\x0B]+"
 
 
 def bpe_token_stats(

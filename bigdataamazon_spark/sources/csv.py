@@ -86,7 +86,7 @@ def clean_products(raw: DataFrame) -> DataFrame:
     return deduped.withColumns(
         {
             "search_terms": F.regexp_replace(
-                F.lower(F.col("name")), r"[^\w\s]+", " "
+                F.lower(F.col("name")), r"[^\w \t\n\r\f\x0B]+", " "
             ),
             "image_id": cleaning.extract_between(
                 "image", r"images/", r"\._AC_UL320_\.jpg"

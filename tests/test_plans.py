@@ -22,6 +22,29 @@ def _executed_plan(spark, name: str, sf_dir: str) -> str:
 
 _scan_schemas = scan_schemas
 
+# Operator-count pins for the recurrent bench drifters (r07 verdict #5;
+# loosened per r08 ADVICE #4). Counts recorded on PySpark 4.1.2 with
+# AQE defaults — a Spark version bump or AQE-default change may shift
+# them legitimately, so the assertion allows a +/-2 band around the
+# recorded constant (structural identity, not byte identity); the
+# stronger relative invariants (no SortMergeJoin, pruned scans, ...)
+# stay exact in each entry's own test. If a Spark upgrade moves a count
+# past the band, re-record the table in the same commit as the upgrade.
+DRIFTER_PLAN_PINS: dict[str, tuple[int, int]] = {
+    # entry -> (Exchange count, HashAggregate count) @ PySpark 4.1.2
+    "kneser_ney_bigram_lm": (10, 14),
+    "functional_dependency_audit": (15, 30),
+    "curriculum_phase_stats": (28, 18),
+    "copurchase_part_lift_rel": (15, 22),
+}
+
+
+def _assert_drifter_counts(plan: str, entry: str) -> None:
+    exch, hagg = DRIFTER_PLAN_PINS[entry]
+    got_e, got_h = plan.count("Exchange"), plan.count("HashAggregate")
+    assert abs(got_e - exch) <= 2, f"{entry}: Exchange {got_e} vs pinned {exch}±2"
+    assert abs(got_h - hagg) <= 2, f"{entry}: HashAggregate {got_h} vs pinned {hagg}±2"
+
 
 def test_q6_filters_pushed_and_pruned(spark, sf_dir):
     plan = _executed_plan(spark, "q6_forecast_revenue", sf_dir)
@@ -1093,8 +1116,7 @@ def test_kneser_ney_marginals_broadcast_one_text_scan_col(spark, sf_dir):
     # exchange/agg-count pin (r07 verdict #5): this entry drifted
     # 0.40 -> 0.74 s across benches with untouched code; a constant
     # physical shape proves the drift is host noise, not a plan change
-    assert plan.count("Exchange") == 10
-    assert plan.count("HashAggregate") == 14
+    _assert_drifter_counts(plan, "kneser_ney_bigram_lm")
 
 
 def test_ips_rollups_broadcast_events_pruned(spark, sf_dir):
@@ -1116,8 +1138,7 @@ def test_fd_audit_is_join_free(spark, sf_dir):
     assert all(len(c) == 2 for c in _scan_schemas(plan))
     # shape pin for the bench drifter (r07 verdict #5; 0.29 -> 0.42 s
     # with untouched code): constant operator counts == host noise
-    assert plan.count("Exchange") == 15
-    assert plan.count("HashAggregate") == 30
+    _assert_drifter_counts(plan, "functional_dependency_audit")
 
 
 def test_recursive_reach_uses_native_union_loop(spark, sf_dir):
@@ -1135,6 +1156,19 @@ def test_winnowing_pair_join_keys_on_fingerprint(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for cols in _scan_schemas(plan):
         assert sorted(cols) == ["doc_id", "text"]
+
+
+def test_copurchase_lift_pinned_shape(spark, sf_dir):
+    """copurchase_part_lift_rel hit 1.30x in BENCH_r08 (sub-second
+    absolute, judged host noise); this pin makes future drift provably
+    noise (r08 verdict #6): bounded-fanout pair join + broadcast
+    scalars, no sort-merge, no cartesian, and the banded operator
+    counts from DRIFTER_PLAN_PINS."""
+    plan = _executed_plan(spark, "copurchase_part_lift_rel", sf_dir)
+    assert plan.count("SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    _assert_drifter_counts(plan, "copurchase_part_lift_rel")
 
 
 def test_did_is_one_dim_join_one_agg(spark, sf_dir):
@@ -1445,8 +1479,7 @@ def test_curriculum_uses_distributed_ntile(spark, sf_dir):
     assert "MapInPandas" in plan
     # shape pin for the bench drifter (r07 verdict #5; 0.50 -> 0.71 s
     # with untouched code): constant operator counts == host noise
-    assert plan.count("Exchange") == 28
-    assert plan.count("HashAggregate") == 18
+    _assert_drifter_counts(plan, "curriculum_phase_stats")
 
 
 def test_bottleneck_paths_lineage_is_cut(spark, sf_dir):

@@ -278,3 +278,36 @@ def test_bpe_learn_merges_hand_corpus(spark):
     )
     merges = bpe_learn_merges(df, rounds=3)
     assert merges == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "low", "e", 2)]
+
+
+def test_whitespace_class_pinned_across_engines(spark):
+    """Spark (Java regex) and DuckDB (RE2) must tokenize IDENTICALLY on
+    every whitespace character — including \\x0B (vertical tab), which
+    Java's \\s contains and RE2's does not. Both sides are pinned to the
+    explicit class [ \\t\\n\\r\\f\\x0B] (ADVICE r08); this runs the nasty
+    string through both engines and compares token lists."""
+    import duckdb
+
+    from bigdataamazon_spark.functions import text as textfns
+
+    nasty = "a\x0Bb\tc  d\ne\rf\x0Cg h"
+    sdf = spark.createDataFrame([(nasty,)], "text string").select(
+        textfns.tokens(F.col("text")).alias("toks")
+    )
+    spark_toks = sdf.collect()[0]["toks"]
+    assert spark_toks == list("abcdefgh")  # Java \s semantics preserved
+
+    duck_toks = duckdb.connect().execute(
+        "SELECT list_filter(regexp_split_to_array(?, '[ \\t\\n\\r\\f\\x0B]+'),"
+        " x -> x <> '')",
+        [nasty],
+    ).fetchone()[0]
+    assert duck_toks == spark_toks
+
+    # the OLD oracle spelling ('\s+') really does diverge on RE2 —
+    # regression guard that the pin is load-bearing, not cosmetic
+    old = duckdb.connect().execute(
+        "SELECT list_filter(regexp_split_to_array(?, '\\s+'), x -> x <> '')",
+        [nasty],
+    ).fetchone()[0]
+    assert "a\x0bb" in old and old != spark_toks
