@@ -25,11 +25,21 @@ corpus vocabulary and hypothesis-generated words.
 from __future__ import annotations
 
 from ..operators.stemming import (
+    NLTK_POOL,
+    NLTK_STEP2_RULES,
     STEP2_RULES,
     STEP3_RULES,
     STEP4_SUFFIXES,
     by_length_desc,
 )
+
+# SQL unroll depth for NLTK step 2's recursive '-alli' pre-rule: each
+# application consumes 4 chars and re-enters step 2, so pass k handles
+# words with k nested 'alli' suffixes ('...allialli'). 4 passes cover
+# any word the tests (or natural text) can produce; the Python twin
+# recurses unboundedly, so a >4-deep contrived word is the one place
+# the two could differ — documented, not reachable by the fixtures.
+_NLTK_ALLI_PASSES = 4
 
 _CV_PASSES = 12
 
@@ -92,11 +102,13 @@ def _cut(cut: int) -> str:
     return f"substr(w, 1, length(w) - {cut})"
 
 
-def _rule_case(rules, min_m: int) -> str:
-    """Longest-match CASE over (suffix, replacement) rules with an
-    m(stem) > min_m gate — matching decides, the condition only gates."""
+def _rule_case(rules, min_m: int, *, ordered: bool = False) -> str:
+    """CASE over (suffix, replacement) rules with an m(stem) > min_m
+    gate — matching decides, the condition only gates. Longest-match
+    order by default (the paper contract); ``ordered=True`` keeps the
+    given list order (NLTK's first-match-in-list semantics)."""
     whens = []
-    for suf, rep in by_length_desc(rules):
+    for suf, rep in rules if ordered else by_length_desc(rules):
         k = len(suf)
         out = _cut(k) + (f" || '{rep}'" if rep else "")
         whens.append(
@@ -123,33 +135,49 @@ def _step4_case() -> str:
     return "CASE " + " ".join(whens) + " ELSE w END"
 
 
-def porter_ctes(src: str) -> tuple[str, str]:
+def porter_ctes(src: str, mode: str = "paper") -> tuple[str, str]:
     """CTE definitions stemming relation ``src(w0, n, w)`` -> final
     relation (w0, n, w); returns (cte_sql_fragment, final_name). The
-    caller wraps with the length-<=-2 passthrough on w0 and re-groups.
+    caller wraps with the length-<=-2 passthrough on w0 (and, for
+    ``mode='nltk'``, the irregular-form pool) and re-groups.
     """
+    if mode not in ("paper", "nltk"):
+        raise ValueError(f"mode must be 'paper' or 'nltk', got {mode!r}")
+    nltk = mode == "nltk"
     m_eed = _m_stem(3)
+    ies4 = (
+        f"WHEN right(w, 3) = 'ies' AND length(w) = 4 THEN {_cut(3)} || 'ie'\n        "
+        if nltk
+        else ""
+    )
     step1a = f"""
     t1a AS (
       SELECT w0, n, CASE
-        WHEN right(w, 4) = 'sses' THEN {_cut(2)}
+        {ies4}WHEN right(w, 4) = 'sses' THEN {_cut(2)}
         WHEN right(w, 3) = 'ies' THEN {_cut(2)}
         WHEN right(w, 2) = 'ss' THEN w
         WHEN right(w, 1) = 's' THEN {_cut(1)}
         ELSE w END AS w
       FROM {src}
     )"""
+    ied = (
+        "WHEN right(w, 3) = 'ied' THEN CASE WHEN length(w) = 4"
+        f" THEN {_cut(3)} || 'ie' ELSE {_cut(3)} || 'i' END\n        "
+        if nltk
+        else ""
+    )
+    ied_fired = "WHEN right(w, 3) = 'ied' THEN FALSE\n        " if nltk else ""
     step1b = f"""
     p1b AS (SELECT w0, n, w, {_cv_expr('w')} AS cp FROM t1a),
     t1b AS (
       SELECT w0, n, CASE
-        WHEN right(w, 3) = 'eed' THEN
+        {ied}WHEN right(w, 3) = 'eed' THEN
           CASE WHEN {m_eed} > 0 THEN {_cut(1)} ELSE w END
         WHEN right(w, 2) = 'ed' AND {_has_vowel(2)} THEN {_cut(2)}
         WHEN right(w, 3) = 'ing' AND {_has_vowel(3)} THEN {_cut(3)}
         ELSE w END AS w,
       CASE
-        WHEN right(w, 3) = 'eed' THEN FALSE
+        {ied_fired}WHEN right(w, 3) = 'eed' THEN FALSE
         WHEN right(w, 2) = 'ed' AND {_has_vowel(2)} THEN TRUE
         WHEN right(w, 3) = 'ing' AND {_has_vowel(3)} THEN TRUE
         ELSE FALSE END AS fired
@@ -166,15 +194,40 @@ def porter_ctes(src: str) -> tuple[str, str]:
         ELSE w END AS w
       FROM p1bp
     )"""
+    y_cond = (
+        # NLTK ext: consonant immediately before the final y, stem > 1
+        "length(w) > 2 AND substr(cp, length(w) - 1, 1) = '0'"
+        if nltk
+        else _has_vowel(1)
+    )
     step1c = f"""
     p1c AS (SELECT w0, n, w, {_cv_expr('w')} AS cp FROM t1bp),
     t1c AS (
       SELECT w0, n, CASE
-        WHEN right(w, 1) = 'y' AND {_has_vowel(1)} THEN {_cut(1)} || 'i'
+        WHEN right(w, 1) = 'y' AND {y_cond} THEN {_cut(1)} || 'i'
         ELSE w END AS w
       FROM p1c
     )"""
-    step2 = f"""
+    if nltk:
+        # unrolled recursive '-alli' pre-rule, then NLTK-ordered list
+        alli = ""
+        prev = "t1c"
+        for i in range(_NLTK_ALLI_PASSES):
+            alli += f"""
+    pa{i} AS (SELECT w0, n, w, {_cv_expr('w')} AS cp FROM {prev}),
+    ta{i} AS (
+      SELECT w0, n, CASE
+        WHEN right(w, 4) = 'alli' AND {_m_stem(4)} > 0 THEN {_cut(4)} || 'al'
+        ELSE w END AS w
+      FROM pa{i}
+    ),"""
+            prev = f"ta{i}"
+        step2 = f"""{alli}
+    p2 AS (SELECT w0, n, w, {_cv_expr('w')} AS cp FROM {prev}),
+    t2 AS (SELECT w0, n,
+           {_rule_case(NLTK_STEP2_RULES, 0, ordered=True)} AS w FROM p2)"""
+    else:
+        step2 = f"""
     p2 AS (SELECT w0, n, w, {_cv_expr('w')} AS cp FROM t1c),
     t2 AS (SELECT w0, n, {_rule_case(STEP2_RULES, 0)} AS w FROM p2)"""
     step3 = f"""
@@ -205,17 +258,28 @@ def porter_ctes(src: str) -> tuple[str, str]:
     return ctes, "t5b"
 
 
-def porter_stem_sql(words_sql: str) -> str:
+def pool_case_sql(word_expr: str, else_expr: str) -> str:
+    """CASE mapping NLTK's irregular-form pool, else ``else_expr``."""
+    whens = " ".join(
+        f"WHEN {word_expr} = '{k}' THEN '{v}'" for k, v in sorted(NLTK_POOL.items())
+    )
+    return f"CASE {whens} ELSE {else_expr} END"
+
+
+def porter_stem_sql(words_sql: str, mode: str = "paper") -> str:
     """Full oracle: stem every word of ``words_sql`` (a query producing
     a single column ``word``) and return (stem, n) frequency rows —
     the DuckDB replay of Spark's groupBy(word) -> stem -> re-agg."""
-    ctes, final = porter_ctes("src")
+    ctes, final = porter_ctes("src", mode)
+    stem_expr = "CASE WHEN length(w0) <= 2 THEN w0 ELSE w END"
+    if mode == "nltk":
+        stem_expr = pool_case_sql("w0", stem_expr)
     return f"""
     WITH toks AS ({words_sql}),
     counts AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
     src AS (SELECT word AS w0, n, word AS w FROM counts),
     {ctes}
-    SELECT CASE WHEN length(w0) <= 2 THEN w0 ELSE w END AS stem,
+    SELECT {stem_expr} AS stem,
            CAST(sum(n) AS BIGINT) AS n
     FROM {final}
     GROUP BY 1
