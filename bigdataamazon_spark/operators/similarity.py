@@ -516,6 +516,69 @@ def _sized_bits(n: int) -> int:
     return max(4, min(20, math.ceil(math.log2(max(n, 128) / 64))))
 
 
+# Fraction of rows sitting in estimated-over-cap LSH buckets above
+# which the eps graph is declared OUTPUT-BOUND (r08 verdict #4): the
+# true pair set then grows ~quadratically in the dense mass and chain
+# degradation would silently return a vanishing sample of it (measured
+# honest negative, BASELINE.md r08: shifted corpus -> ~4B-edge true
+# graph, sampled recall 0.0075). 0.2 leaves ordinary skew (a few
+# mega-clusters in an otherwise sparse corpus, whose per-bucket chain
+# contract is documented) below the trip wire.
+DENSE_BUCKET_ROW_FRACTION = 0.2
+_DENSE_GUARD_SAMPLE = 20_000
+
+
+def _estimate_overcap_fraction(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    max_bucket_size: int,
+    *,
+    sample: int = _DENSE_GUARD_SAMPLE,
+) -> float:
+    """Estimated fraction of rows living in LSH buckets wider than
+    ``max_bucket_size``: hash the SAME hyperplane signatures as the
+    real keyed stage over a deterministic ~``sample``-row subset
+    (xxhash64 stride on the id — replayable, no RNG), count sampled
+    bucket occupancy, and scale by n/sample. One cheap collect of
+    sample×dim floats — the routers already pay a count(); this is the
+    density probe that decides whether pair ENUMERATION is meaningful
+    at all."""
+    step = max(1, n // sample)
+    pdf = (
+        df.select(vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .limit(sample * 2)
+        .toPandas()
+    )
+    m = len(pdf)
+    if m == 0:
+        return 0.0
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = (mat @ planes.T) > 0  # (m, n_planes)
+    per_band = n_planes // bands
+    scale = n / m
+    over = 0
+    for b in range(bands):
+        seg = bits[:, b * per_band : (b + 1) * per_band]
+        keys = np.packbits(
+            np.pad(seg, ((0, 0), (0, (-seg.shape[1]) % 8)), constant_values=False),
+            axis=1,
+        )
+        keys = np.ascontiguousarray(keys).view(
+            np.dtype((np.void, keys.shape[1]))
+        ).ravel()
+        _, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        over += int((counts[inv] * scale > max_bucket_size).sum())
+    return over / (m * bands)
+
+
 def _lsh_shuffle_partitions(df: DataFrame, keyed_rows: int) -> int | None:
     """Size the LSH stages' shuffle to the keyed-row volume (~64k rows
     per task): at 2M vectors the session default of 32 partitions puts
@@ -1129,6 +1192,8 @@ def eps_neighborhood_pairs(
     bands: int = 4,
     seeds: tuple[int, ...] = (42, 1337),
     max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+    on_dense: str = "raise",
+    dense_fraction: float = DENSE_BUCKET_ROW_FRACTION,
 ) -> DataFrame:
     """Size-routed eps-neighborhood edge table (src < dst, cosine >=
     threshold) — the DBSCAN / density-clustering pair stage.
@@ -1149,7 +1214,20 @@ def eps_neighborhood_pairs(
 
     Replaces the unguarded all-pairs form the r05 verdict flagged on
     ``dbscan_embedding_clusters`` (What's wrong #2): no registered
-    caller now errors or quadratically explodes above the guard."""
+    caller now errors or quadratically explodes above the guard.
+
+    OUTPUT-BOUND contract (r08 verdict #4): when the measured density
+    probe (``_estimate_overcap_fraction``) finds more than
+    ``dense_fraction`` of rows in over-cap buckets, the true eps graph
+    is output-bound — enumeration would silently return a vanishing
+    sample of it. ``on_dense='raise'`` (default) raises with the
+    remediation options; ``on_dense='chain'`` proceeds, accepting the
+    documented per-bucket chain form: every over-cap bucket emits its
+    sorted-id adjacent chain, so CLUSTER CONNECTIVITY is preserved
+    (run connected components downstream, e.g. ``neardup_clusters``)
+    while the pair list stops being the full clique enumeration."""
+    if on_dense not in ("raise", "chain"):
+        raise ValueError(f"on_dense must be 'raise' or 'chain', got {on_dense!r}")
     n = df.count()
     if max_rows is None or n <= max_rows:
         return cosine_threshold_pairs(
@@ -1164,6 +1242,23 @@ def eps_neighborhood_pairs(
         # on the 50k near-dup stress corpus with the old fixed 16
         # planes, vs the full replica cliques with sized bands.
         n_planes = _sized_bits(n) * bands
+    if max_bucket_size is not None:
+        frac_over = _estimate_overcap_fraction(
+            df, id_col, vec_col, n, dim, n_planes, bands, seeds[0], max_bucket_size
+        )
+        if frac_over > dense_fraction and on_dense == "raise":
+            raise ValueError(
+                f"eps graph at threshold {threshold} is OUTPUT-BOUND: "
+                f"~{frac_over:.0%} of {n} rows sit in LSH buckets estimated "
+                f"over max_bucket_size={max_bucket_size}, so the true pair "
+                "set grows ~quadratically and enumeration would silently "
+                "return a vanishing sample of it. Options: raise the "
+                "threshold, run the cluster form instead of the pair form "
+                "(neardup_clusters / connected components preserve the "
+                "dense clusters without enumerating their cliques), or "
+                "pass on_dense='chain' to accept chain-degraded "
+                "connectivity pairs inside over-cap buckets."
+            )
     base = materialize_shared(df.select(id_col, vec_col))
     # size the LSH shuffle to the keyed volume this router just counted
     # (None below ~500k rows -> session default, plans unchanged);
