@@ -89,6 +89,61 @@ def make_sfdup(src: str, out: str, *, n: int = 30000, dim: int = 64) -> None:
         )
 
 
+def make_sfclique(
+    out: str,
+    *,
+    n_bases: int = 120_000,
+    reps: int = 5,
+    mega: int = 50_000,
+    dim: int = 64,
+    shift: float = 1e-5,
+    seed: int = 97,
+) -> None:
+    """Dup-heavy SKEWED clique corpus with analytic ground truth (r08
+    verdict #3): ``n_bases`` gaussian bases × ``reps`` near-identical
+    replicas (+shift·k per dim — the sf2m receipt construction, clique-
+    style per the corpus invariant: independent bases never drift
+    toward a common direction) PLUS one mega-cluster of ``mega``
+    near-identical rows (sfdup pattern, ids in a disjoint high range).
+
+    Truth at cosine >= 0.9: every same-base pair (n_bases × C(reps,2))
+    and every mega pair; cross-base cosines are ~N(0, 1/dim), so a
+    false pair needs a ~7-sigma-squared tail — probability ~1e-12 per
+    pair, ~0 over the corpus. The mega bucket is over LSH_MAX_BUCKET_
+    SIZE in every band, so the chain contract emits exactly mega-1
+    intra-mega pairs; total expected = n_bases*C(reps,2) + mega - 1.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    bases = rng.standard_normal((n_bases, dim))
+    n = n_bases * reps
+    mat = np.repeat(bases, reps, axis=0)
+    k = np.tile(np.arange(reps), n_bases)[:, None]
+    mat = (mat + shift * k).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    if mega:
+        mega_base = 0.5 + np.arange(dim) / dim
+        mega_mat = (
+            mega_base[None, :] + 1e-6 * np.arange(mega)[:, None] / mega
+        ).astype(np.float32)
+        mat = np.vstack([mat, mega_mat])
+        ids = np.concatenate([ids, 1_000_000_000 + np.arange(mega, dtype=np.int64)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+
+
 def make_sfy(src: str, out: str, *, reps: int = 10) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()

@@ -43,6 +43,20 @@ assert a floor against exact ground truth:
                            bucket is over LSH_MAX_BUCKET_SIZE — pins the
                            r08 oracle chain-replay (ADVICE r07 medium)
                            above the corpus size that used to red it.
+  eps_dense_guard_routes   (r09, verdict r08 #4) the 30k near-identical
+                           sfdup corpus is OUTPUT-BOUND (true graph
+                           n²/2): the measured density guard must
+                           RAISE by default, and on_dense='chain' must
+                           return exactly the n-1 connectivity chain.
+  dup_heavy_650k_topk_recall / dup_heavy_650k_eps_exact
+                           (r09, verdict r08 #3) 120k gaussian bases
+                           x5 reps + one 50k near-identical mega-
+                           cluster (650k rows — dup-heavy AND skewed,
+                           an order past the 50k checks, fires
+                           _lsh_shuffle_partitions): top-k recall vs
+                           numpy GT >= 0.95 on clique probes, and the
+                           eps pair count must equal the ANALYTIC
+                           truth: bases*C(5,2) + (mega-1) chain pairs.
 
 Emits one JSON line (and --out file): {"checks": {...}, "n_fail": N};
 exit code 1 on any failure so a red gate turns the round red.
@@ -94,7 +108,7 @@ def _timing_mode(sf_dir: str, names: list[str]) -> None:
 def _make_corpora() -> dict[str, str]:
     """Regenerate the above-boundary corpora fresh each run (stale /tmp
     data must never green a gate)."""
-    from tools.make_stress import make_sfdup, make_sfx
+    from tools.make_stress import make_sfclique, make_sfdup, make_sfx
 
     dirs = {
         # 50k vectors (5000 × 10 near-dup shifts) + 25k docs — above the
@@ -106,11 +120,17 @@ def _make_corpora() -> dict[str, str]:
         "sflsh25": f"{GATE_DIR}/sflsh25",
         # 30k byte-identical docs — the mega-bucket pathology
         "sfdup": f"{GATE_DIR}/sfdup",
+        # 650k rows: 120k clique bases ×5 + a 50k mega-cluster —
+        # dup-heavy AND skewed, big enough that the keyed-row volume
+        # (650k×4 bands) overflows the 32-partition session default and
+        # _lsh_shuffle_partitions fires (r08 verdict #3)
+        "sfclique": f"{GATE_DIR}/sfclique",
     }
     shutil.rmtree(GATE_DIR, ignore_errors=True)
     make_sfx("/root/testdata/sf0.1", dirs["sfx10"], doc_reps=5, emb_reps=10)
     make_sfx("/root/testdata/sf0.01", dirs["sflsh25"], doc_reps=2, emb_reps=50)
     make_sfdup("/root/testdata/sf0.01", dirs["sfdup"], n=30000)
+    make_sfclique(dirs["sfclique"])
     return dirs
 
 
@@ -271,6 +291,27 @@ def _gate(out_path: str | None) -> int:
            time.perf_counter() - t, note=f"{n_dup} near-identical vectors")
     spark.catalog.clearCache()
 
+    # 5b. the OUTPUT-BOUND contract (r09, verdict r08 #4): on the same
+    # degenerate corpus the eps pair form must refuse by default (the
+    # true graph is n²/2 — enumeration would be a vanishing sample) and
+    # on_dense='chain' must return exactly the n-1 connectivity chain.
+    t = time.perf_counter()
+    raised = False
+    try:
+        similarity.eps_neighborhood_pairs(
+            dup_emb, "vec_id", "embedding", threshold=0.9
+        ).count()
+    except ValueError as exc:
+        raised = "OUTPUT-BOUND" in str(exc)
+    chain_n = similarity.eps_neighborhood_pairs(
+        dup_emb, "vec_id", "embedding", threshold=0.9, on_dense="chain"
+    ).count()
+    ok = raised and chain_n == n_dup - 1
+    record("eps_dense_guard_routes", chain_n, n_dup - 1, ok,
+           time.perf_counter() - t,
+           note=f"raise fired: {raised}; chain pairs {chain_n}")
+    spark.catalog.clearCache()
+
     # 6. MinHash banded-LSH recall on planted text near-dups: every
     # 20th doc gets a near-copy with its last 2 tokens dropped
     # (3-gram-shingle Jaccard >= ~0.9 on long docs; banded-LSH recall
@@ -326,6 +367,46 @@ def _gate(out_path: str | None) -> int:
     record("lsh_oracle_overcap_parity", len(probs), 0, not probs,
            time.perf_counter() - t,
            note=probs[0][:160] if probs else "bit-identical at 25k vectors")
+    spark.catalog.clearCache()
+
+    # 8-9. dup-heavy SKEWED 650k corpus (r09, verdict r08 #3): 120k
+    # clique bases ×5 reps + a 50k near-identical mega-cluster. Keyed
+    # volume 650k×4 bands = 2.6M rows overflows the 32-partition
+    # session default, so _lsh_shuffle_partitions fires (recorded in
+    # the note); the mega bucket is over cap in every band, so its
+    # contribution to the eps graph is the documented chain contract
+    # (mega-1 pairs), while every clique pair must be enumerated
+    # EXACTLY — the analytic-truth equality the 2M receipts used, now
+    # a committed gate with skew.
+    n_bases, reps, mega = 120_000, 5, 50_000
+    ids, mat = _load_vectors(dirs["sfclique"])
+    n_all = len(ids)
+    n_normal = n_bases * reps
+    cl_emb = load_table(spark, dirs["sfclique"], "embeddings")
+    sized_sp = similarity._lsh_shuffle_partitions(cl_emb, n_all * 4)
+
+    t = time.perf_counter()
+    step = max(1, n_normal // 400)
+    probe_idx = np.arange(0, n_normal, step)[:400]
+    gt_topk, _ = _exact_gt(ids, mat, probe_idx, k=reps - 1, eps=0.9)
+    probe_ids = set(gt_topk)
+    topk = similarity.similarity_topk_auto(cl_emb, "vec_id", "embedding", k=reps - 1)
+    rows = topk.filter(F.col("src").isin(list(probe_ids))).collect()
+    rec = _recall_topk(rows, gt_topk, k=reps - 1)
+    record("dup_heavy_650k_topk_recall", rec, 0.95, rec >= 0.95,
+           time.perf_counter() - t,
+           note=f"{n_all} rows; sized shuffle partitions={sized_sp}")
+    spark.catalog.clearCache()
+
+    t = time.perf_counter()
+    n_eps = similarity.eps_neighborhood_pairs(
+        cl_emb, "vec_id", "embedding", threshold=0.9
+    ).count()
+    want = n_bases * (reps * (reps - 1) // 2) + (mega - 1)
+    record("dup_heavy_650k_eps_exact", n_eps, want, n_eps == want,
+           time.perf_counter() - t,
+           note=f"analytic: {n_bases}xC({reps},2) cliques + {mega - 1} chain; "
+                f"sized shuffle partitions={sized_sp}")
 
     n_fail = sum(1 for c in checks.values() if not c["pass"])
     result = {
