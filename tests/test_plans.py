@@ -36,6 +36,7 @@ DRIFTER_PLAN_PINS: dict[str, tuple[int, int]] = {
     "functional_dependency_audit": (15, 30),
     "curriculum_phase_stats": (28, 18),
     "copurchase_part_lift_rel": (15, 22),
+    "ipf_mixture_raking": (8, 8),
 }
 
 
@@ -1169,6 +1170,25 @@ def test_copurchase_lift_pinned_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     _assert_drifter_counts(plan, "copurchase_part_lift_rel")
+
+
+def test_ipf_raking_pinned_shape(spark, sf_dir):
+    """ipf_mixture_raking hit 2.08x in the r09 quiet-host bench tail
+    (0.17 -> 0.36 s, the only >2x name; isolated min-of-2 triplets
+    span 0.63-0.83 s, a wider band than the drift itself). The query
+    was untouched in r09 — this pin makes future drift provably noise:
+    the fit runs entirely on the materialized |langs|x|sources| cell
+    table (scans pruned to 2 columns, reused in-memory), the totals
+    row broadcasts (BNLJ of a 1-row scalar, never a shuffle join),
+    and the banded operator counts from DRIFTER_PLAN_PINS."""
+    plan = _executed_plan(spark, "ipf_mixture_raking", sf_dir)
+    assert plan.count("SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("InMemory") >= 1  # shared cell table reused
+    for cols in _scan_schemas(plan):
+        assert sorted(cols) == ["lang", "source"]
+    _assert_drifter_counts(plan, "ipf_mixture_raking")
 
 
 def test_did_is_one_dim_join_one_agg(spark, sf_dir):
