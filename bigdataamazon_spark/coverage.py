@@ -411,14 +411,20 @@ DRIVER_VERIFIED: frozenset[str] = (
 # additions that changed plans post-r08-row: multimodal_features and
 # image_feature_topk (IHDR-routed PNG decode + vectorized unfilter),
 # stemmed_word_freq (tokenizer regex pinned to an explicit class on
-# both engines). The remaining ~45 window slots fill with the
-# never-verified backlog (169 names after r08) in registration order.
+# both engines); the two simhash entries (the banded route now bands
+# the occupied signature width and the eager routing count became a
+# count+min/max agg — results byte-identical, BNLJ at sf sizes, but
+# the operator changed so the driver re-attests). The remaining ~43
+# window slots fill with the never-verified backlog (169 names after
+# r08) in registration order.
 PRIORITY: tuple[str, ...] = (
     "embedding_neardup_pairs",
     "video_frame_samples",
     "multimodal_features",
     "image_feature_topk",
     "stemmed_word_freq",
+    "simhash_neardup_pairs",
+    "simhash_signatures",
 )
 
 

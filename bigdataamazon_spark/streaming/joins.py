@@ -127,6 +127,7 @@ def stream_click_purchase_pairs(
     *,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming variant: two readStream legs over the same source,
     each filtered and watermarked, interval-joined. State on the click
@@ -136,12 +137,10 @@ def stream_click_purchase_pairs(
     stream-stream inner joins at scale."""
 
     def leg(event_type: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(EVENT_SCHEMA)
-            .format("parquet")
-            .load(source_dir)
-            .filter(F.col("event_type") == event_type)
-        )
+        reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        s = reader.load(source_dir).filter(F.col("event_type") == event_type)
         # watermarks need TIMESTAMP (tz); session tz is UTC so the cast
         # is value-stable (same note as streaming/windows.py)
         return s.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(

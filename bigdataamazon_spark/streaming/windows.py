@@ -54,16 +54,20 @@ def stream_windowed_counts(
     *,
     window: str = "10 minutes",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source streaming variant with a watermark bounding state.
 
     ``update``/``append`` mode choice is the sink's; the smoke test uses
     complete mode into a memory sink and cross-checks against the batch
-    twin on identical input.
-    """
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(source_dir)
-    )
+    twin on identical input. ``max_files_per_trigger`` caps each
+    micro-batch at that many source files (None = all available) — the
+    knob tools/stream_bench.py uses to drive a time-ordered multi-batch
+    run where the watermark actually advances batch over batch."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_dir)
     # Watermarks require TIMESTAMP (with timezone); testdata parquet stores
     # TIMESTAMP_NTZ. The session timezone is UTC, so the cast is value-stable.
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -57,6 +57,13 @@ assert a floor against exact ground truth:
                            numpy GT >= 0.95 on clique probes, and the
                            eps pair count must equal the ANALYTIC
                            truth: bases*C(5,2) + (mega-1) chain pairs.
+  simhash_wide_518k_planted (r09 width fix) 518.5k docs — ABOVE the
+                           200k BNLJ/banded boundary, so the banded
+                           route fires naturally on inferred-62-bit
+                           signatures: the planted near-copy pairs
+                           returned must EQUAL the numpy hamming GT
+                           set (pigeonhole set equality, not a floor)
+                           with text-level radius yield >= 0.9.
 
 Emits one JSON line (and --out file): {"checks": {...}, "n_fail": N};
 exit code 1 on any failure so a red gate turns the round red.
@@ -184,6 +191,13 @@ def _recall_topk(rows, gt: dict[int, set], k: int) -> float:
 
 
 def _gate(out_path: str | None) -> int:
+    # the 650k checks need more driver heap than the 16g session default
+    # (local mode: executors share the driver JVM; the eps count at 650k
+    # OOMs at 16g). Make the gate self-contained instead of relying on
+    # the caller remembering the env var — must be set before the first
+    # get_spark() in this process launches the JVM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -407,6 +421,76 @@ def _gate(out_path: str | None) -> int:
            time.perf_counter() - t,
            note=f"analytic: {n_bases}xC({reps},2) cliques + {mega - 1} chain; "
                 f"sized shuffle partitions={sized_sp}")
+    spark.catalog.clearCache()
+
+    # 10. simhash ABOVE its 200k route boundary (r09 width fix — the
+    # pre-fix banding split a 64-bit range over 31-bit signatures, so
+    # three bands were constant-zero and the "scale" plan was an
+    # all-pairs join ×3). ×20 word-prefixed replicas of the 25k sfx10
+    # docs (disjoint shingle spaces) + planted near-copies (last 2
+    # tokens dropped) → 518.5k docs; the banded route fires NATURALLY
+    # (n > SIMHASH_ALLPAIRS_MAX_ROWS, width inferred 62). Pigeonhole
+    # is exact, so the planted pairs the operator returns must EQUAL
+    # the numpy hamming≤6 GT on the planted subset — no floor, set
+    # equality — and the text-level radius yield must stay ≥0.9.
+    t = time.perf_counter()
+    sim_dir = f"{GATE_DIR}/sfsim"
+    os.makedirs(sim_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          WITH reps AS (SELECT unnest(range(20)) AS k),
+          base AS (SELECT doc_id, text, lang, source, n_chars
+                   FROM '{dirs["sfx10"]}/documents.parquet'),
+          expanded AS (
+            SELECT b.doc_id + k*10000000 AS doc_id,
+                   'r' || k || replace(b.text, ' ', ' r' || k) AS text,
+                   lang, source, n_chars
+            FROM base b, reps
+          )
+          SELECT * FROM expanded
+          UNION ALL
+          SELECT doc_id + 500000000 AS doc_id,
+                 array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2],
+                                 ' ') AS text,
+                 lang, source, n_chars
+          FROM expanded
+          WHERE (doc_id % 10000000) % 20 = 0
+            AND len(string_split(text,' ')) >= 30
+        ) TO '{sim_dir}/documents.parquet' (FORMAT PARQUET)
+    """)
+    sim_docs = load_table(spark, sim_dir, "documents")
+    sim_sigs = dedup.simhash_signatures(
+        dedup.shingle_ids(dedup.doc_shingles(sim_docs, distinct=False)), bits=62
+    ).persist()
+    sim_pairs = dedup.simhash_neardup_pairs(sim_sigs, 6)  # natural route: banded
+    n_total_pairs = sim_pairs.count()
+    found = {
+        (int(r["src"]), int(r["dst"]))
+        for r in sim_pairs.filter(
+            F.col("dst") - F.col("src") == 500_000_000
+        ).collect()
+    }
+    smap = {
+        int(r["doc_id"]): int(r["simhash"])
+        for r in sim_sigs.filter(
+            (F.col("doc_id") >= 500_000_000)
+            | ((F.col("doc_id") % 10_000_000) % 20 == 0)
+        ).collect()
+    }
+    want_pairs = {
+        (d - 500_000_000, d)
+        for d, s in smap.items()
+        if d >= 500_000_000 and (d - 500_000_000) in smap
+        and bin(s ^ smap[d - 500_000_000]).count("1") <= 6
+    }
+    n_copies = sum(1 for d in smap if d >= 500_000_000)
+    ok = found == want_pairs and len(want_pairs) >= 0.9 * n_copies
+    record("simhash_wide_518k_planted", len(found), len(want_pairs), ok,
+           time.perf_counter() - t,
+           note=f"{n_total_pairs} total pairs at 518.5k docs; GT equality on "
+                f"{len(want_pairs)}/{n_copies} in-radius planted copies")
+    sim_sigs.unpersist()
 
     n_fail = sum(1 for c in checks.values() if not c["pass"])
     result = {
