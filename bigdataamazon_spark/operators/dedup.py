@@ -27,7 +27,7 @@ whole distinct vocabulary — a single-partition sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import materialize_shared
@@ -371,7 +371,12 @@ def minhash_signatures_wide(doc_sids: DataFrame) -> DataFrame:
     return doc_sids.select("doc_id", sid_mod).groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+def lsh_candidates_wide(
+    wide_sigs: DataFrame,
+    bands: int = MINHASH_BANDS,
+    *,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Banded LSH over wide signatures: band keys are string-concats of
     the wide columns — derived in the same stage as the aggregate, no
     second groupBy, no collect_list sort.
@@ -382,8 +387,22 @@ def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> Dat
     of them, since near-dups are rare — die in the size>=2 filter
     without ever reaching pair-matching. The self-join form drags every
     singleton row through an SMJ probe (and sorts both sides) first.
-    Hot buckets still expand quadratically; that is the LSH candidate
-    semantics itself, bounded by band-key entropy."""
+
+    ``max_bucket_size`` (None = no cap, the registry/oracle contract)
+    bounds the mega-bucket pathology the similarity module solved with
+    ``LSH_MAX_BUCKET_SIZE`` (r06): a bucket of b near-identical docs —
+    a template cluster at corpus scale — otherwise costs a b-element
+    ``collect_set`` buffered in ONE agg task plus C(b,2) exploded
+    candidates. With a cap, over-cap buckets route through a window
+    chain (id-sorted adjacent pairs, b−1 candidates, no array ever
+    materialized) — connectivity inside the bucket is preserved, so
+    downstream CC closure (``neardup_clusters``) labels the cluster
+    identically, while pair ENUMERATION inside over-cap buckets is
+    deliberately truncated (the output-bound regime no plan avoids;
+    same degradation contract as ``similarity.lsh_scored_pairs``).
+    Under-cap buckets are byte-identical to the uncapped plan, and
+    ``None`` skips the size agg and both routing joins entirely —
+    the default plan is unchanged."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
     for b in range(bands):
@@ -395,6 +414,27 @@ def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> Dat
     keyed = wide_sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    chain = None
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        small_keys = sizes.filter(F.col("_bsz") <= max_bucket_size).select(
+            "band", "band_key"
+        )
+        hot_keys = sizes.filter(F.col("_bsz") > max_bucket_size).select(
+            "band", "band_key"
+        )
+        hot = keyed.join(hot_keys, ["band", "band_key"])
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        chain = (
+            hot.withColumn("_nxt", F.lead("doc_id").over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .select(F.col("doc_id").alias("src"), F.col("_nxt").alias("dst"))
+        )
+        keyed = keyed.join(small_keys, ["band", "band_key"])
+
     pairs = (
         keyed.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
@@ -414,6 +454,8 @@ def lsh_candidates_wide(wide_sigs: DataFrame, bands: int = MINHASH_BANDS) -> Dat
         )
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
+    if chain is not None:
+        pairs = pairs.unionByName(chain)
     return pairs.distinct()
 
 
@@ -452,6 +494,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidate join -> exact-Jaccard verify (verification cost scales with
@@ -467,13 +510,25 @@ def minhash_dedup_pairs(
     duplicate-tolerant, so the corpus-wide distinct shuffle is skipped
     (``distinct=False`` twice below) and the verify step's
     ``collect_set`` restores set semantics on the LSH survivors only.
+
+    ``max_bucket_size`` passes through to ``lsh_candidates_wide``:
+    None (default, the registry/oracle contract) enumerates every
+    in-bucket pair; a cap routes over-cap buckets — template clusters
+    at corpus scale — through the b−1 window chain so candidate volume
+    and agg-task memory stay bounded while CC-closure connectivity is
+    preserved (the 100 TB setting; run exact dedup first so caps only
+    ever truncate enumeration inside genuine near-dup clusters).
     """
     sids = materialize_shared(
         shingle_ids(doc_shingles(df, id_col, text_col, n, distinct=False), distinct=False)
     )
     # candidates feed two consumers in the verify step (doc restriction +
     # pair semi-join) — materialize to avoid re-running sign+band twice
-    cands = materialize_shared(lsh_candidates_wide(minhash_signatures_wide(sids)))
+    cands = materialize_shared(
+        lsh_candidates_wide(
+            minhash_signatures_wide(sids), max_bucket_size=max_bucket_size
+        )
+    )
     return exact_jaccard_pairs(sids, threshold, candidates=cands)
 
 

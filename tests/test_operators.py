@@ -1290,6 +1290,52 @@ def test_simhash_banded_equals_allpairs(spark):
     assert len(via_bnlj) >= 150  # the planted dups were found
 
 
+def test_minhash_bucket_cap_chains_megabucket(spark):
+    """r09: lsh_candidates_wide grows the mega-bucket degradation the
+    similarity module has had since r06. A 400-identical-doc template
+    cluster uncapped costs C(400,2)=79,800 exploded candidates from a
+    400-element collect_set in one agg task; with a cap the over-cap
+    buckets route through a window chain — exactly the 399 id-adjacent
+    pairs, connectivity preserved for CC closure, no array
+    materialized. Under-cap buckets must stay byte-identical, and
+    None must keep the uncapped plan (registry/oracle contract)."""
+    from bigdataamazon_spark.operators import dedup
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(400)]
+    rows += [(1000 + i, f"unique{i} words{i} here{i} now{i} more{i} text{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sids = dedup.shingle_ids(dedup.doc_shingles(df, distinct=False), distinct=False)
+    wide = dedup.minhash_signatures_wide(sids).cache()
+
+    uncapped = {
+        (r.src, r.dst) for r in dedup.lsh_candidates_wide(wide).collect()
+    }
+    capped = {
+        (r.src, r.dst)
+        for r in dedup.lsh_candidates_wide(wide, max_bucket_size=64).collect()
+    }
+    mega_ids = list(range(400))
+    chain_expected = {(a, a + 1) for a in range(399)}
+    mega_uncapped = {(s, d) for s, d in uncapped if s < 400 and d < 400}
+    mega_capped = {(s, d) for s, d in capped if s < 400 and d < 400}
+    assert len(mega_uncapped) == 400 * 399 // 2  # full enumeration
+    assert mega_capped == chain_expected  # b-1 chain, nothing else
+    # under-cap buckets byte-identical between the two routes
+    assert {(s, d) for s, d in uncapped if s >= 400} == {
+        (s, d) for s, d in capped if s >= 400
+    }
+    # chain candidates survive exact-Jaccard verification (identical
+    # docs => Jaccard 1.0), so the full pipeline still connects the
+    # cluster for CC closure
+    verified = {
+        (r.src, r.dst)
+        for r in dedup.minhash_dedup_pairs(df, 0.9, max_bucket_size=64).collect()
+        if r.src < 400 and r.dst < 400
+    }
+    assert verified == chain_expected
+    assert len(mega_ids) == 400
+
+
 def test_simhash_band_bounds_track_signature_width():
     """r09 banded-route fix: bands must partition exactly the OCCUPIED
     bit range. The r07–r08 form split a fixed 64-bit range over 31-bit
