@@ -740,3 +740,160 @@ def test_python_streaming_source_restart_no_dup_no_loss(spark, tmp_path):
         (r["id"], r["bucket"], r["v"]) for r in spark.read.json(out).collect()
     )
     assert got == [(i, i % 10, pysource.row_value(i)) for i in range(60)]
+
+
+def _commit_count(ckpt: str) -> int:
+    import os
+
+    try:
+        return len(
+            [f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")]
+        )
+    except FileNotFoundError:
+        return 0
+
+
+def _drain_and_finalize(q, ckpt: str) -> None:
+    """processAllAvailable + wait for the watermark-finalizing no-data
+    micro-batch: processAllAvailable only guarantees the DATA batches,
+    and the final watermark advance is emitted by a no-data batch that
+    races with stop() (observed as the last file's windows missing)."""
+    import time
+
+    q.processAllAvailable()
+    seen = _commit_count(ckpt)
+    deadline = time.time() + 20
+    while time.time() < deadline and _commit_count(ckpt) <= seen:
+        time.sleep(0.2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_dedup_state_survives_restart(spark, sf_dir, events_dir, tmp_path):
+    """The recovery twin of test_stream_dedup_drops_replays: replays of
+    phase-1 events arrive ONLY after the query is stopped and restarted
+    from its checkpoint, so dropping them requires the
+    dropDuplicatesWithinWatermark key state to be RESTORED from the
+    state store — if state were lost the count overshoots by exactly
+    the plant size; if the sink commit log were broken the replayed
+    batch double-writes. Scale receipt: tools/stream_recovery.py
+    (1M events, 2000 cross-restart replays, STREAM_RECOVERY_r09.json)."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.stateful import stream_dedup_events
+    from bigdataamazon_spark.streaming.windows import EVENT_SCHEMA
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    base = spark.read.parquet(events_dir)
+    n_unique = base.select("event_id").distinct().count()
+    min_ts, max_ts = base.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = min_ts + (max_ts - min_ts) / 2
+    p1 = base.filter(F.col("ts") <= F.lit(split_ts))
+    p2 = base.filter(F.col("ts") > F.lit(split_ts))
+    # replays of phase-1 originals from the last 10 days of phase-1
+    # event time: above the checkpointed watermark (p1_max - 15 days),
+    # so only restored key state can drop them
+    replays = p1.filter(
+        F.col("ts") >= F.lit(split_ts) - F.expr("INTERVAL 10 DAYS")
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    n_replays = replays.count()
+    assert n_replays > 0
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        return (
+            stream_dedup_events(stream, watermark="15 days")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    p1.repartition(2).write.parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    # phase 2 appears only after the restartable stop: replays first
+    replays.coalesce(1).write.mode("append").parquet(src)
+    p2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+
+    n_out = spark.read.parquet(sink).count()
+    assert n_out == n_unique, (
+        f"emitted {n_out} vs {n_unique} unique ids "
+        f"({n_replays} cross-restart replays planted)"
+    )
+
+
+def test_windowed_agg_state_survives_restart(spark, sf_dir, events_dir, tmp_path):
+    """Windowed-agg partial state across a restart: phase 2 lands after
+    the stop, so windows straddling the phase boundary finish
+    accumulating in a RESTORED state store. Every sink row must equal
+    its batch-twin row (multiset exceptAll == 0 catches lost state,
+    double-emission, and double-written files), and every window the
+    final watermark closed must be present."""
+    from pyspark.sql import functions as F
+
+    from bigdataamazon_spark.streaming.windows import (
+        EVENT_SCHEMA,
+        stream_windowed_counts,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    base = spark.read.parquet(events_dir)
+    min_ts, max_ts = base.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = min_ts + (max_ts - min_ts) / 2
+
+    def start():
+        return (
+            stream_windowed_counts(spark, src, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    base.filter(F.col("ts") <= F.lit(split_ts)).repartition(2).write.parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    base.filter(F.col("ts") > F.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = start()
+    _drain_and_finalize(q2, ckpt)
+
+    stream_in = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    twin = windowed_counts(stream_in.withColumn("ts", F.col("ts").cast("timestamp")))
+    got = spark.read.parquet(sink)
+    assert got.exceptAll(twin).count() == 0
+    # exactly the windows below the final watermark (max ts - 10 min)
+    (max_ts,) = stream_in.agg(F.max(F.col("ts").cast("timestamp"))).first()
+    expected = twin.filter(
+        F.to_timestamp("window_start") + F.expr("INTERVAL 10 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    n_got, n_expected = got.count(), expected.count()
+    assert n_got >= n_expected, f"{n_got} emitted vs {n_expected} closed windows"
