@@ -64,6 +64,16 @@ assert a floor against exact ground truth:
                            returned must EQUAL the numpy hamming GT
                            set (pigeonhole set equality, not a floor)
                            with text-level radius yield >= 0.9.
+  minhash_megabucket_540k  (r09 session 3) 540k docs with a 40k-doc
+                           single-template cluster through
+                           minhash_dedup_pairs(max_bucket_size=500):
+                           output stays bounded (no C(40k,2)=800M
+                           blow-up), the cluster remains ONE connected
+                           component through the b-1 window chain
+                           (>= 99.8% membership; the tail is docs LSH
+                           itself drops from the mega bucket), and
+                           planted near-copy recall elsewhere >= 0.95
+                           (small buckets ride the uncapped plan).
 
 Emits one JSON line (and --out file): {"checks": {...}, "n_fail": N};
 exit code 1 on any failure so a red gate turns the round red.
@@ -491,6 +501,94 @@ def _gate(out_path: str | None) -> int:
            note=f"{n_total_pairs} total pairs at 518.5k docs; GT equality on "
                 f"{len(want_pairs)}/{n_copies} in-radius planted copies")
     sim_sigs.unpersist()
+
+    # 12. MinHash mega-bucket cap at corpus scale (r09, landed with only
+    # 6-entry parity at sf sizes): 540k docs where 40k are near-copies
+    # of ONE template — the boilerplate-page pathology. Uncapped, the
+    # template bucket would collect_set 40k ids into one agg task and
+    # explode C(40k,2) = 800M candidate pairs; with the cap it must
+    # route through the b−1 window chain. Three properties gate:
+    # bounded output (no 800M blow-up), template-cluster CONNECTIVITY
+    # preserved through the chain (one CC over the emitted pairs — the
+    # property downstream neardup_clusters depends on), and planted
+    # near-copy recall elsewhere unaffected (small buckets are
+    # byte-identical to the uncapped plan).
+    t = time.perf_counter()
+    from bigdataamazon_spark.operators.graph import connected_components
+
+    tmpl_dir = f"{GATE_DIR}/sftemplate"
+    dirs["sftemplate"] = tmpl_dir
+    os.makedirs(tmpl_dir, exist_ok=True)
+    template = " ".join(f"t{i}" for i in range(120))
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          WITH reps AS (SELECT unnest(range(20)) AS k),
+          expanded AS (
+            SELECT b.doc_id + k*10000000 AS doc_id,
+                   'q' || k || replace(b.text, ' ', ' q' || k) AS text,
+                   lang, source, n_chars
+            FROM '{dirs["sfx10"]}/documents.parquet' b, reps
+          )
+          SELECT * FROM expanded
+          UNION ALL
+          SELECT 600000000 + k AS doc_id,
+                 '{template} u' || k || ' w' || k AS text,
+                 'en' AS lang, 'tmpl' AS source, 0 AS n_chars
+          FROM range(40000) t(k)
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id,
+                 array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-2],
+                                 ' ') AS text,
+                 lang, source, n_chars
+          FROM expanded
+          WHERE (doc_id % 10000000) % 40 = 0
+            AND len(string_split(text,' ')) >= 30
+        ) TO '{tmpl_dir}/documents.parquet' (FORMAT PARQUET)
+    """)
+    planted = {
+        int(r[0])
+        for r in con.execute(f"""
+            SELECT doc_id FROM '{tmpl_dir}/documents.parquet'
+            WHERE doc_id >= 1000000000""").fetchall()
+    }
+    tmpl_docs = load_table(spark, tmpl_dir, "documents")
+    capped = dedup.minhash_dedup_pairs(
+        tmpl_docs, 0.5, max_bucket_size=500
+    ).persist()
+    n_pairs = capped.count()
+    tmpl_edges = capped.filter(
+        (F.col("src") >= 600_000_000) & (F.col("src") < 1_000_000_000)
+        & (F.col("dst") >= 600_000_000) & (F.col("dst") < 1_000_000_000)
+    )
+    comp = connected_components(tmpl_edges)
+    n_nodes = comp.count()
+    n_comps = comp.select("label").distinct().count()
+    found = {
+        int(r["dst"])
+        for r in capped.filter(
+            F.col("dst") - F.col("src") == 1_000_000_000
+        ).collect()
+    }
+    hits = sum(1 for d in planted if d in found)
+    rec = hits / len(planted) if planted else 1.0
+    capped.unpersist()
+    # a ~0.06% tail of template docs falls out of the mega bucket in
+    # every band (the doc's unique shingle hashes below a shared
+    # minimum) — intrinsic LSH recall, identical under the uncapped
+    # route, so membership gates at 99.8%, connectivity at exactly 1
+    ok = (
+        n_pairs < 5_000_000
+        and n_nodes >= 39_800
+        and n_comps == 1
+        and rec >= 0.95
+    )
+    record("minhash_megabucket_540k", rec, 0.95, ok,
+           time.perf_counter() - t,
+           note=f"{n_pairs} pairs at 540k docs (uncapped template would be 800M); "
+                f"template cluster: {n_nodes}/40000 nodes in {n_comps} component(s); "
+                f"planted recall {hits}/{len(planted)}")
+    spark.catalog.clearCache()
 
     n_fail = sum(1 for c in checks.values() if not c["pass"])
     result = {
