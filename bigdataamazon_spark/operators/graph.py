@@ -462,8 +462,6 @@ def label_propagation(
     discipline so the loop never replays lineage. Integer/exact
     weights keep the argmax deterministic across engines.
     """
-    from pyspark.sql import Window
-
     w_col = F.col(weight) if weight else F.lit(1)
     # pin the (possibly expensive) edge build once — every round's eager
     # checkpoint action would otherwise replay the upstream joins
@@ -477,18 +475,23 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
-    win = Window.partitionBy("e_src").orderBy(F.desc("s"), F.asc("lbl"))
     for _ in range(iters):
         scores = (
             e.join(labels, e["e_dst"] == labels["node"])
             .groupBy("e_src", "lbl")
             .agg(F.sum("e_w").alias("s"))
         )
-        best = (
-            scores.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("e_src").alias("node"), F.col("lbl").alias("new_lbl"))
-        )
+        # argmax by (s desc, lbl asc) as max_by over a (s, -lbl) struct:
+        # same deterministic winner as the previous row_number window,
+        # but a combiner-friendly hash agg — partial aggregation runs
+        # map-side and no per-partition sort is paid (r09; the window
+        # form shuffled every (v, label) score row, then sorted each
+        # partition, every round)
+        best = scores.groupBy("e_src").agg(
+            F.max_by(
+                F.col("lbl"), F.struct(F.col("s"), (-F.col("lbl")).alias("neg"))
+            ).alias("new_lbl")
+        ).select(F.col("e_src").alias("node"), "new_lbl")
         labels = (
             labels.join(best, "node", "left")
             .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))

@@ -35,7 +35,10 @@ DRIFTER_PLAN_PINS: dict[str, tuple[int, int]] = {
     "kneser_ney_bigram_lm": (10, 14),
     "functional_dependency_audit": (15, 30),
     "curriculum_phase_stats": (28, 18),
-    "copurchase_part_lift_rel": (15, 22),
+    # re-recorded r09: basket collect_set + generator-explode pair
+    # expansion + in-plan scalar threshold (was (15, 22) for the
+    # distinct + self-join + driver-count form)
+    "copurchase_part_lift_rel": (11, 16),
     "ipf_mixture_raking": (8, 8),
 }
 
@@ -1168,7 +1171,10 @@ def test_copurchase_lift_pinned_shape(spark, sf_dir):
     plan = _executed_plan(spark, "copurchase_part_lift_rel", sf_dir)
     assert plan.count("SortMergeJoin") == 0
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    # r09 shape: two broadcast per-part prior joins + ONE broadcast
+    # scalar (the basket-count threshold, a non-equi BNLJ of a 1-row agg)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1
     _assert_drifter_counts(plan, "copurchase_part_lift_rel")
 
 
