@@ -152,21 +152,31 @@ def exact_jaccard_pairs(
     # quadratic work and the map-side partial agg of the (src,dst)
     # count below stay parallel.
     width = doc_sids.sparkSession.sparkContext.defaultParallelism
-    # {i<j} expansion as two chained generator explodes over the sorted
-    # membership array: explode is whole-stage-codegen'd, while the
-    # higher-order transform/flatten/slice form runs interpreted (r09
-    # measurement: ~1.3x slower end-to-end on this operator). The
-    # second explode generates d² rows per shingle and the src<dst
-    # filter halves them in the same codegen stage — same O(Σ df²)
-    # class, no interpreted expression left on the hot path.
+    # {i<j} expansion stays the higher-order transform/flatten form: a
+    # chained double-explode (codegen) was tried in r09 and measured
+    # SLOWER in full-bench context (+0.2 s) — the first explode
+    # re-serializes the whole membership array into every intermediate
+    # row, which for high-df shingles costs more than the interpreted
+    # HOF walk that slices in place.
     pairs = (
         doc_sids.groupBy("sid")
         .agg(docs_arr.alias("ds"))
         .filter(F.size("ds") >= 2)
         .repartition(width)
-        .select(F.explode("ds").alias("src"), "ds")
-        .select("src", F.explode("ds").alias("dst"))
-        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
     shared = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("shared"))
     jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
