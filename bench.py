@@ -206,17 +206,30 @@ def main() -> None:
 def emit_lines(
     timings: dict[str, float], errors: dict[str, str], sf: float
 ) -> list[str]:
-    """The two-line stdout contract, as data so it is unit-testable.
+    """The stdout contract, as data so it is unit-testable.
 
-    Line 1 (detailed): full per-query map (+ full error messages when
-    any query failed — a failed query is absent from ``queries``, which
-    would otherwise silently understate the total; r05 advice).
-    Line 2 (compact): the driver records only a ~2000-char stdout TAIL;
-    with 100+ per-query timings the detailed line's head (including
-    "value") is truncated away and the driver records parsed=null (r04
-    verdict, action #2). The compact line repeats the headline number
-    with no per-query map and — under errors — only a hard-bounded list
-    of failing names, so the LAST line always parses whatever breaks.
+    First line (detailed): full per-query map (+ full error messages
+    when any query failed — a failed query is absent from ``queries``,
+    which would otherwise silently understate the total; r05 advice).
+    Last line (compact): the driver records only a ~2000-char stdout
+    TAIL; with 100+ per-query timings the detailed line's head
+    (including "value") is truncated away and the driver records
+    parsed=null (r04 verdict, action #2). The compact line repeats the
+    headline number with no per-query map and — under errors — only a
+    hard-bounded list of failing names, so the LAST line always parses
+    whatever breaks.
+
+    Middle lines (r10, ADDITIVE — first and last lines byte-identical
+    to the r08/r09 format): the per-query map again, sharded across
+    bounded (<900-char) lines at 2-decimal precision, in bench order.
+    Reason (r09 verdict, action #2): the detailed line alone is ~3.5k
+    chars, so the driver's 2000-char tail kept only its last ~55
+    entries as an unparseable fragment and PERF_r09.per_query compared
+    ZERO queries. Each shard is a complete JSON object carrying a
+    "queries" slice and no "value" key (so no shard can be mistaken
+    for the headline total); the tail window now always holds the
+    final compact line plus the last ~2 complete shards — ~50 per-query
+    timings in parseable form instead of none.
     """
     total = round(sum(timings.values()), 4)
     detailed = {
@@ -243,7 +256,42 @@ def emit_lines(
         # which names did
         first = sorted(errors)[0]
         compact["sample_error"] = f"{first}: {str(errors[first])[:120]}"
-    return [json.dumps(detailed), json.dumps(compact)]
+    return (
+        [json.dumps(detailed)]
+        + _per_query_shard_lines(timings, sf)
+        + [json.dumps(compact)]
+    )
+
+
+def _per_query_shard_lines(
+    timings: dict[str, float], sf: float, max_chars: int = 620
+) -> list[str]:
+    """Per-query map sharded across bounded JSON lines (2-decimal), in
+    bench order — see ``emit_lines``. Packed from the END so the LAST
+    shards (the ones a tail capture keeps) are full; the bound is sized
+    so two complete shards plus a worst-case (~600-char, 30-error)
+    compact line always fit a 2000-char tail."""
+    header = {"metric": "headline_query_wall_clock_total", "unit": "sec", "sf": sf}
+    base = len(json.dumps({**header, "pq_shard": 99, "pq_nshards": 99, "queries": {}}))
+    shards_rev: list[dict[str, float]] = []
+    cur_rev: list[tuple[str, float]] = []
+    used = base
+    for name, t in reversed(list(timings.items())):
+        entry = len(json.dumps({name: round(t, 2)})) + 1
+        if cur_rev and used + entry > max_chars:
+            shards_rev.append(dict(reversed(cur_rev)))
+            cur_rev, used = [], base
+        cur_rev.append((name, round(t, 2)))
+        used += entry
+    if cur_rev:
+        shards_rev.append(dict(reversed(cur_rev)))
+    shards = list(reversed(shards_rev))
+    return [
+        json.dumps(
+            {**header, "pq_shard": i + 1, "pq_nshards": len(shards), "queries": s}
+        )
+        for i, s in enumerate(shards)
+    ]
 
 
 if __name__ == "__main__":

@@ -455,6 +455,14 @@ def label_propagation(
     count (not convergence) keeps the result engine-replayable: the
     oracle unrolls the same rounds as SQL CTEs.
 
+    NUMERIC node ids required (ADVICE r09): the per-round argmax
+    tie-breaks via ``max_by`` over a ``(score, -label)`` struct, and
+    the negation narrows labels to numeric types — string ids throw
+    ``CAST_INVALID_INPUT`` under ANSI. Every current caller passes
+    numeric keys; a string-keyed graph must map ids to a numeric
+    surrogate first (the window form this replaced ordered any
+    orderable type, but paid a per-partition sort per round).
+
     Scale shape: each round is one keyed exchange (edge join on dst's
     label table) plus one combiner-friendly agg on (v, label) and a
     per-v window argmax — the same per-round cost as

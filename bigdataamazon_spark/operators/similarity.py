@@ -257,7 +257,11 @@ def bow_topk_auto(
         .limit(dense_vocab_max + 2)
         .collect()
     )
-    n_docs = rows[0]["df"]  # the rollup-total row: df == count_distinct(doc_id)
+    # EMPTY input: rollup's Expand emits zero rows from zero rows, so
+    # there is no grand-total row at all (unlike the old global agg,
+    # which always returned one) — route as nd=0/nv=0 and fall through
+    # to the dense branch, which returns an empty result (ADVICE r09).
+    n_docs = rows[0]["df"] if rows else 0  # rollup-total row: count_distinct(doc_id)
     stats = rows[1:]
     n_vocab = len(stats) if len(rows) < dense_vocab_max + 2 else dense_vocab_max + 1
 
@@ -355,7 +359,13 @@ def cosine_topk(
 
     _guard_exact_corpus(df, max_rows, "cosine_topk")
     id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"src {id_type}, dst {id_type}, score double, rank int"
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        # empty corpus: np.array([]) is 1-D, so the axis-1 norm below
+        # would raise — and bow_topk_auto routes empty input here
+        # (ADVICE r09). No neighbors exist; return the empty table.
+        return df.sparkSession.createDataFrame([], out_schema)
     # corpus sorted by id => stable argsort on -score == dst-asc tiebreak
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows])
@@ -399,9 +409,7 @@ def cosine_topk(
     # full-machine parallelism for ~input-size shuffle bytes (no-op on
     # already-wide scans). Measured at the 20k guard boundary: 68 s ->
     # single-digit seconds on local[32].
-    return widen(df.select(id_col, vec_col)).mapInPandas(
-        gen, f"src {id_type}, dst {id_type}, score double, rank int"
-    )
+    return widen(df.select(id_col, vec_col)).mapInPandas(gen, out_schema)
 
 
 def cosine_threshold_pairs(

@@ -37,6 +37,10 @@ def _normalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
 
 def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # compare() may run from a small thread pool (test_parity_all);
+    # bound each connection's own pool so N concurrent oracles don't
+    # oversubscribe the box N*ncpu ways. Result-neutral.
+    con.execute("SET threads TO 8")
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
@@ -45,8 +49,18 @@ def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
-def compare(spark, name: str, sf_dir: str, *, max_diff: int = 5) -> list[str]:
-    """Return list of mismatch descriptions (empty == parity)."""
+def compare(
+    spark, name: str, sf_dir: str, *, max_diff: int = 5, require_rows: bool = False
+) -> list[str]:
+    """Return list of mismatch descriptions (empty == parity).
+
+    ``require_rows=True`` additionally flags an EMPTY (but matching)
+    result — an empty result hash-matches an empty oracle vacuously, so
+    the parity gate wants rows. Checked here from the frame the compare
+    already collected: the old test-side ``count()`` re-ran the whole
+    query a second time per parity case (~499 extra Spark jobs per
+    suite run), which is what pushed the driver's pytest past its time
+    cap (VERIFY_r09 ``tests_ok:false``)."""
     from bigdataamazon_spark import queries as registry
 
     qfn = registry.queries()[name]
@@ -55,8 +69,10 @@ def compare(spark, name: str, sf_dir: str, *, max_diff: int = 5) -> list[str]:
     s_pdf = sdf.toPandas()
 
     problems: list[str] = []
+    if require_rows and len(s_pdf) == 0:
+        problems.append(f"{name}: empty result at {sf_dir} (vacuous parity)")
     if oracle is None:
-        if len(s_pdf) == 0:
+        if len(s_pdf) == 0 and not require_rows:
             problems.append(f"{name}: rows-only check, got 0 rows")
         return problems
 

@@ -62,17 +62,32 @@ def test_bench_emit_lines_contract():
 
     import bench
 
-    timings = {f"q{i}": 0.5 for i in range(104)}
+    timings = {f"long_query_name_number_{i:03d}": 0.5 for i in range(104)}
     errors = {f"bad{i:02d}": "SomeError: " + "x" * 150 for i in range(30)}
     lines = bench.emit_lines(timings, errors, 0.1)
-    assert len(lines) == 2
-    detailed, compact = (json.loads(ln) for ln in lines)
+    detailed, compact = json.loads(lines[0]), json.loads(lines[-1])
     assert detailed["value"] == compact["value"] == round(104 * 0.5, 4)
     assert detailed["n_errors"] == compact["n_errors"] == 30
     assert len(detailed["queries"]) == 104
     assert "queries" not in compact and "errors" not in compact
     assert len(compact["failed"]) == 10  # names only, hard-bounded
-    assert len(lines[1]) < 2000, len(lines[1])
+    assert len(lines[-1]) < 2000, len(lines[-1])
+    # r10 additive middle lines: per-query map sharded across bounded
+    # parseable lines so the driver's 2000-char stdout tail always holds
+    # SOME complete per-query data (PERF_r09.per_query was empty)
+    shards = [json.loads(ln) for ln in lines[1:-1]]
+    assert shards, "expected per-query shard lines"
+    merged: dict[str, float] = {}
+    for s in shards:
+        assert "value" not in s  # a shard must never parse as the total
+        assert len(json.dumps(s)) <= 620
+        merged.update(s["queries"])
+    assert merged == {k: round(v, 2) for k, v in timings.items()}
+    # tail-window guarantee: compact line + the last two shards fit 2000
+    assert len(lines[-1]) + len(lines[-2]) + len(lines[-3]) + 3 <= 2000
     # clean run: no error keys at all
-    d2, c2 = (json.loads(ln) for ln in bench.emit_lines(timings, {}, 0.1))
+    d2, c2 = (
+        json.loads(bench.emit_lines(timings, {}, 0.1)[0]),
+        json.loads(bench.emit_lines(timings, {}, 0.1)[-1]),
+    )
     assert "n_errors" not in d2 and "n_errors" not in c2 and "failed" not in c2

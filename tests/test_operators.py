@@ -688,6 +688,20 @@ def test_bow_auto_routing_flips_without_changing_results(spark, sf_dir):
         assert d == s, f"tfidf={tfidf}: routing changed results"
 
 
+def test_bow_auto_empty_input_routes_dense_and_returns_empty(spark):
+    """ADVICE r09: the one-pass rollup router gets ZERO rows from an
+    empty counts table (no grand-total row, unlike the old global agg),
+    which crashed rows[0]. Empty input must route (nd=0, nv=0 → dense)
+    and return an empty neighbor table, not raise."""
+    from bigdataamazon_spark.operators import similarity
+
+    cnt = spark.createDataFrame([], "doc_id bigint, word string, c bigint")
+    for tfidf in (False, True):
+        out = similarity.bow_topk_auto(cnt, k=3, tfidf=tfidf)
+        assert out.count() == 0
+        assert set(out.columns) == {"src", "dst", "score", "rank"}
+
+
 def test_bow_auto_fallback_applies_absolute_df_cap(spark):
     """r06 (VERDICT r05 #3): when the router falls back to the posting
     join, POSTING_FALLBACK_MAX_DF applies by default — hot words leave

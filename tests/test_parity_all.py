@@ -32,16 +32,46 @@ def test_registry_outputs_are_scalar(spark, sf_dir):
     assert not bad, "non-scalar registry outputs: " + "; ".join(bad)
 
 
+@pytest.fixture(scope="session")
+def parity_results(spark, sf_correctness):
+    """All registered-query oracle comparisons, computed once with a
+    small driver thread pool (optimization guide §2.6: actions are only
+    sequential because the caller issues them sequentially — concurrent
+    sub-second queries back-fill each other's scheduling gaps on
+    local[32]).
+
+    Coverage is unchanged — every registered query still compares
+    row-count + schema + value multiset against its DuckDB oracle at
+    sf0.01, and the vacuous-parity (empty result) check now rides the
+    SAME collected frame instead of a second full ``count()`` job per
+    query. Wall-clock is what changes: the serial one-query-per-test
+    form ran ~499 × (2 full Spark computations + oracle) back to back,
+    which was the bulk of the suite runtime and what pushed the
+    driver's pytest past its window (VERIFY_r09 ``tests_ok: false``).
+    Set ``SPARK_GRAFT_PARITY_WORKERS=1`` to debug serially."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "6"))
+
+    def one(name: str) -> tuple[str, list[str]]:
+        try:
+            return name, compare(spark, name, sf_correctness, require_rows=True)
+        except Exception as e:  # noqa: BLE001 — surface as that query's failure
+            return name, [f"{name}: {type(e).__name__}: {e}"]
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return dict(pool.map(one, _names()))
+
+
 @pytest.mark.parametrize("name", _names())
-def test_parity(spark, sf_correctness, name):
-    problems = compare(spark, name, sf_correctness)
-    assert not problems, "\n".join(problems)
+def test_parity(parity_results, name):
     # an empty result hash-matches an empty oracle VACUOUSLY — a broken
     # predicate on both sides reads as green (caught once: a churn
-    # definition no testdata user could ever satisfy). Every registered
-    # query must produce rows at sf0.01.
-    n = registry.queries()[name](spark, sf_correctness).count()
-    assert n > 0, f"{name}: empty result at sf0.01 (vacuous parity)"
+    # definition no testdata user could ever satisfy). compare() checks
+    # rows > 0 on the frame it already collected (require_rows=True).
+    problems = parity_results[name]
+    assert not problems, "\n".join(problems)
 
 
 def test_canonicalizer_mirrors_driver_dtype_semantics():
