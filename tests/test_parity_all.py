@@ -20,15 +20,25 @@ def test_registry_outputs_are_scalar(spark, sf_dir):
     expose an array/map/struct/binary column — serialize in the
     registered projection instead (cost one round-1 driver row:
     multimodal_features)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyspark.sql.types as T
 
-    bad = []
-    for name, fn in registry.queries().items():
-        for f in fn(spark, sf_dir).schema.fields:
+    def check(item):
+        name, fn = item
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in fn(spark, sf_dir).schema.fields
             if isinstance(
                 f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
-            ):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+            )
+        ]
+
+    # schema-only, but some entries run driver-side work at build time
+    # (seeded fits, routing collects) — a small pool cuts this test from
+    # ~165 s to the slowest few builds (same §2.6 rationale as parity)
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        bad = [b for bs in pool.map(check, registry.queries().items()) for b in bs]
     assert not bad, "non-scalar registry outputs: " + "; ".join(bad)
 
 
